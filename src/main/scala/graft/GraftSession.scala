@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the session-level configuration surface of the reference's
+  * `BallistaConfig` (reference: ballista/core/src/config.rs:182-187 defaults
+  * `ballista.shuffle.partitions`=16, `ballista.batch.size`=8192) mapped onto
+  * Spark-native settings. Batch size is a no-op on Spark (row-based codegen
+  * pipelines + columnar parquet reader handle this internally).
+  *
+  * Designed for cluster scale: AQE on (runtime re-plan, skew-join handling,
+  * dynamic coalescing), broadcast threshold left at Spark default so small
+  * dimension tables (region/nation/supplier at any SF) broadcast instead of
+  * shuffling.
+  */
+object GraftSession {
+
+  /** Config keys the reference exposes (ballista/core/src/config.rs:30-45) and
+    * their Spark equivalents. Anything not listed is scheduler-internal in the
+    * reference and native to Spark.
+    */
+  val configMapping: Map[String, String] = Map(
+    "ballista.shuffle.partitions" -> "spark.sql.shuffle.partitions",
+    "ballista.optimizer.hash_join_single_partition_threshold" -> "spark.sql.autoBroadcastJoinThreshold",
+    "ballista.repartition.joins" -> "spark.sql.adaptive.enabled",
+    "ballista.parquet.pruning" -> "spark.sql.parquet.filterPushdown",
+    "ballista.collect_statistics" -> "spark.sql.statistics.size.autoUpdate.enabled"
+  )
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; read as long (ns since epoch) and convert explicitly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Get-or-create a configured session and register graft SQL functions. */
+  def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(spark)
+    spark
+  }
+}

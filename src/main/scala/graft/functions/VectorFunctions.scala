@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector math over Array[Float] embedding columns using the higher-order
+  * built-ins (`zip_with`, `aggregate`) — codegen-friendly, no UDF.
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns (double result). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  def register(spark: SparkSession): Unit = ()
+}
