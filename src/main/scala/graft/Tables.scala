@@ -26,6 +26,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+
+  /** events with the TIMESTAMP(NANOS) column (read as nanos-long, see
+    * GraftSession) converted to a proper microsecond timestamp `ts`, keeping
+    * the raw nanos in `ts_ns`. Integer DIV avoids double-precision loss on
+    * ~1.7e18 nano values.
+    */
+  def eventsTs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,0 +1,797 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.DateTimeFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Dsl._
+
+/** Operator-inventory coverage suite: one oracle-checked query per operator
+  * class from SURVEY.md §2 that the TPC-H suite doesn't already exercise.
+  *
+  * §2.1 values/empty relations · §2.2 predicates/conditionals/casts ·
+  * §2.3 right/full/cross/null-safe joins · §2.4 statistical aggregates,
+  * rollup/cube/grouping-sets, FILTER, array_agg, median, approx ·
+  * §2.5 window functions (rank/offset/frames/distribution) ·
+  * §2.6 sort-null ordering + limit/offset · §2.7 set operations ·
+  * §2.9 scalar functions (string/math/regex/hash/datetime/conditional).
+  *
+  * Numeric strategy per [[Dsl]]; engine-divergent functions (initcap,
+  * approx_*) are either kept out of oracles or registered oracle-less.
+  */
+object Coverage {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- §2.1 values / empty relation -------------------------------------
+
+  def srcValues(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "tag")
+      .select((col("id") * 2).as("id2"), upper(col("tag")).as("tag_up"))
+      .orderBy(col("id2"))
+  }
+
+  val srcValuesOracle: String =
+    """SELECT CAST(id * 2 AS BIGINT) AS id2, upper(tag) AS tag_up
+      |FROM (VALUES (1,'alpha'),(2,'beta'),(3,'gamma')) t(id, tag)
+      |ORDER BY id2""".stripMargin
+
+  def srcEmpty(spark: SparkSession, dir: String): DataFrame =
+    spark.sql("SELECT CAST(1 AS BIGINT) AS one, 'x' AS tag")
+
+  val srcEmptyOracle: String = "SELECT CAST(1 AS BIGINT) AS one, 'x' AS tag"
+
+  // ---- §2.2 projection arithmetic / predicates / conditionals ------------
+
+  def projArith(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") + col("l_linenumber")).as("add_col"),
+        (col("l_orderkey") - lit(1L)).as("sub_col"),
+        (col("l_orderkey") * 3).as("mul_col"),
+        (col("l_orderkey") % 7).as("mod_col"),
+        expr("l_orderkey DIV 3").as("idiv_col"),
+        col("l_linenumber").bitwiseAND(3).as("band_col"),
+        col("l_linenumber").bitwiseOR(8).as("bor_col"),
+        (-col("l_linenumber")).as("neg_col"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(50)
+  }
+
+  val projArithOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey + l_linenumber AS add_col,
+      |  l_orderkey - 1 AS sub_col,
+      |  l_orderkey * 3 AS mul_col,
+      |  l_orderkey % 7 AS mod_col,
+      |  l_orderkey // 3 AS idiv_col,
+      |  l_linenumber & 3 AS band_col,
+      |  l_linenumber | 8 AS bor_col,
+      |  -l_linenumber AS neg_col
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber
+      |LIMIT 50""".stripMargin
+
+  def predFilters(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .filter(col("p_size").between(10, 20) &&
+        col("p_type").isin("PROMO", "LARGE") &&
+        col("p_name").like("%bolt%") &&
+        col("p_brand").ilike("brand#1%") &&
+        col("p_name").rlike("b.lt") &&
+        !(col("p_size") === 15) &&
+        col("p_retailprice").isNotNull)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val predFiltersOracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size
+      |FROM part
+      |WHERE p_size BETWEEN 10 AND 20
+      |  AND p_type IN ('PROMO','LARGE')
+      |  AND p_name LIKE '%bolt%'
+      |  AND p_brand ILIKE 'brand#1%'
+      |  AND regexp_matches(p_name, 'b.lt')
+      |  AND NOT (p_size = 15)
+      |  AND p_retailprice IS NOT NULL
+      |ORDER BY p_partkey""".stripMargin
+
+  def condCaseCast(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        when(col("value") > 20, "high").when(col("value") > 5, "mid").otherwise("low").as("band"),
+        col("event_type").try_cast(IntegerType).as("bad_cast"),
+        floor(col("value")).cast(LongType).as("value_floor"),
+        nullif(col("event_type"), lit("view")).as("et_nullable"),
+        coalesce(nullif(col("event_type"), lit("view")), lit("(viewed)")).as("et_coalesced"),
+        col("event_type").isNull.as("is_null_flag"),
+        greatest(col("value"), col("user_id").cast(DoubleType)).as("greatest_col"),
+        least(col("value"), col("user_id").cast(DoubleType)).as("least_col"))
+      .orderBy(col("event_id"))
+      .limit(100)
+  }
+
+  val condCaseCastOracle: String =
+    """SELECT event_id,
+      |  CASE WHEN value > 20 THEN 'high' WHEN value > 5 THEN 'mid' ELSE 'low' END AS band,
+      |  TRY_CAST(event_type AS INTEGER) AS bad_cast,
+      |  CAST(FLOOR(value) AS BIGINT) AS value_floor,
+      |  nullif(event_type, 'view') AS et_nullable,
+      |  coalesce(nullif(event_type, 'view'), '(viewed)') AS et_coalesced,
+      |  event_type IS NULL AS is_null_flag,
+      |  greatest(value, CAST(user_id AS DOUBLE)) AS greatest_col,
+      |  least(value, CAST(user_id AS DOUBLE)) AS least_col
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 100""".stripMargin
+
+  // ---- §2.3 join shapes ---------------------------------------------------
+
+  /** RIGHT OUTER: orders-in-window right-joined to all customers. */
+  def joinRight(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") >= ts("2000-01-01"))
+    o.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("recent_orders"))
+      .orderBy(col("c_custkey"))
+      .limit(200)
+  }
+
+  val joinRightOracle: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS recent_orders
+      |FROM (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+      |RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey
+      |ORDER BY c_custkey
+      |LIMIT 200""".stripMargin
+
+  /** FULL OUTER on nation keys between customer counts and rich-supplier counts. */
+  def joinFull(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("ncust"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("nsupp"))
+    c.join(s, col("c_nk") === col("s_nk"), "full")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        col("ncust"), col("nsupp"))
+      .orderBy(col("nationkey").asc_nulls_first)
+  }
+
+  val joinFullOracle: String =
+    """SELECT coalesce(c_nk, s_nk) AS nationkey, ncust, nsupp
+      |FROM (SELECT c_nationkey AS c_nk, COUNT(*) AS ncust FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS s_nk, COUNT(*) AS nsupp
+      |                 FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      |  ON c_nk = s_nk
+      |ORDER BY nationkey NULLS FIRST""".stripMargin
+
+  /** CROSS JOIN region × market segments. */
+  def joinCross(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.customer(spark, dir).select(col("c_mktsegment")).distinct()
+    Tables.region(spark, dir).crossJoin(segs)
+      .select(col("r_name"), col("c_mktsegment"))
+      .orderBy(col("r_name"), col("c_mktsegment"))
+  }
+
+  val joinCrossOracle: String =
+    """SELECT r_name, c_mktsegment
+      |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) segs
+      |ORDER BY r_name, c_mktsegment""".stripMargin
+
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM) on a nullable derived key. */
+  def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(nullif(col("c_nationkey"), lit(3)).as("c_key"))
+    val s = Tables.supplier(spark, dir)
+      .select(nullif(col("s_nationkey"), lit(3)).as("s_key"))
+    c.join(s, col("c_key") <=> col("s_key"))
+      .groupBy(col("c_key")).agg(count(lit(1)).as("pairs"))
+      .orderBy(col("c_key").asc_nulls_first)
+  }
+
+  val joinNullsafeOracle: String =
+    """SELECT c_key, COUNT(*) AS pairs
+      |FROM (SELECT nullif(c_nationkey, 3) AS c_key FROM customer) c
+      |JOIN (SELECT nullif(s_nationkey, 3) AS s_key FROM supplier) s
+      |  ON c_key IS NOT DISTINCT FROM s_key
+      |GROUP BY c_key
+      |ORDER BY c_key NULLS FIRST""".stripMargin
+
+  // ---- §2.4 aggregates ----------------------------------------------------
+
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        d(sum(dec(col("o_totalprice")))).as("sum_price"),
+        (d(sum(dec(col("o_totalprice")))) / count(col("o_totalprice"))).as("avg_price"),
+        count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggStatsOracle: String = {
+    import sql._
+    s"""SELECT o_orderpriority,
+       |  min(o_totalprice) AS min_price,
+       |  max(o_totalprice) AS max_price,
+       |  ${dsum(dec("o_totalprice"))} AS sum_price,
+       |  ${dsum(dec("o_totalprice"))} / COUNT(o_totalprice) AS avg_price,
+       |  COUNT(*) AS n,
+       |  COUNT(DISTINCT o_custkey) AS n_cust
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+  }
+
+  /** Statistical moments — engines agree to ~1e-12 relative; rounded to 4
+    * decimals for a stable hash. */
+  def aggVarstd(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(var_samp(col("value")), 4).as("var_s"),
+        round(var_pop(col("value")), 4).as("var_p"),
+        round(stddev_samp(col("value")), 4).as("std_s"),
+        round(stddev_pop(col("value")), 4).as("std_p"),
+        round(covar_samp(col("value"), col("user_id").cast(DoubleType)), 4).as("covar_s"),
+        round(covar_pop(col("value"), col("user_id").cast(DoubleType)), 4).as("covar_p"),
+        round(corr(col("value"), col("user_id").cast(DoubleType)), 6).as("corr_vu"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggVarstdOracle: String =
+    """SELECT event_type,
+      |  round(var_samp(value), 4) AS var_s,
+      |  round(var_pop(value), 4) AS var_p,
+      |  round(stddev_samp(value), 4) AS std_s,
+      |  round(stddev_pop(value), 4) AS std_p,
+      |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_s,
+      |  round(covar_pop(value, CAST(user_id AS DOUBLE)), 4) AS covar_p,
+      |  round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  def aggMedian(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggMedianOracle: String =
+    """SELECT l_returnflag, median(l_quantity) AS median_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def aggRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("sum_qty"),
+        grouping(col("l_returnflag")).cast(LongType).as("g_rf"),
+        grouping(col("l_linestatus")).cast(LongType).as("g_ls"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val aggRollupOracle: String = {
+    import sql._
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${dsum(dec("l_quantity"))} AS sum_qty,
+       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+  }
+
+  def aggCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  val aggCubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  def aggGsets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey"))),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+  }
+
+  val aggGsetsOracle: String =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  /** Aggregate FILTER clause (reference: AggregateExprNode.filter,
+    * datafusion.proto:551-556) — expressed with Spark's native SQL FILTER. */
+  def aggFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)")
+          .as("qty_highdisc"),
+        expr("COUNT(*) FILTER (WHERE l_tax = 0.0)").as("n_notax"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggFilterOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_highdisc,
+      |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_notax,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** ARRAY_AGG (reference: datafusion.proto:536) — ordering is
+    * nondeterministic in both engines, so compare the sorted, joined form. */
+  def aggArray(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("ids"),
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+      .orderBy(col("lang"))
+  }
+
+  val aggArrayOracle: String =
+    """SELECT lang,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS ids,
+      |  string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Approximate aggregates (HLL / quantile sketches) — algorithms differ per
+    * engine by design, so there is no SQL oracle (rows-only check). */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---- §2.5 window functions ---------------------------------------------
+
+  import org.apache.spark.sql.expressions.Window
+
+  def winRank(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = floor(col("o_totalprice") / 10000.0).cast(LongType)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(bucket.desc, col("o_orderkey"))
+    val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(bucket.desc)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), bucket.as("bucket"),
+        row_number().over(w).as("rn"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"))
+      .filter(col("rn") <= 20)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  val winRankOracle: String =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) DESC, o_orderkey) AS rn,
+      |    rank() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) DESC) AS rnk,
+      |    dense_rank() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) DESC) AS drnk
+      |  FROM orders) ranked
+      |WHERE rn <= 20
+      |ORDER BY o_orderpriority, rn""".stripMargin
+
+  def winOffset(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    Tables.eventsTs(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_val"),
+        last(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("last_val"),
+        nth_value(col("value"), 2).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_val"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val winOffsetOracle: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER w AS prev_value,
+      |  lead(value, 1) OVER w AS next_value,
+      |  first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val,
+      |  last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_val,
+      |  nth_value(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val
+      |FROM events
+      |WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Running and sliding frames; running decimal sums stay exact. */
+  def winFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sliding = w.rowsBetween(-2, Window.currentRow)
+    Tables.eventsTs(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        d(sum(dec(col("value"))).over(running)).as("running_sum"),
+        (d(sum(dec(col("value"))).over(sliding)) / count(col("value")).over(sliding))
+          .as("moving_avg"),
+        count(lit(1)).over(running).as("running_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val winFrameOracle: String =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+      |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+      |    (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / COUNT(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg,
+      |  COUNT(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM events
+      |WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  def winDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("event_type"), col("event_id"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val winDistOracle: String =
+    """SELECT event_type, event_id,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM events
+      |WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      |ORDER BY event_type, event_id""".stripMargin
+
+  // ---- §2.6 sort / limit / offset ----------------------------------------
+
+  def sortNullsOffset(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), nullif(col("p_size"), lit(25)).as("size_n"))
+      .orderBy(col("size_n").desc_nulls_first, col("p_partkey"))
+      .offset(10)
+      .limit(20)
+  }
+
+  val sortNullsOffsetOracle: String =
+    """SELECT p_partkey, nullif(p_size, 25) AS size_n
+      |FROM part
+      |ORDER BY size_n DESC NULLS FIRST, p_partkey
+      |LIMIT 20 OFFSET 10""".stripMargin
+
+  // ---- §2.7 set operations -------------------------------------------------
+
+  def setUnionAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_acctbal") > 9900)
+      .select(col("c_custkey").as("k"))
+    val b = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING" &&
+      col("c_acctbal") > 9500).select(col("c_custkey").as("k"))
+    a.union(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+  }
+
+  val setUnionAllOracle: String =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+      |  UNION ALL
+      |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9500)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_acctbal") > 9900)
+      .select(col("c_custkey").as("k"))
+    val b = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING" &&
+      col("c_acctbal") > 9500).select(col("c_custkey").as("k"))
+    a.union(b).distinct().orderBy(col("k"))
+  }
+
+  val setUnionOracle: String =
+    """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+      |UNION
+      |SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9500
+      |ORDER BY k""".stripMargin
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val b = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.intersect(b).orderBy(col("k")).limit(100)
+  }
+
+  val setIntersectOracle: String =
+    """SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY k LIMIT 100""".stripMargin
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).select(col("c_nationkey").as("k")).distinct()
+    val b = Tables.supplier(spark, dir).filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").as("k"))
+    a.except(b).orderBy(col("k"))
+  }
+
+  val setExceptOracle: String =
+    """SELECT DISTINCT c_nationkey AS k FROM customer
+      |EXCEPT
+      |SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY k""".stripMargin
+
+  // ---- §2.9 scalar function surface ----------------------------------------
+
+  def fnString(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        upper(left(col("text"), lit(10))).as("up10"),
+        lower(right(col("source"), lit(2))).as("low2"),
+        substring(col("text"), 3, 8).as("sub38"),
+        length(col("text")).cast(LongType).as("len"),
+        trim(concat(lit("  "), col("lang"), lit(" "))).as("trimmed"),
+        lpad(col("lang"), 6, "*").as("lpadded"),
+        rpad(col("lang"), 6, "-").as("rpadded"),
+        replace(col("source"), lit("src"), lit("origin")).as("replaced"),
+        reverse(col("lang")).as("rev_lang"),
+        concat_ws("|", col("lang"), col("source")).as("joined"),
+        ascii(col("lang")).cast(LongType).as("ascii0"),
+        instr(col("text"), "data").cast(LongType).as("pos_data"),
+        split_part(col("source"), lit("c"), lit(2)).as("split2"),
+        translate(col("lang"), "en", "EN").as("translated"),
+        repeat(col("lang"), 2).as("doubled"),
+        col("text").startsWith("key").as("starts_key"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
+  val fnStringOracle: String =
+    """SELECT doc_id,
+      |  upper(left(text, 10)) AS up10,
+      |  lower(right(source, 2)) AS low2,
+      |  substring(text, 3, 8) AS sub38,
+      |  CAST(length(text) AS BIGINT) AS len,
+      |  trim('  ' || lang || ' ') AS trimmed,
+      |  lpad(lang, 6, '*') AS lpadded,
+      |  rpad(lang, 6, '-') AS rpadded,
+      |  replace(source, 'src', 'origin') AS replaced,
+      |  reverse(lang) AS rev_lang,
+      |  concat_ws('|', lang, source) AS joined,
+      |  CAST(ascii(lang) AS BIGINT) AS ascii0,
+      |  CAST(instr(text, 'data') AS BIGINT) AS pos_data,
+      |  split_part(source, 'c', 2) AS split2,
+      |  translate(lang, 'en', 'EN') AS translated,
+      |  repeat(lang, 2) AS doubled,
+      |  starts_with(text, 'key') AS starts_key
+      |FROM documents
+      |ORDER BY doc_id
+      |LIMIT 100""".stripMargin
+
+  /** Transcendentals rounded to 6 decimals (libm last-ulp divergence);
+    * sqrt/abs/floor/ceil/sign are exactly rounded IEEE ops — no rounding. */
+  def fnMath(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("value")
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        abs(v - 25.0).as("abs_c"),
+        ceil(v).cast(LongType).as("ceil_c"),
+        floor(v).cast(LongType).as("floor_c"),
+        sqrt(v).as("sqrt_c"),
+        round(exp(v / 50.0), 6).as("exp_c"),
+        round(log(v + 1.0), 6).as("ln_c"),
+        round(log10(v + 1.0), 6).as("log10_c"),
+        round(pow(v, 2.0), 6).as("pow_c"),
+        round(sin(v), 6).as("sin_c"),
+        round(cos(v), 6).as("cos_c"),
+        round(atan2(v, lit(10.0)), 6).as("atan2_c"),
+        signum(v - 25.0).as("sign_c"))
+      .orderBy(col("event_id"))
+      .limit(200)
+  }
+
+  val fnMathOracle: String =
+    """SELECT event_id,
+      |  abs(value - 25.0) AS abs_c,
+      |  CAST(ceil(value) AS BIGINT) AS ceil_c,
+      |  CAST(floor(value) AS BIGINT) AS floor_c,
+      |  sqrt(value) AS sqrt_c,
+      |  round(exp(value / 50.0), 6) AS exp_c,
+      |  round(ln(value + 1.0), 6) AS ln_c,
+      |  round(log10(value + 1.0), 6) AS log10_c,
+      |  round(pow(value, 2.0), 6) AS pow_c,
+      |  round(sin(value), 6) AS sin_c,
+      |  round(cos(value), 6) AS cos_c,
+      |  round(atan2(value, 10.0), 6) AS atan2_c,
+      |  sign(value - 25.0) AS sign_c
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 200""".stripMargin
+
+  def fnRegex(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k_val"),
+        col("event_type").rlike("^(click|view)$").as("is_cv"),
+        regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"))
+      .orderBy(col("event_id"))
+      .limit(200)
+  }
+
+  val fnRegexOracle: String =
+    """SELECT event_id,
+      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+      |  regexp_matches(event_type, '^(click|view)$') AS is_cv,
+      |  regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled
+      |FROM events
+      |ORDER BY event_id
+      |LIMIT 200""".stripMargin
+
+  /** md5 / sha2 family + the reference's `digest(col, algo)` dispatcher
+    * (reference: datafusion.proto:456). */
+  def fnHash(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast(BinaryType)).as("md5_c"),
+        sha2(col("text").cast(BinaryType), 256).as("sha256_c"),
+        graft.functions.HashFunctions.digest(col("text"), "md5").as("digest_md5"),
+        graft.functions.HashFunctions.digest(col("text"), "sha256").as("digest_sha"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
+  val fnHashOracle: String =
+    """SELECT doc_id,
+      |  md5(text) AS md5_c,
+      |  sha256(text) AS sha256_c,
+      |  md5(text) AS digest_md5,
+      |  sha256(text) AS digest_sha
+      |FROM documents
+      |ORDER BY doc_id
+      |LIMIT 100""".stripMargin
+
+  def fnDatetime(spark: SparkSession, dir: String): DataFrame = {
+    val o = col("o_orderdate")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(o).cast(LongType).as("y"),
+        month(o).cast(LongType).as("m"),
+        dayofmonth(o).cast(LongType).as("dom"),
+        quarter(o).cast(LongType).as("q"),
+        date_trunc("month", o).as("month_start"),
+        datediff(o.cast(DateType), lit("1995-01-01").cast(DateType)).cast(LongType).as("days_since"),
+        unix_timestamp(o).as("epoch_s"),
+        (o + expr("INTERVAL 3 DAY")).as("plus3d"),
+        last_day(o.cast(DateType)).cast(TimestampType).as("month_end"))
+      .orderBy(col("o_orderkey"))
+      .limit(200)
+  }
+
+  val fnDatetimeOracle: String =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y,
+      |  month(o_orderdate) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  quarter(o_orderdate) AS q,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  o_orderdate + INTERVAL 3 DAY AS plus3d,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+      |FROM orders
+      |ORDER BY o_orderkey
+      |LIMIT 200""".stripMargin
+
+  /** DATE_BIN (reference: datafusion.proto:517) — custom column-arithmetic
+    * implementation vs DuckDB's native time_bucket. */
+  def fnDatebin(spark: SparkSession, dir: String): DataFrame = {
+    val binned = DateTimeFunctions.dateBin(
+      15L * 60 * 1000000, col("ts"), lit("1970-01-01 00:00:00").cast(TimestampType))
+    Tables.eventsTs(spark, dir)
+      .select(binned.as("bin"), dec(col("value")).as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), d(sum(col("v"))).as("sum_value"))
+      .orderBy(col("bin"))
+  }
+
+  val fnDatebinOracle: String = {
+    import sql._
+    s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP), TIMESTAMP '1970-01-01') AS bin,
+       |  COUNT(*) AS n, ${dsum(dec("value"))} AS sum_value
+       |FROM events
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+  }
+
+  def fnConditional(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"),
+        element_at(array(col("n_name"), col("n_name")), 1).as("arr_first"),
+        struct(col("n_name").as("nm"), col("n_regionkey").as("rk")).getField("nm").as("struct_get"),
+        size(array(lit(1), lit(2), lit(3))).cast(LongType).as("arr_size"),
+        array_contains(array(lit(0), lit(2), lit(4)), col("n_regionkey")).as("in_even"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val fnConditionalOracle: String =
+    """SELECT n_nationkey,
+      |  [n_name, n_name][1] AS arr_first,
+      |  struct_pack(nm := n_name, rk := n_regionkey).nm AS struct_get,
+      |  CAST(len([1, 2, 3]) AS BIGINT) AS arr_size,
+      |  list_contains([0, 2, 4], n_regionkey) AS in_even
+      |FROM nation
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---- registry -------------------------------------------------------------
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "src_values" -> ((srcValues _, Some(srcValuesOracle))),
+    "src_empty" -> ((srcEmpty _, Some(srcEmptyOracle))),
+    "proj_arith" -> ((projArith _, Some(projArithOracle))),
+    "pred_filters" -> ((predFilters _, Some(predFiltersOracle))),
+    "cond_case_cast" -> ((condCaseCast _, Some(condCaseCastOracle))),
+    "join_right" -> ((joinRight _, Some(joinRightOracle))),
+    "join_full" -> ((joinFull _, Some(joinFullOracle))),
+    "join_cross" -> ((joinCross _, Some(joinCrossOracle))),
+    "join_nullsafe" -> ((joinNullsafe _, Some(joinNullsafeOracle))),
+    "agg_stats" -> ((aggStats _, Some(aggStatsOracle))),
+    "agg_varstd" -> ((aggVarstd _, Some(aggVarstdOracle))),
+    "agg_median" -> ((aggMedian _, Some(aggMedianOracle))),
+    "agg_rollup" -> ((aggRollup _, Some(aggRollupOracle))),
+    "agg_cube" -> ((aggCube _, Some(aggCubeOracle))),
+    "agg_gsets" -> ((aggGsets _, Some(aggGsetsOracle))),
+    "agg_filter" -> ((aggFilter _, Some(aggFilterOracle))),
+    "agg_array" -> ((aggArray _, Some(aggArrayOracle))),
+    "agg_approx" -> ((aggApprox _, None)),
+    "win_rank" -> ((winRank _, Some(winRankOracle))),
+    "win_offset" -> ((winOffset _, Some(winOffsetOracle))),
+    "win_frame" -> ((winFrame _, Some(winFrameOracle))),
+    "win_dist" -> ((winDist _, Some(winDistOracle))),
+    "sort_nulls_offset" -> ((sortNullsOffset _, Some(sortNullsOffsetOracle))),
+    "set_union_all" -> ((setUnionAll _, Some(setUnionAllOracle))),
+    "set_union" -> ((setUnion _, Some(setUnionOracle))),
+    "set_intersect" -> ((setIntersect _, Some(setIntersectOracle))),
+    "set_except" -> ((setExcept _, Some(setExceptOracle))),
+    "fn_string" -> ((fnString _, Some(fnStringOracle))),
+    "fn_math" -> ((fnMath _, Some(fnMathOracle))),
+    "fn_regex" -> ((fnRegex _, Some(fnRegexOracle))),
+    "fn_hash" -> ((fnHash _, Some(fnHashOracle))),
+    "fn_datetime" -> ((fnDatetime _, Some(fnDatetimeOracle))),
+    "fn_datebin" -> ((fnDatebin _, Some(fnDatebinOracle))),
+    "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle)))
+  )
+}
