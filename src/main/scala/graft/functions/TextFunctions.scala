@@ -2,16 +2,81 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Text-analysis primitives for large-scale training-data pipelines.
-  * All are compositions of codegen'd built-ins (no Scala UDFs in hot paths),
-  * so they run distributed and whole-stage-compiled at 100 TB.
+  *
+  * Everything here is a composition of codegen'd built-ins (no Scala UDFs in
+  * hot paths) so it runs distributed, whole-stage-compiled, and shuffle-free
+  * per row at 100 TB. The 64-bit hash is md5-derived so results are portable
+  * across engines (the DuckDB oracle reproduces it with the same formula).
   */
 object TextFunctions {
 
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** Lowercase, strip non-alphanumerics, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Portable 64-bit hash: first 15 hex chars of md5 → bigint (60 bits,
+    * always positive). Slower than xxhash64 but reproducible in any engine;
+    * swap for xxhash64 when oracle portability is not needed. */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
+
+  /** Word k-shingles (k consecutive tokens joined by a space), distinct. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+        i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+  }
+
+  /** MinHash signature: for K hash functions (a_i*h + b_i) mod P over the
+    * element hashes, take the min. P is the Mersenne prime 2^31-1; element
+    * hashes are reduced mod P first so a*h+b stays < 2^62 (no overflow). */
+  val MinhashP = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1610612741L, 805306457L, 402653189L, 201326611L,
+    100663319L, 50331653L, 25165843L, 12582917L, 6291469L, 3145739L,
+    1572869L, 786433L, 393241L, 196613L, 98317L, 49157L)
+  val MinhashB: Seq[Long] = Seq(12289L, 24593L, 49157L, 98317L, 196613L, 393241L,
+    786433L, 1572869L, 3145739L, 6291469L, 12582917L, 25165843L,
+    50331653L, 100663319L, 201326611L, 402653189L)
+
+  /** Signature as an array<long> of length K over a column of string arrays. */
+  def minhashSignature(elems: Column, k: Int = 16): Column = {
+    val hs = transform(elems, e => hash64(e) % MinhashP)
+    val aArr = array(MinhashA.take(k).map(lit): _*)
+    val bArr = array(MinhashB.take(k).map(lit): _*)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(hs,
+        h => (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % MinhashP)))
+  }
+
+  /** SQL fragments reproducing the above for the DuckDB oracle. */
+  object sql {
+    def tokens(text: String): String = s"string_split_regex(trim($text), '\\s+')"
+    def tokenCount(text: String): String = s"CAST(len(${tokens(text)}) AS BIGINT)"
+    def normalize(text: String): String =
+      s"trim(regexp_replace(regexp_replace(lower($text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))"
+    def hash64(c: String): String = s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
+    def shingles(text: String, k: Int): String = {
+      val parts = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(t)-${k - 1}, 1)), i -> $parts)) " +
+        s"FROM (SELECT ${tokens(text)} AS t))"
+    }
+    def minhashSignature(elemsExpr: String, k: Int = 16): String = {
+      val a = MinhashA.take(k).mkString("[", ", ", "]")
+      val b = MinhashB.take(k).mkString("[", ", ", "]")
+      s"list_transform(generate_series(0, ${k - 1}), i -> list_min(list_transform($elemsExpr, " +
+        s"e -> ($a[i+1] * (${hash64("e")} % $MinhashP) + $b[i+1]) % $MinhashP)))"
+    }
+  }
 
   def register(spark: SparkSession): Unit = ()
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime: every candidate-generation step is a keyed shuffle
+  * (group-by content hash, band bucket, or shared shingle) — never an n²
+  * cartesian. Verification only runs inside candidate buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5 of normalized text, keep the minimum id as
+    * canonical. One shuffle on the content hash — scales linearly. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(TextFunctions.normalize(col(textCol)).cast(BinaryType)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup candidates: K-hash signature, banded into
+    * `bands` buckets; docs sharing any band key become a candidate pair,
+    * scored by signature agreement. Shuffles: one per band explode + one
+    * self-join on (band index, band key) — no cartesian. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 16, bands: Int = 4, minAgree: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.minhashSignature(TextFunctions.shingles(col(textCol), 3), k).as("sig"))
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          concat_ws("_", (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
+            .as("key")))).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("sig_agree"))
+      .distinct()
+      .filter(col("sig_agree") >= minAgree)
+  }
+
+  /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
+    * join on shingle (only docs sharing one meet), count intersections,
+    * compute |A∩B| / (|A|+|B|-|A∩B|). The join is keyed by shingle — at
+    * scale, hot shingles can be frequency-capped (stop-shingle removal). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), k).as("ss"))
+    val sizes = sh.select(col("doc_id"), size(col("ss")).cast(LongType).as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("ss")).as("shingle"))
+    val inter = inv.alias("x").join(inv.alias("y"), col("x.shingle") === col("y.shingle"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+  }
+
+  /** SimHash: 64-bit signature where bit b is set iff the majority of token
+    * hashes have bit b set. Computed per row with higher-order functions —
+    * no shuffle at all for signatures; near-dup candidates join on 16-bit
+    * chunks (hamming ≤ 3 guarantees a shared chunk among 4). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hs = transform(TextFunctions.tokens(TextFunctions.normalize(col(textCol))),
+      t => TextFunctions.hash64(t))
+    val nTok = size(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).cast(LongType)
+    // bit b set iff the majority of token hashes have bit b set (hash64 is
+    // 60-bit, so bits 60+ are always clear and the sign bit never sets)
+    val sig = (0 until 64).map { b =>
+      val bitCount = aggregate(hs, lit(0L),
+        (a2, h) => a2 + when(h.bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(0L))
+      when(bitCount * 2 > nTok, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol).as("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 chunks). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(65535L).as("ckey"))): _*))
+        .as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

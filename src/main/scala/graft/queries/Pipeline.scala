@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions, Udafs}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Dsl._
+
+/** Training-data-pipeline operator suite: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine), similarity search (brute-force
+  * top-k baseline + LSH bucketed scale path), text analysis (language id,
+  * quality, tokens, fingerprints), multimodal metadata decode, event
+  * sessionization, and the UDF/UDAF + SQL/DDL surface.
+  *
+  * Every operator is shuffle-keyed (content hash / band / shingle / bucket) —
+  * no driver collects, no unbounded cartesian — so the same plans run at
+  * 100 TB. Oracles mirror the exact arithmetic (md5-derived 64-bit hashes,
+  * ordered double folds) so even LSH bucketing hash-matches DuckDB.
+  */
+object Pipeline {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- dedup ---------------------------------------------------------------
+
+  def dedExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("content_hash"))
+
+  val dedExactOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""SELECT md5($norm) AS content_hash, min(doc_id) AS keeper_id, COUNT(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY content_hash""".stripMargin
+  }
+
+  def dedMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedMinhashOracle: String = {
+    val sig = TextFunctions.sql.minhashSignature("ss", 16)
+    val sh = TextFunctions.sql.shingles("text", 3)
+    s"""WITH sh AS (SELECT doc_id, $sh AS ss FROM documents),
+       |sig AS (SELECT doc_id, $sig AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, sig, b,
+       |    sig[b*4+1]::VARCHAR || '_' || sig[b*4+2]::VARCHAR || '_' ||
+       |    sig[b*4+3]::VARCHAR || '_' || sig[b*4+4]::VARCHAR AS key
+       |  FROM sig CROSS JOIN unnest([0,1,2,3]) AS t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sig AS sig_a, y.sig AS sig_b
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_filter(generate_series(1,16), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 AS sig_agree
+       |FROM pairs
+       |WHERE CAST(len(list_filter(generate_series(1,16), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def dedNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedNgramOracle: String = {
+    val sh = TextFunctions.sql.shingles("text", 3)
+    s"""WITH sh AS (SELECT doc_id, $sh AS ss FROM documents),
+       |sizes AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sh FROM sh),
+       |inv AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM inv x JOIN inv y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) > 0.2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def dedSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedSimhashOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val h64 = TextFunctions.sql.hash64("t")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform(string_split_regex(trim($norm), '\\s+'), t -> $h64) AS hs,
+       |    CAST(len(string_split_regex(trim($norm), '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(generate_series(0, 63), b ->
+       |      CASE WHEN CAST(len(list_filter(hs, h -> (h >> b) & 1 = 1)) AS BIGINT) * 2 > n
+       |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+       |      (x, y) -> x + y) AS simhash
+       |  FROM toks),
+       |chunked AS (
+       |  SELECT doc_id, simhash, c, (simhash >> (c*16)) & 65535 AS ckey
+       |  FROM sigs CROSS JOIN unnest([0,1,2,3]) AS t(c)),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |  FROM chunked x JOIN chunked y ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming
+       |FROM pairs
+       |WHERE hamming <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def dedEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 2000)
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+      .filter(col("score") >= 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Ordered-fold dot product mirroring Spark's aggregate() exactly. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  val dedEmbedOracle: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS score
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < 2000 AND b.vec_id < 2000 AND a.vec_id < b.vec_id
+       |  AND round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity search ----------------------------------------------------
+
+  def simTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id").isin(0, 1, 2)), e, 5)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simTopkOracle: String =
+    s"""SELECT query_id, corpus_id, score, rank FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |    round(${sqlCosine("q.embedding", "c.embedding")}, 6) AS score,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${sqlCosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS rank
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id IN (0, 1, 2) AND q.vec_id <> c.vec_id) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  def simLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshPairs(Tables.embeddings(spark, dir), dim = 64, nPlanes = 8, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val simLshOracle: String = {
+    val h64 = TextFunctions.sql.hash64("(j::VARCHAR || '_' || i::VARCHAR)")
+    val w = s"(CAST(($h64 % 2001) AS DOUBLE) - 1000.0) / 1000.0"
+    val planeDot = s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * $w), (x, y) -> x + y)"
+    val bucket = s"list_reduce(list_transform(generate_series(0, 7), j -> CASE WHEN $planeDot >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)"
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
+       |  round(${sqlCosine("x.embedding", "y.embedding")}, 6) AS score
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(${sqlCosine("x.embedding", "y.embedding")}, 6) >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- text analysis ---------------------------------------------------------
+
+  private val stopEn = "\\b(the|a|of|to|and|in|is)\\b"
+
+  def txtStats(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = TextFunctions.tokenCount(col("text"))
+    val noSpace = length(regexp_replace(col("text"), "\\s", "")).cast(LongType)
+    val stopHits = regexp_count(col("text"), lit(stopEn)).cast(LongType)
+    val digitHits = regexp_count(col("text"), lit("[0-9]")).cast(LongType)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars_c"),
+        nTokens.as("n_tokens"),
+        (noSpace.cast(DoubleType) / nTokens).as("avg_token_len"),
+        (stopHits.cast(DoubleType) / nTokens).as("stop_ratio"),
+        (digitHits.cast(DoubleType) / length(col("text"))).as("digit_ratio"))
+      .withColumn("quality_score",
+        round(col("stop_ratio") * 0.5 + col("avg_token_len") * 0.1, 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtStatsOracle: String = {
+    import TextFunctions.sql.tokenCount
+    s"""SELECT doc_id, n_chars_c, n_tokens, avg_token_len, stop_ratio, digit_ratio,
+       |  round(stop_ratio * 0.5 + avg_token_len * 0.1, 6) AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_c,
+       |    ${tokenCount("text")} AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / ${tokenCount("text")} AS avg_token_len,
+       |    CAST(len(regexp_extract_all(text, '$stopEn')) AS DOUBLE) / ${tokenCount("text")} AS stop_ratio,
+       |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text) AS digit_ratio
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|of|and|to|a|in|is|that)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|las|un)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|nicht)\\b",
+    "fr" -> "\\b(le|la|les|et|est|un|une|des)\\b")
+
+  /** N-gram/stopword-hit language id: per-language lexicon hit counts with a
+    * deterministic arg-max. (The synthetic corpus is English word soup, so
+    * 'en' dominates — the operator shape is what matters.) */
+  def txtLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scores = langPatterns.map { case (l, p) =>
+      regexp_count(lower(col("text")), lit(p)).cast(LongType).as(s"s_$l")
+    }
+    val predicted = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") &&
+      col("s_en") >= col("s_fr"), "en")
+      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+      .when(col("s_de") >= col("s_fr"), "de")
+      .otherwise("fr")
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("lang_meta") +: scores: _*)
+      .withColumn("predicted", predicted)
+      .orderBy(col("doc_id"))
+  }
+
+  val txtLangidOracle: String = {
+    val scoreCols = langPatterns.map { case (l, p) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, lang_meta, s_en, s_es, s_de, s_fr,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS predicted
+       |FROM (
+       |  SELECT doc_id, lang AS lang_meta,
+       |    $scoreCols
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def txtFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextFunctions.normalize(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(norm.cast(BinaryType)).as("fp_md5"),
+        TextFunctions.hash64(norm).as("fp64"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtFingerprintOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""SELECT doc_id, md5($norm) AS fp_md5, ${TextFunctions.sql.hash64(norm)} AS fp64
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- events: sessionization -------------------------------------------------
+
+  /** 30-minute-gap sessionization via window lag + cumulative session ids —
+    * the standard batch formulation (shuffle keyed by user only). */
+  def evtSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val evtSessionizeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---- multimodal ---------------------------------------------------------------
+
+  def mmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeDocuments(spark, Tables.documents(spark, dir))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"), col("format"))
+      .orderBy(col("doc_id"))
+
+  val mmDecodeOracle: String =
+    """SELECT doc_id,
+      |  64 + (ascii(substr(text, 1, 1)) & 63) AS width,
+      |  64 + (ascii(substr(text, 2, 1)) & 63) AS height,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  'fake' AS format
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- UDF / SQL / DDL surface ---------------------------------------------------
+
+  def udfSurface(spark: SparkSession, dir: String): DataFrame = {
+    Udafs.register(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  graft_sum_squares(CAST(l_linenumber AS BIGINT)) AS sum_sq,
+        |  round(graft_tax(max(l_extendedprice)), 4) AS max_taxed
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  val udfSurfaceOracle: String =
+    """SELECT l_returnflag,
+      |  SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sum_sq,
+      |  round(max(l_extendedprice) * 1.1, 4) AS max_taxed
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** SQL entry point over registered views (reference: BallistaContext::sql,
+    * client/src/context.rs:356). */
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  val sqlEntryOracle: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Temp-view DDL (reference: CreateViewNode, datafusion.proto:204-210). */
+  def ddlView(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      "CREATE OR REPLACE TEMPORARY VIEW graft_big_orders AS " +
+        "SELECT * FROM orders WHERE o_totalprice > 400000")
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM graft_big_orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val ddlViewOracle: String =
+    """WITH graft_big_orders AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+      |SELECT o_orderpriority, COUNT(*) AS n
+      |FROM graft_big_orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- registry --------------------------------------------------------------------
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "ded_exact" -> ((dedExact _, Some(dedExactOracle))),
+    "ded_minhash" -> ((dedMinhash _, Some(dedMinhashOracle))),
+    "ded_ngram" -> ((dedNgram _, Some(dedNgramOracle))),
+    "ded_simhash" -> ((dedSimhash _, Some(dedSimhashOracle))),
+    "ded_embed" -> ((dedEmbed _, Some(dedEmbedOracle))),
+    "sim_topk" -> ((simTopk _, Some(simTopkOracle))),
+    "sim_lsh" -> ((simLsh _, Some(simLshOracle))),
+    "txt_stats" -> ((txtStats _, Some(txtStatsOracle))),
+    "txt_langid" -> ((txtLangid _, Some(txtLangidOracle))),
+    "txt_fingerprint" -> ((txtFingerprint _, Some(txtFingerprintOracle))),
+    "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
+    "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
+    "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
+    "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
+    "ddl_view" -> ((ddlView _, Some(ddlViewOracle)))
+  )
+}
