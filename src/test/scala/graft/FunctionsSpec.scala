@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FunctionsSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).collect().head.get(0)
+
+  test("hash64 matches the md5-derived reference value") {
+    // '0x' || substr(md5('hello'),1,15) == 419982666956583591 (cross-checked in DuckDB)
+    assert(eval1(TextFunctions.hash64(lit("hello"))) === 419982666956583591L)
+  }
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    assert(eval1(TextFunctions.normalize(lit("  Hello,  WORLD!! 42 "))) === "hello world 42")
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    assert(eval1(TextFunctions.tokenCount(lit(" a  b\tc "))) === 3L)
+  }
+
+  test("shingles produces distinct word 3-grams") {
+    val got = eval1(TextFunctions.shingles(lit("a b c d a b c d"), 3))
+      .asInstanceOf[scala.collection.Seq[String]].toSet
+    assert(got === Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("minhash signature has K entries, identical texts agree, disjoint texts don't") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"), (3L, "x1 x2 x3 x4 x5 x6")
+    )).toDF("id", "text")
+    val sigs = df.select(col("id"),
+      TextFunctions.minhashSignature(TextFunctions.shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("digest dispatches to md5/sha2") {
+    assert(eval1(HashFunctions.digest(lit("abc"), "md5")) === "900150983cd24fb0d6963f7d28e17f72")
+    assert(eval1(HashFunctions.digest(lit("abc"), "sha256")) ===
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    intercept[IllegalArgumentException](HashFunctions.digest(lit("abc"), "crc99"))
+  }
+
+  test("dateBin floors into stride-anchored buckets") {
+    val binned = eval1(DateTimeFunctions.dateBin(
+      15L * 60 * 1000000,
+      lit("2024-01-01 00:07:33").cast(TimestampType),
+      lit("1970-01-01 00:00:00").cast(TimestampType)))
+    assert(binned.toString === "2024-01-01 00:00:00.0")
+  }
+
+  test("vector cosine of identical vectors is 1, orthogonal is 0") {
+    val df = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    )).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+  }
+
+  test("udafs: sum of squares is exact") {
+    Udafs.register(spark)
+    val got = spark.sql("SELECT graft_sum_squares(CAST(x AS BIGINT)) FROM VALUES (1),(2),(3) t(x)")
+      .collect().head.getLong(0)
+    assert(got === 14L)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = spark.createDataFrame(Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // near dup of 1
+    (4L, "completely different words nothing shared here at all everywhere")
+  )).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    val dupGroup = out.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dupGroup.length === 1)
+    assert(dupGroup.head.getAs[Long]("keeper_id") === 1L)
+    assert(out.map(_.getAs[Long]("n_copies")).sum === 4L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+    // identical docs agree on the full signature
+    val agree = Dedup.minhashPairs(docs, "doc_id", "text")
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .collect().head.getAs[Double]("sig_agree")
+    assert(agree === 1.0)
+  }
+
+  test("ngram jaccard is exact: identical docs = 1.0, near dups high, others absent") {
+    val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(rows((1L, 3L)) > 0.5 && rows((1L, 3L)) < 1.0)
+    assert(!rows.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash of identical docs is identical; near dups within hamming 8") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(pairs.get((1L, 3L)).exists(_ <= 8L))
+  }
+
+  private lazy val vecs = spark.createDataFrame(Seq(
+    (0L, Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)),
+    (1L, Seq.tabulate(64)(i => if (i == 0) 0.9f else if (i == 1) 0.1f else 0.0f)),
+    (2L, Seq.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)),
+    (3L, Seq.tabulate(64)(i => if (i == 2) -1.0f else 0.0f))
+  )).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with deterministic tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("corpus_id") === 1L) // closest to e0
+    assert(out.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("LSH buckets put identical-direction vectors together") {
+    val pairs = Similarity.lshPairs(vecs, 64, 8, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("multimodal decode produces deterministic metadata from bytes") {
+    val meta = Multimodal.decodeDocuments(spark, docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(meta(1L).getAs[Long]("width") === 64L + ('t' & 0x3f))
+    assert(meta(1L).getAs[Long]("height") === 64L + ('h' & 0x3f))
+    assert(meta(1L).getAs[Long]("n_bytes") ===
+      "the quick brown fox jumps over the lazy dog today".getBytes("UTF-8").length.toLong)
+    assert(meta(1L).getAs[String]("format") === "fake")
+    // identical payloads decode identically
+    assert(meta(1L).getAs[Long]("width") === meta(2L).getAs[Long]("width"))
+  }
+}

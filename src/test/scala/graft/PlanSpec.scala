@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the properties that make these queries scale —
+  * filter/projection pushdown into the parquet scan, broadcast joins for
+  * dimension tables, two-phase (partial/final) aggregation. The equivalent
+  * of the reference's distributed-planner expectations
+  * (reference: scheduler/src/planner.rs:332-648), re-targeted at Catalyst.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.write.mode("overwrite").format("noop").save() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def optimizedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = SparkEntry.queries("q1")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+    assert(plan.contains("l_shipdate"), plan.take(2000))
+  }
+
+  test("q1: scan reads only the columns the query needs") {
+    val plan = SparkEntry.queries("q1")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("l_orderkey"), "column pruning failed: l_orderkey read but unused")
+  }
+
+  test("q1: aggregation is two-phase (partial then final)") {
+    val plan = SparkEntry.queries("q1")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), "no map-side partial aggregation in plan")
+  }
+
+  test("q5: dimension joins broadcast (no shuffle of nation/region)") {
+    val plan = SparkEntry.queries("q5")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "expected broadcast join for dimension tables")
+  }
+
+  test("q3: top-k sort compiles to TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q3")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "limit+sort should be top-k, not global sort")
+  }
+
+  test("q4: EXISTS compiles to a semi join") {
+    val plan = optimizedPlan("q4")
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q16: NOT IN compiles to an anti join") {
+    val plan = optimizedPlan("q16")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("ded_exact: single shuffle keyed by content hash") {
+    val df = SparkEntry.queries("ded_exact")(spark, sfDir)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, s"expected at most agg+sort exchanges, got $exchanges")
+  }
+
+  test("whole-stage codegen covers the q6 hot path") {
+    val df = SparkEntry.queries("q6")(spark, sfDir)
+    df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1) Filter") && plan.contains("*(1) HashAggregate"),
+      "q6 scan+filter+partial-agg should sit inside one codegen stage")
+  }
+}
