@@ -8,8 +8,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns (double result). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float-array columns (double result). Backed by the
+    * native codegen'd [[graft.plans.FloatVecDot]]; semantics identical to the
+    * higher-order `aggregate(zip_with(...))` form (left-to-right double
+    * accumulation) but ~an order of magnitude faster per pair. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorExpressions.fvDot(a, b)
+
+  /** Interpreted reference implementation (kept for cross-checking the
+    * native expression in tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -68,21 +68,24 @@ object Dedup {
   }
 
   /** SimHash: 64-bit signature where bit b is set iff the majority of token
-    * hashes have bit b set. Computed per row with higher-order functions —
-    * no shuffle at all for signatures; near-dup candidates join on 16-bit
-    * chunks (hamming ≤ 3 guarantees a shared chunk among 4). */
+    * hashes have bit b set (hash64 is 60-bit, so bits 60+ stay clear and the
+    * sign bit never sets). Explode-then-aggregate formulation: the md5-based
+    * token hash is computed exactly once per token, and the 64 per-bit
+    * counts are codegen'd sum aggregates in a single shuffle keyed by doc —
+    * linear scaling, no interpreted higher-order loops. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hs = transform(TextFunctions.tokens(TextFunctions.normalize(col(textCol))),
-      t => TextFunctions.hash64(t))
-    val nTok = size(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).cast(LongType)
-    // bit b set iff the majority of token hashes have bit b set (hash64 is
-    // 60-bit, so bits 60+ are always clear and the sign bit never sets)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
+      .select(col("doc_id"), TextFunctions.hash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(0L)).as(s"c$b")
+    }
+    val counted = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), bitSums: _*)
     val sig = (0 until 64).map { b =>
-      val bitCount = aggregate(hs, lit(0L),
-        (a2, h) => a2 + when(h.bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(0L))
-      when(bitCount * 2 > nTok, lit(1L << b)).otherwise(lit(0L))
+      when(col(s"c$b") * 2 > col("n_tok"), lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col(idCol).as("doc_id"), sig.as("simhash"))
+    counted.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 chunks). */

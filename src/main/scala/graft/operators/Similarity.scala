@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,52 +10,69 @@ import org.apache.spark.sql.types._
   * Baseline: brute-force cosine top-k (exact, O(Q·N) — fine when the query
   * set Q is small and broadcast). Scale path: random-hyperplane LSH buckets
   * so candidate generation is a keyed join, O(N) shuffle, no cartesian.
+  *
+  * Norms are precomputed per vector before any pair join (same sqrt inputs,
+  * so scores are bit-identical to the inline form), and the inner dot
+  * products run through the native codegen'd [[graft.plans.VecDot]].
   */
 object Similarity {
 
   /** Cosine via double accumulation in array order — bit-reproducible. */
   def cosine(a: Column, b: Column): Column = VectorFunctions.cosine(a, b)
 
+  private def withNorm(df: DataFrame, id: String, emb: String): DataFrame =
+    df.select(col("vec_id").as(id), col("embedding").as(emb),
+      sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as(s"${id}_norm"))
+
   /** Brute-force top-k neighbors for each query vector. The query side is
     * expected to be small (broadcast); ranking is deterministic via
     * (rounded score desc, id) so results are stable under partitioning. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_emb"))
+    val q = withNorm(queries, "query_id", "q_emb")
+    val c = withNorm(corpus, "corpus_id", "c_emb")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+        round(VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+          (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim i):
-    * md5-derived hash mapped into [-1, 1]. Reproducible in any engine. */
-  def planeWeight(j: Column, i: Column): Column =
-    ((TextFunctions.hash64(concat(j.cast(StringType), lit("_"), i.cast(StringType))) % 2001L)
-      .cast(DoubleType) - 1000.0) / 1000.0
+    * md5-derived hash mapped into [-1, 1]. Computed once at plan time in
+    * Scala — exactly the formula TextFunctions.hash64 evaluates, so the
+    * DuckDB oracle reproduces it with SQL md5. */
+  def planeWeightValue(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${j}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    ((java.lang.Long.parseLong(hex.take(15), 16) % 2001L) - 1000L).toDouble / 1000.0
+  }
 
-  /** Sign-bit bucket id from `nPlanes` random hyperplanes. */
+  /** Sign-bit bucket id from `nPlanes` random hyperplanes: the plane weights
+    * are literal double arrays, so each sign test is one codegen'd VecDot. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
-      val planeDot = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-        (s, i) => s + element_at(emb, i.cast(IntegerType)).cast(DoubleType) * planeWeight(lit(j), i))
-      when(planeDot >= 0, lit(1L << j)).otherwise(lit(0L))
+      val w = array((1 to dim).map(i => lit(planeWeightValue(j, i))): _*)
+      when(VectorFunctions.dot(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join
     * within bucket, verify cosine ≥ threshold. */
   def lshPairs(corpus: DataFrame, dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"),
       lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("bucket"), col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+        round(VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("score"))
       .filter(col("score") >= threshold)
   }
 }

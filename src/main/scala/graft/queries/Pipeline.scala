@@ -116,13 +116,17 @@ object Pipeline {
   }
 
   def dedEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 2000)
-    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+        round(VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
+          .as("score"))
       .filter(col("score") >= 0.4)
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -67,6 +67,16 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(got(2L)) < 1e-12)
   }
 
+  test("native VecDot matches the interpreted higher-order dot bit-for-bit") {
+    val df = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("embedding").as("a"), reverse(col("embedding")).as("b"))
+    val diffs = df.select(
+      (VectorFunctions.dot(col("a"), col("b")) -
+        VectorFunctions.dotHof(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs === 0L)
+  }
+
   test("udafs: sum of squares is exact") {
     Udafs.register(spark)
     val got = spark.sql("SELECT graft_sum_squares(CAST(x AS BIGINT)) FROM VALUES (1),(2),(3) t(x)")
