@@ -637,7 +637,7 @@ object Coverage {
       |  round(sin(value), 6) AS sin_c,
       |  round(cos(value), 6) AS cos_c,
       |  round(atan2(value, 10.0), 6) AS atan2_c,
-      |  sign(value - 25.0) AS sign_c
+      |  CAST(sign(value - 25.0) AS DOUBLE) AS sign_c
       |FROM events
       |ORDER BY event_id
       |LIMIT 200""".stripMargin

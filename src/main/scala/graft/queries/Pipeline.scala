@@ -304,8 +304,8 @@ object Pipeline {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
       |sessions AS (
       |  SELECT user_id, event_id, ts_us,
-      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  max(ts_us) - min(ts_us) AS duration_us
@@ -345,7 +345,7 @@ object Pipeline {
 
   val udfSurfaceOracle: String =
     """SELECT l_returnflag,
-      |  SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sum_sq,
+      |  CAST(SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sum_sq,
       |  round(max(l_extendedprice) * 1.1, 4) AS max_taxed
       |FROM lineitem
       |GROUP BY l_returnflag

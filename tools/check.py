@@ -54,6 +54,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             n_fail += 1
             continue
+        dtype_diff = [c for c in a.columns
+                      if pd.api.types.is_float_dtype(a[c]) != pd.api.types.is_float_dtype(b[c])]
+        if dtype_diff:
+            print(f"FAIL {name}: dtype diff (driver hash would mismatch): "
+                  + ", ".join(f"{c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                              for c in dtype_diff))
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=True)
