@@ -41,6 +41,14 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long (ns since epoch) and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate turns explode(ss) into a size(ss)>0 filter
+      // that predicate-pushdown then rewrites in terms of ss's full defining
+      // expression — re-evaluating the whole (interpreted, CSE-free) array
+      // build once per row per element_at. Our generator inputs are never
+      // empty, so the inferred filter only costs; measured 10x slowdown on
+      // the shingle-explode dedup pipelines.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   /** Get-or-create a configured session and register graft SQL functions. */

@@ -29,13 +29,21 @@ object TextFunctions {
   def hash64(c: Column): Column =
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
-  /** Word k-shingles (k consecutive tokens joined by a space), distinct. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  /** Word k-shingles over an already-materialized token-array column.
+    * IMPORTANT: `t` must be a bound attribute, not an inline expression —
+    * higher-order lambdas are interpreted with no subexpression
+    * elimination, so an inline `split()` here would be re-evaluated for
+    * every `element_at` of every sequence position (k × positions regex
+    * splits per row). Stage tokens in their own projection first. */
+  def shinglesFromTokens(t: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
         i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
-  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space), distinct.
+    * Convenience form for tests / small inputs — prefer staging tokens
+    * via [[shinglesFromTokens]] in hot paths (see note there). */
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
 
   /** MinHash signature: for K hash functions (a_i*h + b_i) mod P over the
     * element hashes, take the min. P is the Mersenne prime 2^31-1; element

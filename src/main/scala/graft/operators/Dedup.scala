@@ -19,15 +19,46 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** One row per (doc, distinct k-shingle). Tokens and the shingle array
+    * are staged as their own projections so the regex split and the
+    * shingle build each run exactly once per doc (see
+    * [[TextFunctions.shinglesFromTokens]] for why inlining would be
+    * quadratic), then exploded so every downstream hash touches each
+    * shingle once. All codegen'd, no shuffle. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("shingle"))
+
+  /** K-function MinHash signatures via explode + hash-agg: md5 runs once
+    * per (doc, shingle) row, then the K per-function minima are codegen'd
+    * `min` aggregates in a single shuffle keyed by doc. Same arithmetic as
+    * [[TextFunctions.minhashSignature]] (min over shingles of
+    * (a_i*h+b_i) mod P) but linear — the column-expression form
+    * re-evaluates the element hashes once per hash function because
+    * higher-order lambdas are interpreted with no CSE. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleK: Int = 3): DataFrame = {
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
+    val hashed = shingleRows(docs, idCol, textCol, shingleK)
+      .select(col("doc_id"), (TextFunctions.hash64(col("shingle")) % MinhashP).as("h"))
+    val mins = (0 until k).map { i =>
+      min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashP).as(s"m$i")
+    }
+    hashed.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
   /** MinHash + LSH near-dup candidates: K-hash signature, banded into
     * `bands` buckets; docs sharing any band key become a candidate pair,
-    * scored by signature agreement. Shuffles: one per band explode + one
+    * scored by signature agreement. Shuffles: signature agg + one
     * self-join on (band index, band key) — no cartesian. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, minAgree: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.minhashSignature(TextFunctions.shingles(col(textCol), 3), k).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, k)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -51,10 +82,9 @@ object Dedup {
     * scale, hot shingles can be frequency-capped (stop-shingle removal). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.shingles(col(textCol), k).as("ss"))
-    val sizes = sh.select(col("doc_id"), size(col("ss")).cast(LongType).as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("ss")).as("shingle"))
+    val inv = shingleRows(docs, idCol, textCol, k)
+    // shingles are distinct per doc, so |shingle set| = exploded row count
+    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = inv.alias("x").join(inv.alias("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
