@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-source round-trips, catalog DDL, and the prepared-statement surface
+  * from SURVEY.md §2.1 / §3.
+  *
+  * Source queries write a small table to the format under test in a temp
+  * directory, read it back, and aggregate — the oracle computes the same
+  * aggregate from the parquet original, so the round-trip is value-checked,
+  * not just "it parsed". Avro is the one §2.1 format with no query here:
+  * Spark's avro datasource is a separate module (spark-avro) not present on
+  * this classpath; the mapping is `spark.read.format("avro")` unchanged.
+  */
+object SourcesDdl {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private def tmpPath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_$name"
+
+  // ---- CSV scan with header + delimiter (reference: CsvScanExecNode,
+  // datafusion.proto:1163-1167; has_header/delimiter options) -------------
+
+  def srcCsv(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val p = tmpPath("src_csv")
+    nation.write.mode("overwrite")
+      .option("header", "true").option("delimiter", "|").csv(p)
+    spark.read.option("header", "true").option("delimiter", "|")
+      .schema(nation.schema).csv(p)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val srcCsvOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations, min(n_name) AS first_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  // ---- NDJSON scan (reference: read_json, client/src/context.rs:214-221) --
+
+  def srcJson(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val p = tmpPath("src_json")
+    region.write.mode("overwrite").json(p)
+    spark.read.schema(region.schema).json(p)
+      .select(col("r_regionkey"), upper(col("r_name")).as("r_name_up"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val srcJsonOracle: String =
+    """SELECT r_regionkey, upper(r_name) AS r_name_up
+      |FROM region
+      |ORDER BY r_regionkey""".stripMargin
+
+  // ---- Parquet sink + scan-back (reference: write_parquet,
+  // client/src/context.rs:497-528) -----------------------------------------
+
+  def snkParquet(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmpPath("snk_parquet")
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000)
+      .write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Dsl.d(sum(Dsl.dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val snkParquetOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n, ${Dsl.sql.dsum(Dsl.sql.dec("o_totalprice"))} AS total
+       |FROM orders
+       |WHERE o_totalprice > 450000
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- CREATE EXTERNAL TABLE (reference: context.rs:392-459;
+  // CreateExternalTableNode, datafusion.proto:171-184) ----------------------
+
+  def ddlExternal(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_ext_part")
+    spark.sql(
+      s"CREATE TABLE graft_ext_part USING parquet OPTIONS (path '$dir/part.parquet')")
+    spark.sql(
+      """SELECT p_brand, COUNT(*) AS n_parts, CAST(min(p_size) AS INTEGER) AS min_size
+        |FROM graft_ext_part
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val ddlExternalOracle: String =
+    """SELECT p_brand, COUNT(*) AS n_parts, CAST(min(p_size) AS INTEGER) AS min_size
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---- SHOW TABLES (reference: context.rs:317-346, gated by
+  // ballista.with_information_schema) ---------------------------------------
+
+  def ddlShow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("SHOW TABLES")
+      .filter(col("isTemporary") && col("tableName").isin(Tables.names: _*))
+      .select(col("tableName").as("table_name"))
+      .orderBy(col("table_name"))
+  }
+
+  val ddlShowOracle: String =
+    Tables.names.sorted.map(n => s"('$n')")
+      .mkString("SELECT * FROM (VALUES ", ", ", ") t(table_name) ORDER BY table_name")
+
+  // ---- Prepared statements: named parameter markers (reference: PREPARE /
+  // PlaceholderNode, datafusion.proto:186-190, 361-364; Spark analog is
+  // parameterized spark.sql) ------------------------------------------------
+
+  def sqlParams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > :minPrice AND o_orderpriority = :prio
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+      Map("minPrice" -> 300000, "prio" -> "1-URGENT"))
+  }
+
+  val sqlParamsOracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 300000 AND o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- Standalone semi/anti join (reference: JoinType LEFTSEMI/LEFTANTI,
+  // datafusion.proto:240-249; also exercised inside q4/q16/q21/q22) ---------
+
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_without_orders"))
+    semi.crossJoin(anti)
+  }
+
+  val joinSemiAntiOracle: String =
+    """SELECT
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin
+
+  // ---- INTERSECT ALL / EXCEPT ALL (reference: §2.7 — DataFusion plans the
+  // ALL variants as multiset joins) -----------------------------------------
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(col("o_orderpriority").as("p"))
+    val b = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000)
+      .select(col("o_orderpriority").as("p"))
+    a.intersectAll(b).groupBy(col("p")).agg(count(lit(1)).as("n")).orderBy(col("p"))
+  }
+
+  val setIntersectAllOracle: String =
+    """SELECT p, COUNT(*) AS n FROM (
+      |  SELECT o_orderpriority AS p FROM orders
+      |  INTERSECT ALL
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 200000) t
+      |GROUP BY p
+      |ORDER BY p""".stripMargin
+
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(spark, dir).select(col("o_orderpriority").as("p"))
+    val b = Tables.orders(spark, dir).filter(col("o_totalprice") > 200000)
+      .select(col("o_orderpriority").as("p"))
+    a.exceptAll(b).groupBy(col("p")).agg(count(lit(1)).as("n")).orderBy(col("p"))
+  }
+
+  val setExceptAllOracle: String =
+    """SELECT p, COUNT(*) AS n FROM (
+      |  SELECT o_orderpriority AS p FROM orders
+      |  EXCEPT ALL
+      |  SELECT o_orderpriority AS p FROM orders WHERE o_totalprice > 200000) t
+      |GROUP BY p
+      |ORDER BY p""".stripMargin
+
+  // ---- registry -----------------------------------------------------------
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
+    "src_json" -> ((srcJson _, Some(srcJsonOracle))),
+    "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
+    "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
+    "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
+    "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
+    "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),
+    "set_intersect_all" -> ((setIntersectAll _, Some(setIntersectAllOracle))),
+    "set_except_all" -> ((setExceptAll _, Some(setExceptAllOracle)))
+  )
+}
