@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators for event pipelines.
+  *
+  * The reference is batch-only (SURVEY.md §2.11) — this module is the
+  * beyond-parity streaming surface a training-data pipeline needs, built on
+  * Structured Streaming so the same code runs incrementally at cluster
+  * scale: state is partitioned by group key, watermarks bound state size,
+  * and every transform here also executes as a plain batch plan (the specs
+  * assert streaming output == the batch equivalent).
+  */
+object Sessions {
+
+  /** Input event shape (ts = event-time timestamp). */
+  case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Finalized session. */
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     n_events: Long, duration_us: Long)
+
+  /** Per-user open-session state (public: encoder codegen constructs it). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Gap-based sessionization with Spark's native session window — the
+    * idiomatic formulation; works identically over batch and streams (with
+    * the watermark bounding open-session state in streaming mode). */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_us"))
+  }
+
+  /** Custom-state sessionization via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset path for semantics session_window can't
+    * express). Emits a session when a new event arrives more than `gapUs`
+    * after the previous one, or when the event-time watermark passes the
+    * open session (timeout). State per user is O(1). */
+  def sessionizeStateful(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000,
+                         watermark: String = "0 seconds"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def tsUs(t: java.sql.Timestamp): Long = t.getTime * 1000
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.startUs / 1000),
+              s.n, s.lastUs - s.startUs))
+          } else {
+            // Events within a micro-batch may arrive unordered; sort by time.
+            val sorted = rows.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = tsUs(e.ts)
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new java.sql.Timestamp(s.startUs / 1000),
+                    s.n, s.lastUs - s.startUs)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Close the open session once the watermark passes last + gap.
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000 + 1)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Watermarked tumbling-window aggregation: events per type per window.
+    * The canonical readStream → agg → writeStream shape. */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming.Sessions
+import graft.streaming.Sessions.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Structured Streaming: sessionization + windowed aggregation over a
+  * MemoryStream, checked against the equivalent batch computation. */
+class StreamingSpec extends SparkSpec {
+
+  // offset from epoch so no event sits at the initial watermark (ts <=
+  // watermark counts as late and is dropped by stateful operators)
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp((minutes + 600) * 60 * 1000)
+
+  private val eventData = Seq(
+    // user 1: two sessions (gap > 30 min between minute 40 and 100)
+    Event(1L, 1L, ts(0), 1.0), Event(1L, 2L, ts(10), 2.0), Event(1L, 3L, ts(40), 3.0),
+    Event(1L, 4L, ts(100), 4.0), Event(1L, 5L, ts(110), 5.0),
+    // user 2: one session
+    Event(2L, 6L, ts(5), 1.5), Event(2L, 7L, ts(20), 2.5))
+
+  test("session_window agg on a stream matches the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(eventData: _*)
+
+    val q = Sessions.sessionWindowAgg(mem.toDF(), watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode(OutputMode.Append()).start()
+    // watermark only advances on a subsequent batch; push a late sentinel
+    mem.addData(Event(99L, 999L, ts(100000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_stream")
+      .filter(col("user_id") < 99)
+      .select("user_id", "session_start", "n_events", "duration_us")
+    val batch = Sessions.sessionWindowAgg(eventData.toDF())
+      .select("user_id", "session_start", "n_events", "duration_us")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() == 3)
+  }
+
+  test("stateful sessionization emits gap-closed and timeout-closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(eventData: _*)
+
+    val q = Sessions.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("stateful_sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(Event(99L, 999L, ts(100000), 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stateful_sessions").as[Session].collect()
+      .filter(_.user_id < 99).sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(got.map(s => (s.user_id, s.n_events, s.duration_us)).toSeq == Seq(
+      (1L, 3L, 40L * 60 * 1000000),
+      (1L, 2L, 10L * 60 * 1000000),
+      (2L, 2L, 15L * 60 * 1000000)))
+  }
+
+  test("watermarked windowed aggregation over a stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val toDf = (df: org.apache.spark.sql.DataFrame) =>
+      df.toDF("ts", "event_type", "value")
+    val rows = Seq(
+      (ts(1), "click", 1.0), (ts(2), "view", 2.0), (ts(30), "click", 3.0),
+      (ts(61), "view", 4.0), (ts(62), "click", 5.0))
+    mem.addData(rows: _*)
+
+    val q = Sessions.windowedTypeCounts(toDf(mem.toDF()))
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(100000), "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("win_stream").filter(col("event_type") =!= "late")
+    val batch = Sessions.windowedTypeCounts(toDf(rows.toDF()))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() == 4) // (h0: click x2, view x1... h1: view, click) => 4 groups
+  }
+}
