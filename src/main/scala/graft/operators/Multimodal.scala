@@ -59,4 +59,40 @@ object Multimodal {
   /** End-to-end: docs → media → decoded metadata DataFrame. */
   def decodeDocuments(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(asMedia(docs, "doc_id", "text")).toDF()
+
+  /** One sampled frame of a media payload. */
+  case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long, frame: Array[Byte])
+
+  /** Frame sampling: chunk each payload into `frameBytes` frames and keep
+    * every `everyN`-th (the video-keyframe access pattern). Pure row-local
+    * flatMap — no shuffle, scales linearly; a real decoder replaces the
+    * byte-slicing with container parsing, same shape. */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   everyN: Int = 2): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.media.length
+      val nFrames = math.max(1L, (len.toLong + frameBytes - 1) / frameBytes)
+      (0L until nFrames).filter(_ % everyN == 0).map { i =>
+        val from = (i * frameBytes).toInt
+        val until = math.min(from + frameBytes, len)
+        MediaFrame(r.doc_id, i, (until - from).toLong,
+          java.util.Arrays.copyOfRange(r.media, from, until))
+      }
+    }
+  }
+
+  /** Resize stub: deterministic fake (truncate/pad payload to w*h bytes,
+    * metadata updated) standing in for an image-library resample. The
+    * plumbing — binary in/binary out, row-local, schema-typed — is real. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { r =>
+      val target = w * h
+      val out = java.util.Arrays.copyOf(r.media, target)
+      MediaRow(r.doc_id, out, r.media_type + s";resized=${w}x$h")
+    }
+  }
 }

@@ -58,6 +58,45 @@ object Similarity {
       when(VectorFunctions.dot(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style ANN: partition the corpus into `nCells` inverted lists by
+    * nearest centroid, probe the `nProbe` closest cells per query, and
+    * brute-force only inside probed cells.
+    *
+    * Centroids here are the deterministic seed set (vec_id < nCells) so the
+    * DuckDB oracle can replay the exact assignment; a production deployment
+    * swaps in k-means means without touching the plan shape. Scale design:
+    * centroids broadcast (C rows), assignment is one narrow pass over the
+    * corpus, and candidate search is a keyed join on cell_id — at 100 TB
+    * the assigned corpus would be written bucketed by cell_id once and the
+    * per-query join becomes a pruned scan of nProbe buckets. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              nCells: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+        sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("c_nrm"))
+
+    def nearestCells(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cell_id"))
+      df.crossJoin(broadcast(cents))
+        .select(col(id), col(emb), col(s"${id}_norm"), col("cell_id"),
+          round(VectorFunctions.dot(col(emb), col("c_emb")) /
+            (col(s"${id}_norm") * col("c_nrm")), 6).as("cscore"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+        .select(col("cell_id"), col(id), col(emb), col(s"${id}_norm"))
+    }
+
+    val assigned = nearestCells(withNorm(corpus, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1)
+    val probes = nearestCells(withNorm(queries, "query_id", "q_vec"), "query_id", "q_vec", nProbe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
+          (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join
     * within bucket, verify cosine ≥ threshold. */
   def lshPairs(corpus: DataFrame, dim: Int, nPlanes: Int, threshold: Double): DataFrame = {

@@ -372,6 +372,40 @@ object Coverage {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Weighted median (the semantic behind the reference's
+    * APPROX_PERCENTILE_CONT_WITH_WEIGHT, datafusion.proto:545) computed
+    * exactly: smallest value whose cumulative weight reaches half the total.
+    * RANGE frames make the cumulative sum include order-by ties, so the
+    * result is deterministic under any partitioning; weights aggregate in
+    * decimal (exact). One shuffle per group key — scales like any window. */
+  def aggWpercentile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byRf = Window.partitionBy(col("l_returnflag"))
+    val cumW = byRf.orderBy(col("l_quantity"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), dec(col("l_extendedprice")).as("wt"))
+      .withColumn("cum", sum(col("wt")).over(cumW))
+      .withColumn("tot", sum(col("wt")).over(byRf))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("wmedian_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggWpercentileOracle: String = {
+    val wt = Dsl.sql.dec("l_extendedprice")
+    s"""SELECT l_returnflag, min(l_quantity) AS wmedian_qty FROM (
+       |  SELECT l_returnflag, l_quantity,
+       |    SUM($wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM($wt) OVER (PARTITION BY l_returnflag) AS tot
+       |  FROM lineitem) t
+       |WHERE cum * 2 >= tot
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   // ---- §2.5 window functions ---------------------------------------------
 
   import org.apache.spark.sql.expressions.Window
@@ -777,6 +811,7 @@ object Coverage {
     "agg_filter" -> ((aggFilter _, Some(aggFilterOracle))),
     "agg_array" -> ((aggArray _, Some(aggArrayOracle))),
     "agg_approx" -> ((aggApprox _, None)),
+    "agg_wpercentile" -> ((aggWpercentile _, Some(aggWpercentileOracle))),
     "win_rank" -> ((winRank _, Some(winRankOracle))),
     "win_offset" -> ((winOffset _, Some(winOffsetOracle))),
     "win_frame" -> ((winFrame _, Some(winFrameOracle))),

@@ -166,6 +166,44 @@ object Pipeline {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id").isin(0, 1, 2)), e,
+      nCells = 16, nProbe = 4, k = 5)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simIvfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY round(${sqlCosine("c.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings c CROSS JOIN cent ct) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${sqlCosine("q.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id IN (0, 1, 2)) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS corpus_id,
+       |    round(${sqlCosine("qe.embedding", "ce.embedding")}, 6) AS score
+       |  FROM probe p
+       |  JOIN asg a ON p.cell_id = a.cell_id
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, corpus_id, score, rank FROM (
+       |  SELECT query_id, corpus_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+       |  FROM cand) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   def simLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshPairs(Tables.embeddings(spark, dir), dim = 64, nPlanes = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
@@ -329,6 +367,30 @@ object Pipeline {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling over fake media payloads (every 2nd 64-byte frame),
+    * value-checked: the oracle replays the byte math with substr/md5 (text
+    * is ascii, so byte offsets == char offsets). */
+  def mmFrames(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"))
+    frames.toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val mmFramesOracle: String =
+    """SELECT doc_id, frame_idx, frame_len, md5(frame) AS frame_md5 FROM (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CAST(least(64, length(text) - i * 64) AS BIGINT) AS frame_len,
+      |    substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0, greatest((length(text) + 63) // 64, 1) - 1)) AS i
+      |    FROM documents) s
+      |  WHERE i % 2 = 0) t
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- UDF / SQL / DDL surface ---------------------------------------------------
 
   def udfSurface(spark: SparkSession, dir: String): DataFrame = {
@@ -399,12 +461,14 @@ object Pipeline {
     "ded_simhash" -> ((dedSimhash _, Some(dedSimhashOracle))),
     "ded_embed" -> ((dedEmbed _, Some(dedEmbedOracle))),
     "sim_topk" -> ((simTopk _, Some(simTopkOracle))),
+    "sim_ivf" -> ((simIvf _, Some(simIvfOracle))),
     "sim_lsh" -> ((simLsh _, Some(simLshOracle))),
     "txt_stats" -> ((txtStats _, Some(txtStatsOracle))),
     "txt_langid" -> ((txtLangid _, Some(txtLangidOracle))),
     "txt_fingerprint" -> ((txtFingerprint _, Some(txtFingerprintOracle))),
     "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
+    "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
     "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
     "ddl_view" -> ((ddlView _, Some(ddlViewOracle)))

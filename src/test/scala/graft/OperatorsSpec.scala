@@ -68,6 +68,35 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("IVF top-k probes nearest cells and finds the true neighbor") {
+    // nCells=2 -> centroids are vec 0 (e0) and vec 1 (~e0). Query vec 0
+    // probes both cells, so it must find vec 1 (cosine ~0.994) at rank 1.
+    val out = Similarity.ivfTopK(vecs.filter(col("vec_id") === 0), vecs,
+      nCells = 2, nProbe = 2, k = 2).collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("corpus_id") === 1L)
+    assert(out.head.getAs[Double]("score") > 0.99)
+    assert(!out.exists(_.getAs[Long]("corpus_id") == 0L)) // no self-match
+  }
+
+  test("frame sampling chunks payloads deterministically") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, everyN = 2)
+      .collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    val text = "the quick brown fox jumps over the lazy dog today" // 49 bytes
+    // ceil(49/16)=4 frames, keep idx 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(new String(frames.head.frame, "UTF-8") == text.substring(0, 16))
+    assert(frames.map(_.frame_len).toSeq == Seq(16L, 16L))
+  }
+
+  test("resize stub pads/truncates payload to target size, keeps plumbing typed") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
+    val out = Multimodal.resize(media, 8, 8).collect().head
+    assert(out.media.length === 64)
+    assert(out.media_type.endsWith(";resized=8x8"))
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
