@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `BallistaContext`-shaped entry point (reference:
+  * ballista/client/src/context.rs:62-471 — `standalone`/`remote`
+  * constructors, `read_json/avro/parquet/csv`, `register_*`, `sql`,
+  * `context`), re-expressed over a `SparkSession`.
+  *
+  * Spark-first consequences: `remote` takes any Spark master URL because
+  * cluster execution is native (the reference's scheduler/executor split is
+  * Spark's driver/executor split); `standalone` is `local[*]`. All reads
+  * return lazy DataFrames — Catalyst handles projection/predicate pushdown
+  * that the reference gets from DataFusion.
+  */
+class GraftContext(val spark: SparkSession) {
+
+  /** The underlying session (reference: `context()`, context.rs:348). */
+  def session: SparkSession = spark
+
+  /** Effective config surface (reference: `config()`, context.rs:75). */
+  def config: Map[String, String] =
+    GraftSession.configMapping.flatMap { case (ballistaKey, sparkKey) =>
+      spark.conf.getOption(sparkKey).map(ballistaKey -> _)
+    }
+
+  // ---- reads (reference: context.rs:214-251) ----------------------------
+
+  def readParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  def readCsv(path: String, hasHeader: Boolean = true,
+              delimiter: String = ","): DataFrame =
+    spark.read.option("header", hasHeader.toString)
+      .option("delimiter", delimiter).option("inferSchema", "true").csv(path)
+
+  def readJson(path: String): DataFrame = spark.read.json(path)
+
+  /** Avro needs the spark-avro module on the classpath (not present in this
+    * build environment); the call shape is the supported Spark mapping. */
+  def readAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+
+  // ---- registration (reference: context.rs:254-315) ---------------------
+
+  def registerTable(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  def registerParquet(name: String, path: String): Unit =
+    registerTable(name, readParquet(path))
+
+  def registerCsv(name: String, path: String, hasHeader: Boolean = true,
+                  delimiter: String = ","): Unit =
+    registerTable(name, readCsv(path, hasHeader, delimiter))
+
+  // ---- SQL (reference: context.rs:356-468, incl. SHOW handling gated on
+  // with_information_schema — Spark serves SHOW/DESCRIBE natively) --------
+
+  def sql(sqlText: String): DataFrame = spark.sql(sqlText)
+
+  def sql(sqlText: String, args: Map[String, Any]): DataFrame =
+    spark.sql(sqlText, args)
+}
+
+object GraftContext {
+
+  /** In-process context (reference: `standalone`, context.rs:144). */
+  def standalone(shufflePartitions: Int = 32): GraftContext =
+    new GraftContext(GraftSession.getOrCreate("local[*]", shufflePartitions))
+
+  /** Cluster context (reference: `remote(host, port)`, context.rs:87) —
+    * any Spark master URL (spark://, yarn, k8s://). */
+  def remote(master: String, shufflePartitions: Int = 32): GraftContext =
+    new GraftContext(GraftSession.getOrCreate(master, shufflePartitions))
+}

@@ -116,6 +116,19 @@ object SourcesDdl {
     Tables.names.sorted.map(n => s"('$n')")
       .mkString("SELECT * FROM (VALUES ", ", ", ") t(table_name) ORDER BY table_name")
 
+  // ---- SHOW COLUMNS / information_schema (reference: context.rs:317-346) --
+
+  def ddlColumns(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("SHOW COLUMNS FROM lineitem")
+      .select(col("col_name")).orderBy(col("col_name"))
+  }
+
+  val ddlColumnsOracle: String =
+    """SELECT column_name AS col_name
+      |FROM (DESCRIBE SELECT * FROM lineitem)
+      |ORDER BY col_name""".stripMargin
+
   // ---- Prepared statements: named parameter markers (reference: PREPARE /
   // PlaceholderNode, datafusion.proto:186-190, 361-364; Spark analog is
   // parameterized spark.sql) ------------------------------------------------
@@ -199,6 +212,7 @@ object SourcesDdl {
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
     "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
+    "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),
     "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),
     "set_intersect_all" -> ((setIntersectAll _, Some(setIntersectAllOracle))),
