@@ -63,6 +63,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected at most agg+sort exchanges, got $exchanges")
   }
 
+  test("ded_minhash: candidate generation is a keyed join, never a cartesian") {
+    val plan = executedPlan("ded_minhash")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "minhash LSH must join on (band, key), not cross-join")
+    assert(plan.contains("partial_min"), "signature minima should partial-aggregate map-side")
+  }
+
+  test("shingle pipelines carry no re-inlined generate filter") {
+    // InferFiltersFromGenerate is excluded in GraftSession: its size(ss)>0
+    // filter gets rewritten through the projection into a full re-evaluation
+    // of the shingle build per row (measured 10x). Guard the exclusion.
+    for (name <- Seq("ded_minhash", "ded_ngram")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("size(array_distinct"),
+        s"$name: inferred generate filter re-inlines the shingle expression")
+    }
+  }
+
+  test("sim_ivf: centroid assignment broadcasts the centroid side") {
+    val plan = executedPlan("sim_ivf")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange")
+      || plan.contains("BroadcastNestedLoopJoin"),
+      "centroids must broadcast, not shuffle the corpus")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
