@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.DateTimeFunctions
+import graft.operators.Windows
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -99,6 +100,34 @@ object Coverage {
       |  AND NOT (p_size = 15)
       |  AND p_retailprice IS NOT NULL
       |ORDER BY p_partkey""".stripMargin
+
+  /** SIMILAR TO via plan-time regex translation (RegexFunctions); the
+    * oracle uses DuckDB's native SIMILAR TO on the same patterns. */
+  def predSimilar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RegexFunctions.{notSimilarTo, similarTo}
+    Tables.part(spark, dir)
+      .filter(similarTo(col("p_name"), "%(bolt|nut)%") &&
+        similarTo(col("p_brand"), "Brand#_3") &&
+        notSimilarTo(col("p_type"), "%BURNISHED%"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** DuckDB's SIMILAR TO takes a raw regex (not SQL wildcards), so the
+    * oracle applies the same plan-time translation output through DuckDB's
+    * independent regex engine. */
+  val predSimilarOracle: String = {
+    import graft.functions.RegexFunctions.similarToRegex
+    val r1 = similarToRegex("%(bolt|nut)%")
+    val r2 = similarToRegex("Brand#_3")
+    val r3 = similarToRegex("%BURNISHED%")
+    s"""SELECT p_partkey, p_name, p_brand, p_type
+       |FROM part
+       |WHERE regexp_matches(p_name, '$r1')
+       |  AND regexp_matches(p_brand, '$r2')
+       |  AND NOT regexp_matches(p_type, '$r3')
+       |ORDER BY p_partkey""".stripMargin
+  }
 
   def condCaseCast(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
@@ -494,6 +523,46 @@ object Coverage {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** GROUPS frame via the dense_rank→RANGE rewrite (operators.Windows);
+    * the oracle runs DuckDB's native GROUPS frame. Peer groups share a
+    * frame sum, so ties need no tiebreak; decimal aggregation keeps the
+    * sums exact. */
+  def winGroups(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), dec(col("l_extendedprice")).as("price_dec"))
+    Windows.withGroupsFrame(base,
+      part = Seq(col("l_returnflag")), order = col("l_quantity"),
+      nPreceding = 2, nFollowing = 0,
+      agg = sum(col("price_dec")), outName = "groups_sum_dec")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), d(col("groups_sum_dec")).as("groups_sum"))
+      .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** DuckDB hasn't implemented GROUPS frames either, so the oracle states
+    * the GROUPS definition explicitly — per-peer-group sums joined over the
+    * trailing group range — giving an independent computation path. */
+  val winGroupsOracle: String = {
+    val price = Dsl.sql.dec("l_extendedprice")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, $price AS p
+       |  FROM lineitem WHERE l_orderkey < 2000),
+       |ranked AS (
+       |  SELECT *, dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS gr
+       |  FROM base),
+       |grp AS (
+       |  SELECT l_returnflag, gr, SUM(p) AS gp
+       |  FROM ranked GROUP BY l_returnflag, gr)
+       |SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_quantity,
+       |  CAST((SELECT SUM(g.gp) FROM grp g
+       |        WHERE g.l_returnflag = r.l_returnflag
+       |          AND g.gr BETWEEN r.gr - 2 AND r.gr) AS DOUBLE) AS groups_sum
+       |FROM ranked r
+       |ORDER BY r.l_returnflag, r.l_quantity, r.l_orderkey, r.l_linenumber""".stripMargin
+  }
+
   def winDist(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
     Tables.events(spark, dir)
@@ -797,6 +866,7 @@ object Coverage {
     "src_empty" -> ((srcEmpty _, Some(srcEmptyOracle))),
     "proj_arith" -> ((projArith _, Some(projArithOracle))),
     "pred_filters" -> ((predFilters _, Some(predFiltersOracle))),
+    "pred_similar" -> ((predSimilar _, Some(predSimilarOracle))),
     "cond_case_cast" -> ((condCaseCast _, Some(condCaseCastOracle))),
     "join_right" -> ((joinRight _, Some(joinRightOracle))),
     "join_full" -> ((joinFull _, Some(joinFullOracle))),
@@ -816,6 +886,7 @@ object Coverage {
     "win_offset" -> ((winOffset _, Some(winOffsetOracle))),
     "win_frame" -> ((winFrame _, Some(winFrameOracle))),
     "win_dist" -> ((winDist _, Some(winDistOracle))),
+    "win_groups" -> ((winGroups _, Some(winGroupsOracle))),
     "sort_nulls_offset" -> ((sortNullsOffset _, Some(sortNullsOffsetOracle))),
     "set_union_all" -> ((setUnionAll _, Some(setUnionAllOracle))),
     "set_union" -> ((setUnion _, Some(setUnionOracle))),

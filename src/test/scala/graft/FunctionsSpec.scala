@@ -83,4 +83,20 @@ class FunctionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(got === 14L)
   }
+
+  test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
+    import graft.functions.RegexFunctions.similarToRegex
+    assert(similarToRegex("abc") == "^abc$")
+    assert(similarToRegex("%(b|d)%") == "^.*(b|d).*$")
+    assert(similarToRegex("a_c") == "^a.c$")
+    assert(similarToRegex("[0-9]%") == "^[0-9].*$")
+    assert(similarToRegex("100\\%") == "^100\\Q%\\E$")
+    assert(similarToRegex("a.b") == "^a\\.b$")
+    // semantic spot-checks through Spark
+    import spark.implicits._
+    val df = Seq("abc", "adc", "xyz").toDF("s")
+    val hits = df.filter(graft.functions.RegexFunctions.similarTo(col("s"), "a_c"))
+      .as[String].collect().sorted.toSeq
+    assert(hits == Seq("abc", "adc"))
+  }
 }

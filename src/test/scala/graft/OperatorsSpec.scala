@@ -97,6 +97,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.media_type.endsWith(";resized=8x8"))
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // hot key: 90 of 100 fact rows share key 1
+    val facts = (1 to 100).map(i => (if (i <= 90) 1L else i.toLong, i.toLong))
+      .toDF("k", "v")
+    val dims = Seq((1L, "hot"), (95L, "cold")).toDF("k", "name")
+    val salted = Skew.saltedJoin(facts, dims, "k", 8)
+    val plain = facts.join(dims, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot key's fact rows actually use multiple salt buckets
+    val buckets = facts.filter(col("k") === 1)
+      .withColumn("_salt", pmod(hash(struct(facts.columns.map(col): _*)), lit(8)))
+      .select("_salt").distinct().count()
+    assert(buckets > 1)
+  }
+
+  test("GROUPS frame rewrite matches a hand-computed peer-group sum") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40), ("a", 5, 50))
+      .toDF("p", "o", "x")
+    val out = Windows.withGroupsFrame(df, Seq(col("p")), col("o"),
+      nPreceding = 1, nFollowing = 0, agg = sum(col("x")), outName = "s")
+      .orderBy(col("o"), col("x")).select("o", "x", "s")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    // groups: {o=1: 10,20} {o=2: 30} {o=3: 40} {o=5: 50}; frame = this + prev group
+    assert(out == Seq((1, 10, 30L), (1, 20, 30L), (2, 30, 60L), (3, 40, 70L), (5, 50, 90L)))
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
