@@ -16,20 +16,32 @@ object DateTimeFunctions {
     * anchored at `origin`. Pure column arithmetic on epoch microseconds, so it
     * stays inside whole-stage codegen.
     */
-  def dateBin(strideMicros: Long, source: Column, origin: Column): Column = {
+  def dateBin(strideMicros: Column, source: Column, origin: Column): Column = {
     val srcUs = unix_micros(source.cast("timestamp"))
     val orgUs = unix_micros(origin.cast("timestamp"))
-    val binned = orgUs + floor((srcUs - orgUs).cast("double") / strideMicros).cast("long") * strideMicros
+    val binned = orgUs +
+      floor((srcUs - orgUs).cast("double") / strideMicros.cast("double")).cast("long") *
+        strideMicros.cast("long")
     timestamp_micros(binned)
   }
+
+  def dateBin(strideMicros: Long, source: Column, origin: Column): Column =
+    dateBin(lit(strideMicros), source, origin)
 
   /** to_timestamp_seconds / _millis / _micros (reference: datafusion.proto:504-507) */
   def toTimestampSeconds(c: Column): Column = timestamp_seconds(c.cast("long"))
   def toTimestampMillis(c: Column): Column = timestamp_millis(c.cast("long"))
   def toTimestampMicros(c: Column): Column = timestamp_micros(c.cast("long"))
 
+  /** SQL-callable forms, registered as catalyst expression builders
+    * (graft.plans.SqlExprs) so they stay codegen'd — the reference
+    * surfaces every scalar function through SQL. */
   def register(spark: SparkSession): Unit = {
-    spark.udf // touch to ensure session init; SQL forms provided via expressions below
-    ()
+    import graft.plans.SqlExprs
+    import org.apache.spark.sql.graft.ColumnBridge.registerExpression
+    registerExpression(spark, "graft_date_bin", es => SqlExprs.dateBin(es(0), es(1), es(2)))
+    registerExpression(spark, "graft_to_timestamp_seconds", es => SqlExprs.toTimestampSeconds(es(0)))
+    registerExpression(spark, "graft_to_timestamp_millis", es => SqlExprs.toTimestampMillis(es(0)))
+    registerExpression(spark, "graft_to_timestamp_micros", es => SqlExprs.toTimestampMicros(es(0)))
   }
 }

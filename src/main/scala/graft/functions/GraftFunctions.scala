@@ -16,6 +16,8 @@ object GraftFunctions {
     DateTimeFunctions.register(spark)
     TextFunctions.register(spark)
     VectorFunctions.register(spark)
+    HashFunctions.register(spark)
+    Udafs.register(spark)
     registered = true
   }
 }

@@ -20,4 +20,14 @@ object HashFunctions {
     case "sha512" => sha2(c.cast(BinaryType), 512)
     case other => throw new IllegalArgumentException(s"digest: unsupported algorithm $other")
   }
+
+  /** SQL form `graft_digest(expr, 'algo')` — the algorithm must be a string
+    * literal (as in the reference, where it selects the kernel at plan
+    * time; reference: datafusion.proto:456). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.plans.SqlExprs
+    import org.apache.spark.sql.graft.ColumnBridge.registerExpression
+    registerExpression(spark, "graft_digest", es =>
+      SqlExprs.digest(es(0), SqlExprs.stringLiteral(es(1), "graft_digest algorithm")))
+  }
 }

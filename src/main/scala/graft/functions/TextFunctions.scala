@@ -86,5 +86,14 @@ object TextFunctions {
     }
   }
 
-  def register(spark: SparkSession): Unit = ()
+  /** SQL-callable forms (catalyst expression builders — stay codegen'd). */
+  def register(spark: SparkSession): Unit = {
+    import graft.plans.SqlExprs
+    import org.apache.spark.sql.graft.ColumnBridge.registerExpression
+    registerExpression(spark, "graft_hash64", es => SqlExprs.hash64(es(0)))
+    registerExpression(spark, "graft_normalize", es => SqlExprs.normalize(es(0)))
+    registerExpression(spark, "graft_token_count", es => SqlExprs.tokenCount(es(0)))
+    registerExpression(spark, "graft_similar_to", es =>
+      SqlExprs.similarTo(es(0), SqlExprs.stringLiteral(es(1), "graft_similar_to pattern")))
+  }
 }

@@ -28,5 +28,11 @@ object VectorFunctions {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  def register(spark: SparkSession): Unit = ()
+  /** SQL-callable forms (catalyst expression builders — `graft_vec_dot`
+    * is the native codegen'd [[graft.plans.VecDot]] directly). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graft.ColumnBridge.registerExpression
+    registerExpression(spark, "graft_vec_dot", es => graft.plans.VecDot(es(0), es(1)))
+    registerExpression(spark, "graft_cosine", es => graft.plans.SqlExprs.cosine(es(0), es(1)))
+  }
 }

@@ -859,6 +859,38 @@ object Coverage {
       |FROM nation
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Custom functions called by name from SQL (reference: executor-side
+    * function registries, execution_loop.rs:182-205). Registered as
+    * expression builders, so they plan into the same codegen'd expressions
+    * as the DataFrame forms. */
+  def fnRegistry(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT doc_id,
+        |  graft_hash64(lang) AS lang_h,
+        |  graft_token_count(text) AS n_tok,
+        |  graft_similar_to(source, '%(c|z)%') AS src_match,
+        |  graft_digest(lang, 'sha256') AS lang_sha
+        |FROM documents
+        |ORDER BY doc_id
+        |LIMIT 200""".stripMargin)
+  }
+
+  val fnRegistryOracle: String = {
+    import graft.functions.RegexFunctions.similarToRegex
+    val h = graft.functions.TextFunctions.sql.hash64("lang")
+    val tc = graft.functions.TextFunctions.sql.tokenCount("text")
+    s"""SELECT doc_id,
+       |  $h AS lang_h,
+       |  $tc AS n_tok,
+       |  regexp_matches(source, '${similarToRegex("%(c|z)%")}') AS src_match,
+       |  sha256(lang) AS lang_sha
+       |FROM documents
+       |ORDER BY doc_id
+       |LIMIT 200""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -898,6 +930,7 @@ object Coverage {
     "fn_hash" -> ((fnHash _, Some(fnHashOracle))),
     "fn_datetime" -> ((fnDatetime _, Some(fnDatetimeOracle))),
     "fn_datebin" -> ((fnDatebin _, Some(fnDatebinOracle))),
-    "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle)))
+    "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle))),
+    "fn_registry" -> ((fnRegistry _, Some(fnRegistryOracle)))
   )
 }

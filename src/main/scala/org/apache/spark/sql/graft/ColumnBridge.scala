@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function backed by an expression builder —
+    * the codegen-preserving path (a lambda registered through spark.udf is
+    * an interpreted black box; an expression builder stays inside
+    * whole-stage codegen). Mirrors how the reference surfaces its scalar
+    * registry to SQL (ballista executor function registries,
+    * executor/src/execution_loop.rs:182-205). */
+  def registerExpression(spark: org.apache.spark.sql.SparkSession, name: String,
+                         builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

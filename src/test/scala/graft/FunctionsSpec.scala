@@ -84,6 +84,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got === 14L)
   }
 
+  test("SQL registry: expression-builder functions are callable by name") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT graft_token_count('a b c') AS n,
+        |  graft_similar_to('abc', 'a_c') AS m,
+        |  graft_digest('x', 'md5') AS dg,
+        |  graft_vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  graft_date_bin(3600000000L, TIMESTAMP '2024-05-05 10:47:13',
+        |                 TIMESTAMP '2024-01-01 00:00:00') AS binned
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Boolean]("m"))
+    assert(r.getAs[String]("dg") == java.security.MessageDigest.getInstance("MD5")
+      .digest("x".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(r.getAs[Double]("dp") == 11.0)
+    assert(r.getAs[java.sql.Timestamp]("binned").toString.startsWith("2024-05-05 10:00:00"))
+  }
+
   test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
     import graft.functions.RegexFunctions.similarToRegex
     assert(similarToRegex("abc") == "^abc$")
