@@ -66,6 +66,27 @@ object TextFunctions {
         h => (element_at(aArr, i + 1) * h + element_at(bArr, i + 1)) % MinhashP)))
   }
 
+  /** BPE-ish subword segmentation regex (GPT-2-style coarse classes:
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs, whitespace). Counting matches approximates LLM token counts
+    * far better than whitespace splitting — RE2/Java-compatible, so the
+    * oracle replays it verbatim. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+  /** Approximate LLM token count via [[BpePattern]]. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast(LongType)
+
+  /** Order-dependent polynomial rolling hash over normalized tokens:
+    * h_i = (31·h_{i-1} + hash64(tok_i) mod P) mod 1e9+7, h_0 = 0.
+    * The ordered fold makes it position-sensitive (unlike bag-of-words
+    * hashes) — the classic document/passage fingerprint. */
+  val RollM = 1000000007L
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(normalize(text)), lit(0L),
+      (h, t) => (h * 31L + hash64(t) % MinhashP) % RollM)
+
   /** SQL fragments reproducing the above for the DuckDB oracle. */
   object sql {
     def tokens(text: String): String = s"string_split_regex(trim($text), '\\s+')"
@@ -77,6 +98,13 @@ object TextFunctions {
       val parts = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
       s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(t)-${k - 1}, 1)), i -> $parts)) " +
         s"FROM (SELECT ${tokens(text)} AS t))"
+    }
+    def bpeTokenCount(text: String): String =
+      s"CAST(len(regexp_extract_all($text, '${BpePattern.replace("'", "''")}')) AS BIGINT)"
+    def rollingHash(text: String): String = {
+      val toks = tokens(normalize(text))
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($toks, " +
+        s"t -> ${hash64("t")} % $MinhashP)), (h, x) -> (h * 31 + x) % $RollM)"
     }
     def minhashSignature(elemsExpr: String, k: Int = 16): String = {
       val a = MinhashA.take(k).mkString("[", ", ", "]")

@@ -313,6 +313,24 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token counting (whitespace + BPE-ish regex) and position-sensitive
+    * rolling-hash fingerprints — per-row codegen'd/linear, no shuffle. */
+  def txtTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        TextFunctions.rollingHash(col("text")).as("fp_roll"))
+      .orderBy(col("doc_id"))
+
+  val txtTokensOracle: String =
+    s"""SELECT doc_id,
+       |  ${TextFunctions.sql.tokenCount("text")} AS n_ws_tokens,
+       |  ${TextFunctions.sql.bpeTokenCount("text")} AS n_bpe_tokens,
+       |  ${TextFunctions.sql.rollingHash("text")} AS fp_roll
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
   // ---- events: sessionization -------------------------------------------------
 
   /** 30-minute-gap sessionization via window lag + cumulative session ids —
@@ -466,6 +484,7 @@ object Pipeline {
     "txt_stats" -> ((txtStats _, Some(txtStatsOracle))),
     "txt_langid" -> ((txtLangid _, Some(txtLangidOracle))),
     "txt_fingerprint" -> ((txtFingerprint _, Some(txtFingerprintOracle))),
+    "txt_tokens" -> ((txtTokens _, Some(txtTokensOracle))),
     "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
