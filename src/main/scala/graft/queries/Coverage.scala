@@ -435,6 +435,40 @@ object Coverage {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Explicit repartition/coalesce (§2.8 RepartitionNode /
+    * CoalescePartitionsExec): hash-repartition by the group key (a
+    * semantically transparent exchange — the oracle is the plain
+    * aggregate), then coalesce the result. */
+  def xchRepartition(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .repartition(8, col("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), d(max(dec(col("o_totalprice")))).as("max_price"))
+      .coalesce(1)
+      .orderBy(col("o_orderpriority"))
+
+  val xchRepartitionOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n,
+       |  CAST(max(${Dsl.sql.dec("o_totalprice")}) AS DOUBLE) AS max_price
+       |FROM orders
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** The same weighted median through the mergeable Aggregator (GROUP BY
+    * shape, two-phase at any scale) — exact here because l_quantity has
+    * far fewer distinct values than the sketch cap, so the window-based
+    * oracle applies unchanged. */
+  def aggWpercentileUdaf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Udafs.register(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  graft_wpercentile(l_quantity, l_extendedprice, 0.5D) AS wmedian_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   // ---- §2.5 window functions ---------------------------------------------
 
   import org.apache.spark.sql.expressions.Window
@@ -914,6 +948,8 @@ object Coverage {
     "agg_array" -> ((aggArray _, Some(aggArrayOracle))),
     "agg_approx" -> ((aggApprox _, None)),
     "agg_wpercentile" -> ((aggWpercentile _, Some(aggWpercentileOracle))),
+    "agg_wpercentile_udaf" -> ((aggWpercentileUdaf _, Some(aggWpercentileOracle))),
+    "xch_repartition" -> ((xchRepartition _, Some(xchRepartitionOracle))),
     "win_rank" -> ((winRank _, Some(winRankOracle))),
     "win_offset" -> ((winOffset _, Some(winOffsetOracle))),
     "win_frame" -> ((winFrame _, Some(winFrameOracle))),

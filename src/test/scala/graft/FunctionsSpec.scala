@@ -102,6 +102,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("binned").toString.startsWith("2024-05-05 10:00:00"))
   }
 
+  test("weighted percentile: exact below cap, stable under repartitioning") {
+    import spark.implicits._
+    Udafs.register(spark)
+    // weights force the answer away from the unweighted median
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 10.0), (4.0, 1.0)).toDF("v", "w")
+    df.createOrReplaceTempView("wp_t")
+    val got = spark.sql("SELECT graft_wpercentile(v, w, 0.5D) FROM wp_t")
+      .collect().head.getDouble(0)
+    assert(got == 3.0) // cum at 3.0 = 12 >= 0.5*13
+    // partition-invariance: 1 vs 8 partitions agree
+    val one = df.coalesce(1).groupBy().agg(expr("graft_wpercentile(v, w, 0.5D)")).collect().head.getDouble(0)
+    val eight = df.repartition(8).groupBy().agg(expr("graft_wpercentile(v, w, 0.5D)")).collect().head.getDouble(0)
+    assert(one == eight && one == 3.0)
+  }
+
   test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
     import graft.functions.RegexFunctions.similarToRegex
     assert(similarToRegex("abc") == "^abc$")
