@@ -237,15 +237,17 @@ object Pipeline {
         (noSpace.cast(DoubleType) / nTokens).as("avg_token_len"),
         (stopHits.cast(DoubleType) / nTokens).as("stop_ratio"),
         (digitHits.cast(DoubleType) / length(col("text"))).as("digit_ratio"))
+      // no round(): identical double arithmetic is bit-equal across engines,
+      // while round-half-way algorithms differ (BigDecimal HALF_UP vs C)
       .withColumn("quality_score",
-        round(col("stop_ratio") * 0.5 + col("avg_token_len") * 0.1, 6))
+        col("stop_ratio") * 0.5 + col("avg_token_len") * 0.1)
       .orderBy(col("doc_id"))
   }
 
   val txtStatsOracle: String = {
     import TextFunctions.sql.tokenCount
     s"""SELECT doc_id, n_chars_c, n_tokens, avg_token_len, stop_ratio, digit_ratio,
-       |  round(stop_ratio * 0.5 + avg_token_len * 0.1, 6) AS quality_score
+       |  stop_ratio * 0.5 + avg_token_len * 0.1 AS quality_score
        |FROM (
        |  SELECT doc_id,
        |    CAST(length(text) AS BIGINT) AS n_chars_c,
