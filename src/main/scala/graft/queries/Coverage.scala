@@ -925,6 +925,23 @@ object Coverage {
        |LIMIT 200""".stripMargin
   }
 
+  /** Nondeterministic scalar surface (reference: Random proto:487, Uuid
+    * proto:521, Now proto:508) — registered oracle-less (rows-only check):
+    * values can't hash-match by construction. The assertions that CAN be
+    * deterministic are folded into the projection (uuid shape, rand range,
+    * now vs date bounds). */
+  def fnNondet(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"),
+        expr("uuid()").as("uuid_c"),
+        rand(42).as("rand_c"),
+        current_timestamp().as("now_c"),
+        current_date().as("today_c"))
+      .filter(col("uuid_c").rlike("^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$") &&
+        col("rand_c") >= 0.0 && col("rand_c") < 1.0 &&
+        col("now_c").cast("date") >= col("today_c"))
+      .orderBy(col("n_nationkey"))
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -967,6 +984,7 @@ object Coverage {
     "fn_datetime" -> ((fnDatetime _, Some(fnDatetimeOracle))),
     "fn_datebin" -> ((fnDatebin _, Some(fnDatebinOracle))),
     "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle))),
-    "fn_registry" -> ((fnRegistry _, Some(fnRegistryOracle)))
+    "fn_registry" -> ((fnRegistry _, Some(fnRegistryOracle))),
+    "fn_nondet" -> ((fnNondet _, None))
   )
 }

@@ -88,6 +88,18 @@ object Sessions {
       }
   }
 
+  /** Streaming exact dedup: first occurrence of each content hash wins,
+    * with the watermark bounding the dedup state (duplicates arriving
+    * within the watermark horizon are dropped; later state is evicted) —
+    * the streaming form of Dedup.exact for continuous ingestion. */
+  def streamingDedup(docs: DataFrame, idCol: String, textCol: String,
+                     tsCol: String, watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash",
+      md5(graft.functions.TextFunctions.normalize(col(textCol))
+        .cast(org.apache.spark.sql.types.BinaryType)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Watermarked tumbling-window aggregation: events per type per window.
     * The canonical readStream → agg → writeStream shape. */
   def windowedTypeCounts(events: DataFrame, window_ : String = "1 hour",

@@ -66,6 +66,27 @@ class StreamingSpec extends SparkSpec {
       (2L, 2L, 15L * 60 * 1000000)))
   }
 
+  test("streaming dedup keeps one row per content hash within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(
+      (1L, "the same text", ts(1)),
+      (2L, "the same text", ts(2)),   // dup of 1 (same normalized hash)
+      (3L, "different text", ts(3)))
+
+    val q = graft.streaming.Sessions
+      .streamingDedup(mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_stream").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L))
+  }
+
   test("watermarked windowed aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
