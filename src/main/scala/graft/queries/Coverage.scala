@@ -925,6 +925,38 @@ object Coverage {
        |LIMIT 200""".stripMargin
   }
 
+  /** Remainder of the §2.9 string list (bit_length, btrim, chr, initcap,
+    * ltrim, rtrim, octet_length, to_hex). initcap has no DuckDB built-in;
+    * the oracle emulates it word-wise; to_hex is case-normalized. */
+  def fnString2(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        bit_length(col("lang")).cast(LongType).as("bits"),
+        octet_length(col("text")).cast(LongType).as("octets"),
+        btrim(concat(lit("xx"), col("lang"), lit("x")), lit("x")).as("btrimmed"),
+        ltrim(concat(lit("  "), col("lang"))).as("ltrimmed"),
+        rtrim(concat(col("lang"), lit("  "))).as("rtrimmed"),
+        chr((ascii(col("lang")) % 26).cast(LongType) + 65).as("chr_c"),
+        initcap(col("source")).as("capped"),
+        lower(hex(col("doc_id"))).as("id_hex"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+
+  val fnString2Oracle: String =
+    """SELECT doc_id,
+      |  CAST(bit_length(lang) AS BIGINT) AS bits,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS octets,
+      |  trim('xx' || lang || 'x', 'x') AS btrimmed,
+      |  ltrim('  ' || lang) AS ltrimmed,
+      |  rtrim(lang || '  ') AS rtrimmed,
+      |  chr(CAST(ascii(lang) % 26 + 65 AS INTEGER)) AS chr_c,
+      |  array_to_string(list_transform(string_split(source, ' '),
+      |    s -> upper(s[1]) || lower(s[2:])), ' ') AS capped,
+      |  lower(to_hex(doc_id)) AS id_hex
+      |FROM documents
+      |ORDER BY doc_id
+      |LIMIT 100""".stripMargin
+
   /** Nondeterministic scalar surface (reference: Random proto:487, Uuid
     * proto:521, Now proto:508) — registered oracle-less (rows-only check):
     * values can't hash-match by construction. The assertions that CAN be
@@ -978,6 +1010,7 @@ object Coverage {
     "set_intersect" -> ((setIntersect _, Some(setIntersectOracle))),
     "set_except" -> ((setExcept _, Some(setExceptOracle))),
     "fn_string" -> ((fnString _, Some(fnStringOracle))),
+    "fn_string2" -> ((fnString2 _, Some(fnString2Oracle))),
     "fn_math" -> ((fnMath _, Some(fnMathOracle))),
     "fn_regex" -> ((fnRegex _, Some(fnRegexOracle))),
     "fn_hash" -> ((fnHash _, Some(fnHashOracle))),
