@@ -371,6 +371,69 @@ object Pipeline {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Backward as-of join: each click matched to the user's latest purchase
+    * at or before it (LEFT semantics). Oracle: DuckDB's native ASOF LEFT
+    * JOIN — an independent implementation of the same semantic. */
+  def evtAsof(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeJoins
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts DIV 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    TimeJoins.asofJoin(clicks, purchases, "user_id", "ts_us", "p_ts_us",
+      Seq("p_event_id", "p_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_p_event_id"), col("asof_p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val evtAsofOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |c AS (SELECT user_id, event_id, value, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS p_event_id, value AS p_value, ts_us AS p_ts_us
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts_us,
+      |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Point-in-interval range join via binning: clicks falling within one
+    * hour after a purchase by the same user. The oracle states the plain
+    * inequality join; the Spark plan replaces the nested-loop fallback
+    * with a keyed bin join. */
+  def evtRange(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeJoins
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
+        col("ts_us").as("w_start"), (col("ts_us") + hourUs).as("w_end"))
+    TimeJoins.rangeJoinBinned(clicks, windows, "ts_us", "w_start", "w_end", hourUs)
+      .filter(col("user_id") === col("p_user_id"))
+      .select(col("event_id"), col("p_event_id"), col("user_id"),
+        (col("ts_us") - col("w_start")).as("delta_us"))
+      .orderBy(col("event_id"), col("p_event_id"))
+  }
+
+  val evtRangeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id AS p_user_id, event_id AS p_event_id,
+      |    ts_us AS w_start, ts_us + 3600000000 AS w_end
+      |    FROM e WHERE event_type = 'purchase')
+      |SELECT c.event_id, p.p_event_id, c.user_id, c.ts_us - p.w_start AS delta_us
+      |FROM c JOIN p ON c.user_id = p.p_user_id
+      |  AND c.ts_us >= p.w_start AND c.ts_us <= p.w_end
+      |ORDER BY c.event_id, p.p_event_id""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------------
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
@@ -488,6 +551,8 @@ object Pipeline {
     "txt_fingerprint" -> ((txtFingerprint _, Some(txtFingerprintOracle))),
     "txt_tokens" -> ((txtTokens _, Some(txtTokensOracle))),
     "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
+    "evt_asof" -> ((evtAsof _, Some(evtAsofOracle))),
+    "evt_range" -> ((evtRange _, Some(evtRangeOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),

@@ -126,6 +126,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1, 10, 30L), (1, 20, 30L), (2, 30, 60L), (3, 40, 70L), (5, 50, 90L)))
   }
 
+  test("asof join picks the latest right row at-or-before, null when none") {
+    import spark.implicits._
+    val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 9.0))
+      .toDF("k", "qt", "px")
+    val trades = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 25L, 102L), (2L, 14L, 103L))
+      .toDF("k", "tt", "trade_id")
+    val out = TimeJoins.asofJoin(trades, quotes, "k", "tt", "qt", Seq("px"))
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(100L).isEmpty)          // t=5: no quote yet
+    assert(out(101L).contains(1.0))    // t=10: equal timestamp matches
+    assert(out(102L).contains(2.0))    // t=25: latest is qt=20
+    assert(out(103L).isEmpty)          // k=2: quote at 15 is after 14
+  }
+
+  test("range join binned equals the naive inequality join, no duplicates") {
+    import spark.implicits._
+    val pts = (0L until 100L).map(t => (t, t * 7 % 50)).toDF("pid", "t")
+    val ivs = Seq((0L, 5L, 20L), (1L, 18L, 40L), (2L, 45L, 49L)).toDF("iid", "s", "e")
+    val binned = TimeJoins.rangeJoinBinned(pts, ivs, "t", "s", "e", binWidth = 8)
+    val naive = pts.crossJoin(ivs).filter(col("t") >= col("s") && col("t") <= col("e"))
+    assert(binned.count() == naive.count())
+    assert(binned.select("pid", "iid").exceptAll(naive.select("pid", "iid")).isEmpty)
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
