@@ -371,6 +371,36 @@ object Pipeline {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Spark's native session_window operator in batch mode, checked against
+    * a first-principles oracle (lag + cumulative-flag sessions) — the same
+    * code path Structured Streaming uses (streaming.Sessions). */
+  def evtSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Sessions
+    Sessions.sessionWindowAgg(Tables.eventsTs(spark, dir), gap = "30 minutes")
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("duration_us"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  val evtSessionWindowOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, min(ts_us) AS start_us, COUNT(*) AS n_events,
+      |  max(ts_us) - min(ts_us) AS duration_us
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, start_us""".stripMargin
+
   /** Backward as-of join: each click matched to the user's latest purchase
     * at or before it (LEFT semantics). Oracle: DuckDB's native ASOF LEFT
     * JOIN — an independent implementation of the same semantic. */
@@ -551,6 +581,7 @@ object Pipeline {
     "txt_fingerprint" -> ((txtFingerprint _, Some(txtFingerprintOracle))),
     "txt_tokens" -> ((txtTokens _, Some(txtTokensOracle))),
     "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
+    "evt_session_window" -> ((evtSessionWindow _, Some(evtSessionWindowOracle))),
     "evt_asof" -> ((evtAsof _, Some(evtAsofOracle))),
     "evt_range" -> ((evtRange _, Some(evtRangeOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
