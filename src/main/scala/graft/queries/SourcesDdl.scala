@@ -129,6 +129,51 @@ object SourcesDdl {
       |FROM (DESCRIBE SELECT * FROM lineitem)
       |ORDER BY col_name""".stripMargin
 
+  // ---- CREATE DATABASE / qualified names (reference: CreateCatalogSchemaNode,
+  // datafusion.proto:192-202) ----------------------------------------------
+
+  def ddlDatabase(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.ext_nation")
+    spark.sql(
+      s"CREATE TABLE graft_db.ext_nation USING parquet OPTIONS (path '$dir/nation.parquet')")
+    spark.sql(
+      """SELECT n_regionkey, COUNT(*) AS n
+        |FROM graft_db.ext_nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val ddlDatabaseOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  // ---- Join strategy hints (reference: HashJoinExecNode partition modes
+  // COLLECT_LEFT / PARTITIONED, datafusion.proto:1173-1187) -----------------
+
+  /** PARTITIONED → shuffle-hash hint; COLLECT_LEFT → broadcast hint. The
+    * modes are physical-only, so the oracle is the plain join. */
+  def joinHints(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).hint("shuffle_hash")
+    val n = broadcast(Tables.nation(spark, dir))
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  val joinHintsOracle: String =
+    """SELECT n_name, COUNT(*) AS n_orders
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ---- Prepared statements: named parameter markers (reference: PREPARE /
   // PlaceholderNode, datafusion.proto:186-190, 361-364; Spark analog is
   // parameterized spark.sql) ------------------------------------------------
@@ -150,6 +195,25 @@ object SourcesDdl {
       |WHERE o_totalprice > 300000 AND o_orderpriority = '1-URGENT'
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
+
+  /** Positional (`?`) parameter markers — the PREPARE $1 form. */
+  def sqlParamsPos(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_totalprice > ? AND o_orderstatus = ?
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Array(250000, "O"))
+  }
+
+  val sqlParamsPosOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   // ---- Standalone semi/anti join (reference: JoinType LEFTSEMI/LEFTANTI,
   // datafusion.proto:240-249; also exercised inside q4/q16/q21/q22) ---------
@@ -214,6 +278,9 @@ object SourcesDdl {
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),
     "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
+    "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
+    "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
+    "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),
     "set_intersect_all" -> ((setIntersectAll _, Some(setIntersectAllOracle))),
     "set_except_all" -> ((setExceptAll _, Some(setExceptAllOracle)))

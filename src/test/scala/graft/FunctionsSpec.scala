@@ -117,6 +117,16 @@ class FunctionsSpec extends SparkSpec {
     assert(one == eight && one == 3.0)
   }
 
+  test("literal-only arguments fail analysis with a clear message") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e1 = intercept[Exception](
+      spark.sql("SELECT graft_digest('x', lower('MD5'))").collect())
+    assert(e1.getMessage.contains("string literal"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_digest('x', 'blake3')").collect())
+    assert(e2.getMessage.contains("unsupported algorithm") || e2.getMessage.contains("blake3"))
+  }
+
   test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
     import graft.functions.RegexFunctions.similarToRegex
     assert(similarToRegex("abc") == "^abc$")

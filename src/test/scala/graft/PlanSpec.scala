@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
       "centroids must broadcast, not shuffle the corpus")
   }
 
+  test("join_hints: PARTITIONED mode maps to a shuffled hash join") {
+    val plan = SparkEntry.queries("join_hints")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), "shuffle_hash hint should force SHJ")
+    assert(plan.contains("BroadcastHashJoin"), "broadcast hint should force BHJ for nation")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
