@@ -925,6 +925,22 @@ object Coverage {
        |LIMIT 200""".stripMargin
   }
 
+  /** Explicit generator: posexplode over an in-plan array (LATERAL VIEW
+    * shape; the dedup pipelines use explode internally, this gates the
+    * operator itself incl. position output). */
+  def genExplode(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey"), split(col("n_name"), "_").as("parts"))
+      .select(col("n_nationkey"), posexplode(col("parts")).as(Seq("pos", "part")))
+      .select(col("n_nationkey"), col("pos").cast(LongType).as("pos"), col("part"))
+      .orderBy(col("n_nationkey"), col("pos"))
+
+  val genExplodeOracle: String =
+    """SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part
+      |FROM (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation) t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(t.parts))) AS i) s
+      |ORDER BY n_nationkey, pos""".stripMargin
+
   /** Remainder of the §2.9 string list (bit_length, btrim, chr, initcap,
     * ltrim, rtrim, octet_length, to_hex). initcap has no DuckDB built-in;
     * the oracle emulates it word-wise; to_hex is case-normalized. */
@@ -1018,6 +1034,7 @@ object Coverage {
     "fn_datebin" -> ((fnDatebin _, Some(fnDatebinOracle))),
     "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle))),
     "fn_registry" -> ((fnRegistry _, Some(fnRegistryOracle))),
-    "fn_nondet" -> ((fnNondet _, None))
+    "fn_nondet" -> ((fnNondet _, None)),
+    "gen_explode" -> ((genExplode _, Some(genExplodeOracle)))
   )
 }
