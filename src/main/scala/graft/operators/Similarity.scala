@@ -58,6 +58,39 @@ object Similarity {
       when(VectorFunctions.dot(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All-pairs raw cosine over a corpus small enough to broadcast
+    * (embedding block + norms ≈ bytes-per-vector × N — 512 KB at N=2000,
+    * d=64). The block is built driver-side exactly like a broadcast-join
+    * build side; scoring runs as a distributed flatMap where each task
+    * loops the broadcast block in a tight JIT'd loop — no join-row
+    * materialization of the arrays (a BroadcastNestedLoopJoin copies both
+    * embeddings into every candidate row; at N² pairs that is gigabytes of
+    * memcpy). Arithmetic is element-order identical to [[graft.plans.VecDot]]
+    * (float→double madds left to right), so scores are bit-equal to the
+    * declarative form. For corpora too large to broadcast, use
+    * [[lshPairs]]/[[ivfTopK]]. Emits id_a < id_b raw scores; round/filter
+    * downstream. */
+  def cosinePairsBlocked(corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val block = vecs.collect().sortBy(_._1)
+      .map { case (id, e) => (id, e, math.sqrt(dotd(e, e))) }
+    val bc = spark.sparkContext.broadcast(block)
+    vecs.flatMap { case (ida, emba) =>
+      val nrmA = math.sqrt(dotd(emba, emba))
+      bc.value.iterator.filter(_._1 > ida).map { case (idb, embb, nrmB) =>
+        (ida, idb, dotd(emba, embb) / (nrmA * nrmB))
+      }
+    }.toDF("id_a", "id_b", "raw_score")
+  }
+
   /** IVF-style ANN: partition the corpus into `nCells` inverted lists by
     * nearest centroid, probe the `nProbe` closest cells per query, and
     * brute-force only inside probed cells.

@@ -126,6 +126,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1, 10, 30L), (1, 20, 30L), (2, 30, 60L), (3, 40, 70L), (5, 50, 90L)))
   }
 
+  test("blocked cosine pairs are bit-equal to the declarative VecDot form") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val l = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val r = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val declarative = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("raw_score"))
+    val blocked = Similarity.cosinePairsBlocked(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200))
+    assert(blocked.exceptAll(declarative).isEmpty && declarative.exceptAll(blocked).isEmpty)
+  }
+
   test("asof join picks the latest right row at-or-before, null when none") {
     import spark.implicits._
     val quotes = Seq((1L, 10L, 1.0), (1L, 20L, 2.0), (2L, 15L, 9.0))
