@@ -81,6 +81,69 @@ object SourcesDdl {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Partitioned sink + partition-pruned scan (reference: partition
+  // cols on CREATE EXTERNAL TABLE / ListingTable, context.rs:392-459,
+  // datafusion.proto:171-184) ----------------------------------------------
+
+  /** Hive-layout partitioned write, then a scan whose filter prunes to one
+    * partition directory (PlanSpec asserts the pruning; at 100 TB this is
+    * the difference between reading one partition and the whole table). */
+  def snkPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmpPath("snk_partitioned")
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    spark.read.parquet(p)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        Dsl.d(sum(Dsl.dec(col("o_totalprice")))).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val snkPartitionedOracle: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${Dsl.sql.dsum(Dsl.sql.dec("o_totalprice"))} AS total
+       |FROM orders
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- Bucketed tables: co-located shuffle-free join (the brief's scale
+  // path for repeated big joins; Spark-native, no reference analog) --------
+
+  /** Write orders and lineitem bucketed by the join key, then join the
+    * bucketed tables — both sides are pre-partitioned on disk, so the join
+    * plans without any Exchange (PlanSpec asserts it). This is the
+    * at-rest co-location strategy for a fact-fact join at 100 TB. */
+  def snkBucketed(spark: SparkSession, dir: String): DataFrame = {
+    // drop catalog entries AND their physical locations — the in-memory
+    // catalog of a fresh session doesn't know about directories a prior
+    // session left in the warehouse, and CTAS refuses non-empty locations
+    for (t <- Seq("graft_orders_b", "graft_lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir") + "/" + t))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("graft_orders_b")
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("graft_lineitem_b")
+    spark.table("graft_orders_b")
+      .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        Dsl.d(sum(Dsl.dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val snkBucketedOracle: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${Dsl.sql.dsum(Dsl.sql.dec("l_quantity"))} AS sum_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   // ---- CREATE EXTERNAL TABLE (reference: context.rs:392-459;
   // CreateExternalTableNode, datafusion.proto:171-184) ----------------------
 
@@ -274,6 +337,8 @@ object SourcesDdl {
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
+    "snk_partitioned" -> ((snkPartitioned _, Some(snkPartitionedOracle))),
+    "snk_bucketed" -> ((snkBucketed _, Some(snkBucketedOracle))),
     "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),

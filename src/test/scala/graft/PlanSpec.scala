@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "broadcast hint should force BHJ for nation")
   }
 
+  test("snk_partitioned: the filter becomes a partition filter, not a row filter") {
+    val df = SparkEntry.queries("snk_partitioned")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      "partition pruning did not engage: " + plan.take(1500))
+  }
+
+  test("snk_bucketed: the bucketed join plans without any exchange") {
+    val df = SparkEntry.queries("snk_bucketed")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val joinSection = plan.linesIterator.dropWhile(!_.contains("SortMergeJoin")).mkString("\n")
+    assert(!joinSection.contains("Exchange hashpartitioning"),
+      "bucketed join should not shuffle either side:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
