@@ -409,13 +409,22 @@ object Coverage {
     * decimal (exact). One shuffle per group key — scales like any window. */
   def aggWpercentile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Pre-aggregate to distinct (flag, value) BEFORE the windows: the
+    // cumulative weight at v over a RANGE frame equals the sum of per-value
+    // weights <= v, so windowing the grouped set is semantically identical
+    // while shrinking the sort input by the duplication factor (600k rows →
+    // ~150 here) — the difference between sorting the fact table and
+    // sorting its value domain at 100 TB. Map-side partial agg included.
+    val grouped = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), dec(col("l_extendedprice")).as("wt"))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(col("wt")).as("w"))
     val byRf = Window.partitionBy(col("l_returnflag"))
     val cumW = byRf.orderBy(col("l_quantity"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"), dec(col("l_extendedprice")).as("wt"))
-      .withColumn("cum", sum(col("wt")).over(cumW))
-      .withColumn("tot", sum(col("wt")).over(byRf))
+    grouped
+      .withColumn("cum", sum(col("w")).over(cumW))
+      .withColumn("tot", sum(col("w")).over(byRf))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_quantity")).as("wmedian_qty"))
