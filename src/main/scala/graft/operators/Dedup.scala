@@ -67,28 +67,46 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
     val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    // dedup band collisions BEFORE scoring: docs colliding in b bands would
+    // otherwise pay the interpreted K-element agreement fold b times; the
+    // distinct on (pair, sigs) is exact since sigs are functions of the ids
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("sig_agree"))
-      .distinct()
       .filter(col("sig_agree") >= minAgree)
   }
 
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
     * join on shingle (only docs sharing one meet), count intersections,
-    * compute |A∩B| / (|A|+|B|-|A∩B|). The join is keyed by shingle — at
-    * scale, hot shingles can be frequency-capped (stop-shingle removal). */
+    * compute |A∩B| / (|A|+|B|-|A∩B|). The join is keyed by shingle, and
+    * shingles appearing in more than `maxDf` documents are dropped before
+    * the self-join (stop-shingle removal): one shingle shared by d docs
+    * contributes d² join rows, so a single corpus-wide stop-shingle would
+    * make its bucket quadratic at scale. Set sizes |A|,|B| are computed
+    * before the cap, so capped pairs under-estimate Jaccard (the standard
+    * stop-word approximation); results are exact when no shingle exceeds
+    * the cap (sf0.1's hottest shingle has df≈25). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    // shuffle_hash: the shingle self-join keys are high-cardinality and
-    // near-uniform (hottest shingle ~25 docs), so a hash join per
-    // partition beats sort-merge's double sort of the inverted index
-    // (measured 2x at sf0.1); AQE still splits any skewed partition.
-    val inv = shingleRows(docs, idCol, textCol, k).hint("shuffle_hash")
+                        k: Int = 3, threshold: Double = 0.2,
+                        maxDf: Long = 10000L): DataFrame = {
+    val inv0 = shingleRows(docs, idCol, textCol, k)
     // shingles are distinct per doc, so |shingle set| = exploded row count
-    val sizes = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // (true set sizes, counted before stop-shingle removal)
+    val sizes = inv0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // document frequency per shingle; the surviving hot set is tiny
+    // (≤ total_rows / maxDf heavy hitters), so AQE broadcasts the anti-join
+    val stop = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    // shuffle_hash: the shingle self-join keys are high-cardinality and
+    // near-uniform once capped (hottest surviving shingle ≤ maxDf docs), so
+    // a hash join per partition beats sort-merge's double sort of the
+    // inverted index (measured 2x at sf0.1); AQE still splits skewed
+    // partitions below the cap.
+    val inv = inv0.join(stop, Seq("shingle"), "left_anti").hint("shuffle_hash")
     val inter = inv.alias("x").join(inv.alias("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -135,9 +153,10 @@ object Dedup {
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }

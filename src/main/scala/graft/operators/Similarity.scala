@@ -70,10 +70,16 @@ object Similarity {
     * declarative form. For corpora too large to broadcast, use
     * [[lshPairs]]/[[ivfTopK]]. Emits id_a < id_b raw scores; round/filter
     * downstream. */
-  def cosinePairsBlocked(corpus: DataFrame): DataFrame = {
+  def cosinePairsBlocked(corpus: DataFrame, maxRows: Long = 500000L): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    // fail fast before materializing anything on the driver: a count is one
+    // cheap distributed job, a collect of an over-sized corpus is a driver OOM
+    val n = vecs.count()
+    require(n <= maxRows,
+      s"cosinePairsBlocked: corpus has $n rows (> broadcast bound $maxRows); " +
+        "use lshPairs or ivfTopK for corpora too large to broadcast")
     def dotd(a: Array[Float], b: Array[Float]): Double = {
       val n = math.min(a.length, b.length)
       var s = 0.0; var i = 0

@@ -40,6 +40,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!rows.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("ngram jaccard stop-shingle cap drops hot shingles and bounds the bucket") {
+    import spark.implicits._
+    // 30 docs all sharing one hot shingle ("aa bb cc"), plus unique tails;
+    // docs 1 and 2 additionally share their full text (true near-dups)
+    val hot = (1 to 30).map { i =>
+      val tail = if (i <= 2) "same same same" else s"tail$i word$i only$i"
+      (i.toLong, s"aa bb cc $tail")
+    }.toDF("doc_id", "text")
+    // cap below the hot shingle's df=30: the hot shingle is removed, so the
+    // only surviving candidate pairs come from the shared tails
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.01, maxDf = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(capped === Set((1L, 2L)))
+    // with the cap above df, all 30*29/2 hot-bucket pairs reappear
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.01, maxDf = 10000)
+    assert(uncapped.count() === 435L)
+  }
+
   test("simhash of identical docs is identical; near dups within hamming 8") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("hamming"))).toMap
@@ -140,6 +158,14 @@ class OperatorsSpec extends SparkSpec {
     val blocked = Similarity.cosinePairsBlocked(
       Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200))
     assert(blocked.exceptAll(declarative).isEmpty && declarative.exceptAll(blocked).isEmpty)
+  }
+
+  test("blocked cosine pairs refuses a corpus over the broadcast bound") {
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsBlocked(corpus, maxRows = 100L)
+    }
+    assert(e.getMessage.contains("lshPairs"))
   }
 
   test("asof join picks the latest right row at-or-before, null when none") {
