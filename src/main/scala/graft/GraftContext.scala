@@ -39,6 +39,14 @@ class GraftContext(val spark: SparkSession) {
     * build environment); the call shape is the supported Spark mapping. */
   def readAvro(path: String): DataFrame = spark.read.format("avro").load(path)
 
+  /** Read from a runtime custom table provider (reference:
+    * CustomTableScanNode registration, context.rs:254-262): any DataSource
+    * V2 `TableProvider` by class name or DataSourceRegister short name. */
+  def readTable(provider: String, options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(spark.read.format(provider)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
   // ---- registration (reference: context.rs:254-315) ---------------------
 
   def registerTable(name: String, df: DataFrame): Unit =

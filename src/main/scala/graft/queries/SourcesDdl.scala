@@ -331,9 +331,44 @@ object SourcesDdl {
       |GROUP BY p
       |ORDER BY p""".stripMargin
 
+  // ---- Runtime custom table provider (reference: CustomTableScanNode,
+  // datafusion.proto:126-132; register_table, client/src/context.rs:254-262)
+  // — a DataSource V2 TableProvider registered at runtime and queried
+  // through SQL. Filters on id narrow the generated range at planning time
+  // (PlanSpec asserts lo/hi in the scan) and the unused `pad` column is
+  // pruned before generation. ----------------------------------------------
+
+  def srcCustom(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.format("graft-seq")
+      .option("start", "0").option("end", "5000").option("slices", "8")
+      .load()
+      .createOrReplaceTempView("graft_seq")
+    // decimal-exact sum (val is an exact quarter), names aligned with oracle
+    spark.sql(
+      """SELECT tag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |       MIN(id) AS min_id, MAX(id) AS max_id
+        |FROM graft_seq
+        |WHERE id >= 1000 AND id < 3000
+        |GROUP BY tag
+        |ORDER BY tag""".stripMargin)
+  }
+
+  /** The source generates id ∈ [start,end), val = id*0.25, tag = 'g'||id%10
+    * — restated over DuckDB's range() so the custom scan is value-checked. */
+  val srcCustomOracle: String =
+    """SELECT 'g' || CAST(id % 10 AS VARCHAR) AS tag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(CAST(id AS DOUBLE) * 0.25 AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+      |       MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM range(0, 5000) t(id)
+      |WHERE id >= 1000 AND id < 3000
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   // ---- registry -----------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),

@@ -111,6 +111,16 @@ class PlanSpec extends SparkSpec {
       "bucketed join should not shuffle either side:\n" + plan.take(2000))
   }
 
+  test("src_custom: id range + projection are pushed into the custom DSv2 scan") {
+    val df = SparkEntry.queries("src_custom")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSeq"), plan.take(2000))
+    // WHERE id >= 1000 AND id < 3000 must narrow the generated range...
+    assert(plan.contains("lo=1000") && plan.contains("hi=3000"), plan.take(2000))
+    // ...and the never-read pad column must not reach the reader
+    assert(!plan.contains("pad"), "column pruning failed: pad in scan\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
