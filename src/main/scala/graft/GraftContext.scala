@@ -35,9 +35,21 @@ class GraftContext(val spark: SparkSession) {
 
   def readJson(path: String): DataFrame = spark.read.json(path)
 
-  /** Avro needs the spark-avro module on the classpath (not present in this
-    * build environment); the call shape is the supported Spark mapping. */
+  /** Avro scan (reference: read_avro, context.rs:224-231). The packaged
+    * Spark mapping is `spark.read.format("avro")` (spark-avro module); when
+    * that module is absent — as in this build environment — the bridge over
+    * Spark's bundled avro-mapred jars serves the same container files. */
   def readAvro(path: String): DataFrame = spark.read.format("avro").load(path)
+
+  /** Avro scan via the bundled-jar bridge; `schema` states the Spark-side
+    * column types, like `spark.read.schema(...)`. */
+  def readAvro(path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.AvroIo.read(spark, path, schema)
+
+  /** Avro sink via the bundled-jar bridge (one container file per partition,
+    * standard Hadoop commit protocol). */
+  def writeAvro(df: DataFrame, path: String): Unit =
+    graft.sources.AvroIo.write(df, path)
 
   /** Read from a runtime custom table provider (reference:
     * CustomTableScanNode registration, context.rs:254-262): any DataSource

@@ -331,6 +331,33 @@ object SourcesDdl {
       |GROUP BY p
       |ORDER BY p""".stripMargin
 
+  // ---- Avro round-trip (reference: AvroScanExecNode, datafusion.proto:
+  // 1169-1171; read_avro, client/src/context.rs:224-231) — via the
+  // bundled-jar bridge in graft.sources.AvroIo (spark-avro module absent
+  // from this classpath; probe recorded in SURVEY §8). The oracle computes
+  // the same aggregate from the parquet original, so the Avro write+read
+  // is value-checked end to end. ---------------------------------------------
+
+  def srcAvro(spark: SparkSession, dir: String): DataFrame = {
+    val supplier = Tables.supplier(spark, dir)
+    val p = tmpPath("src_avro")
+    graft.sources.AvroIo.write(supplier, p)
+    graft.sources.AvroIo.read(spark, p, supplier.schema)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Dsl.d(sum(Dsl.dec(col("s_acctbal")))).as("total_bal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  val srcAvroOracle: String =
+    s"""SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       |       ${Dsl.sql.dsum(Dsl.sql.dec("s_acctbal"))} AS total_bal,
+       |       min(s_name) AS first_name
+       |FROM supplier
+       |GROUP BY s_nationkey
+       |ORDER BY s_nationkey""".stripMargin
+
   // ---- Runtime custom table provider (reference: CustomTableScanNode,
   // datafusion.proto:126-132; register_table, client/src/context.rs:254-262)
   // — a DataSource V2 TableProvider registered at runtime and queried
@@ -368,6 +395,7 @@ object SourcesDdl {
   // ---- registry -----------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "src_avro" -> ((srcAvro _, Some(srcAvroOracle))),
     "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),

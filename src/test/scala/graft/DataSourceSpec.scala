@@ -61,4 +61,39 @@ class DataSourceSpec extends SparkSpec {
   test("count(*) works with a fully pruned (zero-column) read schema") {
     assert(seq(0, 12345).count() === 12345)
   }
+
+  test("avro bridge round-trips scalars, nulls and binary exactly") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("x", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("blob", BinaryType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Array[Byte](1, 2, 3)),
+      Row(2L, null, null, false, null),
+      Row(3L, "gamma", -0.25, true, Array[Byte]()))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val p = s"${sys.props("java.io.tmpdir")}/graft_avro_spec"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(p), true)
+    graft.sources.AvroIo.write(df, p)
+    val back = graft.sources.AvroIo.read(spark, p, schema).orderBy("k").collect()
+    assert(back.length === 3)
+    assert(back(0).getString(1) === "alpha" && back(0).getAs[Array[Byte]]("blob").toSeq === Seq[Byte](1, 2, 3))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && back(1).isNullAt(4))
+    assert(back(2).getDouble(2) === -0.25 && back(2).getAs[Array[Byte]]("blob").isEmpty)
+  }
+
+  test("avro bridge refuses non-scalar columns with a clear error") {
+    import org.apache.spark.sql.types._
+    val nested = StructType(Seq(StructField("a", ArrayType(LongType), nullable = true)))
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroIo.toAvroSchema(nested)
+    }
+    assert(e.getMessage.contains("project to a scalar"))
+  }
 }
