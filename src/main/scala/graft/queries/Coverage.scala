@@ -391,13 +391,25 @@ object Coverage {
       |ORDER BY lang""".stripMargin
 
   /** Approximate aggregates (HLL / quantile sketches) — algorithms differ per
-    * engine by design, so there is no SQL oracle (rows-only check). */
+    * engine by design, so there is no SQL oracle (rows-only check). The
+    * checkable part is folded into the plan, as fn_nondet does for shape:
+    * exact count-distinct/median run alongside the sketches and the filter
+    * asserts relative error (HLL++ default rsd is 5%, bound 15%; the
+    * quantile sketch gets median ± max(5%, 1)). If a sketch path breaks,
+    * groups drop out and the rows-only gate fails. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
+        expr("median(l_quantity)").as("exact_median_qty"))
+      .filter(
+        abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= col("exact_parts").cast("double") * 0.15 &&
+        abs(col("approx_median_qty") - col("exact_median_qty")).cast("double")
+          <= greatest(col("exact_median_qty").cast("double") * 0.05, lit(1.0)))
       .orderBy(col("l_returnflag"))
   }
 

@@ -298,6 +298,36 @@ object SourcesDdl {
       |  (SELECT COUNT(*) FROM customer
       |   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin
 
+  // ---- Salted skew join (SURVEY §2.6 scale path; no reference analog —
+  // DataFusion/Ballista rely on partition splitting alone). Salting must be
+  // semantics-neutral, so the oracle is the PLAIN join SQL: identical
+  // results, the salt only changes the shuffle distribution. The fact side
+  // is deliberately skewed (~25% of lineitem lands on one key). ------------
+
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .withColumn("jk",
+        when(col("l_orderkey") % 4 === 0, lit(7L)).otherwise(col("l_orderkey") % 25))
+    val dims = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("jk"), col("n_name"))
+    graft.operators.Skew.saltedJoin(facts, dims, "jk", n = 8)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        Dsl.d(sum(Dsl.dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("n_name"))
+  }
+
+  val skewJoinOracle: String =
+    s"""SELECT n_name, COUNT(*) AS n_items,
+       |       ${Dsl.sql.dsum(Dsl.sql.dec("l_quantity"))} AS sum_qty
+       |FROM (SELECT CASE WHEN l_orderkey % 4 = 0 THEN 7 ELSE l_orderkey % 25 END AS jk,
+       |             l_quantity
+       |      FROM lineitem) f
+       |JOIN nation ON f.jk = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
   // ---- INTERSECT ALL / EXCEPT ALL (reference: §2.7 — DataFusion plans the
   // ALL variants as multiset joins) -----------------------------------------
 
@@ -410,6 +440,7 @@ object SourcesDdl {
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
     "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),
+    "skew_join" -> ((skewJoin _, Some(skewJoinOracle))),
     "set_intersect_all" -> ((setIntersectAll _, Some(setIntersectAllOracle))),
     "set_except_all" -> ((setExceptAll _, Some(setExceptAllOracle)))
   )

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Object-store registry (reference: object_store_registry/mod.rs:27-60 —
+  * URL scheme → store resolution for s3/gs/abfs/hdfs).
+  *
+  * Spark resolves schemes through Hadoop FileSystem implementations, so the
+  * mapping here is scheme → connector class + credential configs on
+  * `sparkContext.hadoopConfiguration`. The connector jars (hadoop-aws,
+  * gcs-connector, hadoop-azure) are deployment-time classpath additions —
+  * absent in this zero-egress sandbox, which ContextSpec pins: the scheme
+  * routing and config keys are asserted directly, and a read attempt must
+  * fail on the *missing connector class*, never on an unknown scheme.
+  */
+object ObjectStores {
+
+  /** Scheme → Hadoop FileSystem implementation (the registry's resolution
+    * table; reference mod.rs:34-49 matches on url.scheme()). */
+  def connectorClass(scheme: String): String = scheme match {
+    case "s3" | "s3a" | "s3n" => "org.apache.hadoop.fs.s3a.S3AFileSystem"
+    case "gs" => "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+    case "abfs" => "org.apache.hadoop.fs.azurebfs.AzureBlobFileSystem"
+    case "abfss" => "org.apache.hadoop.fs.azurebfs.SecureAzureBlobFileSystem"
+    case "wasb" => "org.apache.hadoop.fs.azure.NativeAzureFileSystem"
+    case "hdfs" => "org.apache.hadoop.hdfs.DistributedFileSystem"
+    case other => throw new IllegalArgumentException(
+      s"no object-store registered for scheme '$other' " +
+        "(supported: s3/s3a/s3n, gs, abfs/abfss, wasb, hdfs)")
+  }
+
+  /** Fail fast with the deployment fix if `scheme`'s connector jar is not
+    * on the classpath (instead of a task-time ClassNotFoundException). */
+  def requireConnector(scheme: String): Unit = {
+    val cls = connectorClass(scheme)
+    try Class.forName(cls)
+    catch {
+      case _: ClassNotFoundException => throw new IllegalStateException(
+        s"scheme '$scheme' resolves to $cls, which is not on the classpath; " +
+          "add the connector jar (hadoop-aws / gcs-connector / hadoop-azure) " +
+          "to the Spark deployment")
+    }
+  }
+
+  /** S3-compatible store credentials/endpoint (reference mod.rs: the
+    * AmazonS3Builder path; also covers MinIO-style custom endpoints). */
+  def configureS3(spark: SparkSession, accessKey: String, secretKey: String,
+                  endpoint: Option[String] = None,
+                  region: Option[String] = None): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.s3a.access.key", accessKey)
+    c.set("fs.s3a.secret.key", secretKey)
+    endpoint.foreach(c.set("fs.s3a.endpoint", _))
+    region.foreach(c.set("fs.s3a.endpoint.region", _))
+  }
+
+  /** GCS service-account credentials. */
+  def configureGcs(spark: SparkSession, projectId: String,
+                   keyFile: Option[String] = None): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.gs.project.id", projectId)
+    keyFile.foreach { kf =>
+      c.set("google.cloud.auth.service.account.enable", "true")
+      c.set("google.cloud.auth.service.account.json.keyfile", kf)
+    }
+  }
+
+  /** Azure ADLS Gen2 shared-key auth for one storage account. */
+  def configureAbfs(spark: SparkSession, account: String, accountKey: String): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set(s"fs.azure.account.key.$account.dfs.core.windows.net", accountKey)
+}

@@ -35,4 +35,51 @@ class ContextSpec extends SparkSpec {
     val cfg = ctx.config
     assert(cfg("ballista.shuffle.partitions") == spark.conf.get("spark.sql.shuffle.partitions"))
   }
+
+  // ---- object-store registry (reference: object_store_registry/mod.rs:
+  // 27-60). The connector jars are deployment-time classpath additions —
+  // absent here — so these pin what IS testable without egress: the
+  // scheme→connector routing, the credential config keys, and that a read
+  // attempt dies on the missing connector class, never an unknown scheme.
+
+  test("object-store schemes resolve to the right connector classes") {
+    import graft.sources.ObjectStores
+    assert(ObjectStores.connectorClass("s3a") === "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    assert(ObjectStores.connectorClass("s3") === ObjectStores.connectorClass("s3n"))
+    assert(ObjectStores.connectorClass("gs").contains("GoogleHadoopFileSystem"))
+    assert(ObjectStores.connectorClass("abfss").contains("SecureAzureBlobFileSystem"))
+    assert(ObjectStores.connectorClass("hdfs").contains("DistributedFileSystem"))
+    val e = intercept[IllegalArgumentException](ObjectStores.connectorClass("ftp"))
+    assert(e.getMessage.contains("no object-store registered"))
+  }
+
+  test("s3/gcs/abfs credentials land on the canonical hadoop config keys") {
+    import graft.sources.ObjectStores
+    ObjectStores.configureS3(spark, "AK", "SK",
+      endpoint = Some("http://minio:9000"), region = Some("us-east-1"))
+    ObjectStores.configureGcs(spark, "proj-1", keyFile = Some("/tmp/key.json"))
+    ObjectStores.configureAbfs(spark, "acct", "b64key")
+    val c = spark.sparkContext.hadoopConfiguration
+    assert(c.get("fs.s3a.access.key") === "AK")
+    assert(c.get("fs.s3a.secret.key") === "SK")
+    assert(c.get("fs.s3a.endpoint") === "http://minio:9000")
+    assert(c.get("fs.s3a.endpoint.region") === "us-east-1")
+    assert(c.get("fs.gs.project.id") === "proj-1")
+    assert(c.get("google.cloud.auth.service.account.json.keyfile") === "/tmp/key.json")
+    assert(c.get("fs.azure.account.key.acct.dfs.core.windows.net") === "b64key")
+  }
+
+  test("missing connector jar fails fast with the deployment fix, not an unknown scheme") {
+    import graft.sources.ObjectStores
+    val e = intercept[IllegalStateException](ObjectStores.requireConnector("s3a"))
+    assert(e.getMessage.contains("S3AFileSystem") && e.getMessage.contains("hadoop-aws"))
+    // and Spark itself routes the scheme (fails on the impl class, not the URL)
+    val read = intercept[Throwable] {
+      spark.read.parquet("s3a://no-such-bucket/x").collect()
+    }
+    val chain = Iterator.iterate(read)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString(" | ")
+    assert(chain.contains("S3AFileSystem") || chain.contains("s3a"),
+      s"expected connector-class failure, got: $chain")
+  }
 }

@@ -111,6 +111,14 @@ class PlanSpec extends SparkSpec {
       "bucketed join should not shuffle either side:\n" + plan.take(2000))
   }
 
+  test("skew_join: the salt participates in the join keys") {
+    val df = SparkEntry.queries("skew_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("Join")).getOrElse("")
+    assert(joinLine.contains("_salt"),
+      "salt column must be part of the join keys:\n" + plan.take(2000))
+  }
+
   test("src_custom: id range + projection are pushed into the custom DSv2 scan") {
     val df = SparkEntry.queries("src_custom")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
