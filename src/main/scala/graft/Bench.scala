@@ -24,7 +24,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subset (comma-separated names), same contract as Verify —
+    // used by the local scale-ramp run; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t = try {
         runOnce(fn) // warmup: plan + codegen + file-footer caches
         val times = (1 to iters).map(_ => runOnce(fn)).sorted
