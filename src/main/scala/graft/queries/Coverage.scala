@@ -398,13 +398,50 @@ object Coverage {
     * quantile sketch gets median ± max(5%, 1)). If a sketch path breaks,
     * groups drop out and the rows-only gate fails. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_quantity"))
+    // Each exact companion runs in the shape that scales, instead of one
+    // agg mixing countDistinct (Expand: one input copy per distinct-agg
+    // group) with median (ObjectHashAggregate buffering every value of a
+    // group in memory) — that combination was 32x superlinear at the sf1
+    // ramp. Sketches: one two-phase hash agg, bounded buffers.
+    val approx = base
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"),
-        expr("median(l_quantity)").as("exact_median_qty"))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("approx_median_qty"))
+    // Exact distinct: dedup then count — two keyed shuffles, no Expand,
+    // partial agg on both.
+    val exactParts = base
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    // Exact median over the VALUE DOMAIN (same move as aggWpercentile):
+    // window the per-(flag, quantity) counts, not the fact table, so the
+    // sort input is |distinct quantities| per flag regardless of row count.
+    // Linear interpolation at index p = (n-1)/2 reproduces median()/
+    // percentile(0.5) semantics exactly.
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val exactMedian = base
+      .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        byFlag.orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("p", (sum(col("cnt")).over(byFlag) - 1) / 2.0)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cum") > floor(col("p")), col("l_quantity"))).as("v_lo"),
+        min(when(col("cum") > ceil(col("p")), col("l_quantity"))).as("v_hi"),
+        max(col("p")).as("p"))
+      .select(col("l_returnflag"),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * (col("p") - floor(col("p"))))
+          .as("exact_median_qty"))
+    // Three ~3-row aggregates — AQE broadcasts both joins.
+    approx
+      .join(exactParts, Seq("l_returnflag"))
+      .join(exactMedian, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
+        col("approx_median_qty"), col("exact_median_qty"))
       .filter(
         abs(col("approx_parts") - col("exact_parts")).cast("double")
           <= col("exact_parts").cast("double") * 0.15 &&
