@@ -58,7 +58,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4, minAgree: Double = 0.5): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, k)
+    // Tier 1: signatures and banding over distinct contents only (identical
+    // text ⇒ identical signature ⇒ collides in every band with agreement
+    // exactly 1.0) — see collapseExact.
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    val sig = minhashSignatures(reps, "doc_id", "text", k)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -70,14 +74,27 @@ object Dedup {
     // dedup band collisions BEFORE scoring: docs colliding in b bands would
     // otherwise pay the interpreted K-element agreement fold b times; the
     // distinct on (pair, sigs) is exact since sigs are functions of the ids
-    a.join(b, Seq("band", "key"))
+    val repPairs = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("sig_a"), col("sig_b"))
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("rep_a"), col("rep_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("sig_agree"))
       .filter(col("sig_agree") >= minAgree)
+    // Tier 2: intra-group pairs score exactly 1.0. Every multi-member
+    // group has a signature: null texts are singleton groups by
+    // construction, and any non-null text yields at least the "" shingle
+    // (shinglesFromTokens pads to one position), hence a signature — so no
+    // existence check is needed and the sig pipeline stays single-consumer.
+    // (Null-text docs still pair with each other through the CROSS path,
+    // exactly as uncollapsed: their signatures agree on the "" shingle.)
+    val intra = reps.filter(col("csize") > 1)
+      .select(col("doc_id").as("rep_id"))
+      .withColumn("sig_agree", lit(1.0))
+      .filter(col("sig_agree") >= minAgree)
+    expandPairs(repPairs, memb, "sig_agree")
+      .unionByName(intraPairs(intra, memb, "sig_agree"))
   }
 
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
@@ -90,33 +107,117 @@ object Dedup {
     * before the cap, so capped pairs under-estimate Jaccard (the standard
     * stop-word approximation); results are exact when no shingle exceeds
     * the cap (sf0.1's hottest shingle has df≈25). */
+  /** Exact-duplicate collapse for the near-dup pipelines: one
+    * representative per distinct raw text (identical text ⇒ identical
+    * shingle set / signature), plus the member map to expand pairs back.
+    * At corpus scale the duplicate clusters are the dominant mass, so the
+    * expensive candidate stage should cost per *unique content*, not per
+    * row — collapse-then-expand is the standard two-tier production
+    * design. Null texts stay singleton groups: they yield no shingles or
+    * signatures and so never pair in the uncollapsed pipeline; grouping
+    * them would invent pairs.
+    *
+    * Returns (reps(doc_id, text, csize), memb(rep_id, member_id)). */
+  private def collapseExact(docs: DataFrame, idCol: String,
+                            textCol: String): (DataFrame, DataFrame) = {
+    // The text payload never shuffles and md5 runs once: grouping is a
+    // window over narrow (doc_id, ckey) rows — memb and the winning ids
+    // are two projections of the SAME windowed frame (second consumer is a
+    // ReusedExchange) — and representatives come from joining the winning
+    // ids back against the scan, which AQE broadcasts when they fit; even
+    // when they don't, the text moves at most once.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("ckey"))
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      coalesce(md5(col(textCol).cast(BinaryType)),
+        concat(lit("null:"), col(idCol).cast(StringType))).as("ckey"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("csize", count(lit(1)).over(w))
+    val memb = keyed.select(col("rep_id"), col("doc_id").as("member_id"))
+    val repIds = keyed.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("csize"))
+    val reps = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(repIds, Seq("doc_id"))
+    (reps, memb)
+  }
+
+  /** Expand representative-level pairs to all member pairs. Groups are
+    * disjoint, so each unordered member pair surfaces exactly once; ids are
+    * re-ordered per pair because member ids interleave across groups. */
+  private def expandPairs(repPairs: DataFrame, memb: DataFrame,
+                          scoreCol: String): DataFrame =
+    repPairs
+      .join(memb.select(col("rep_id").as("rep_a"), col("member_id").as("m_a")), Seq("rep_a"))
+      .join(memb.select(col("rep_id").as("rep_b"), col("member_id").as("m_b")), Seq("rep_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col(scoreCol))
+
+  /** All intra-group member pairs for groups passing `scored` (ckeyed by
+    * rep_id with a precomputed score column). */
+  private def intraPairs(scored: DataFrame, memb: DataFrame,
+                         scoreCol: String): DataFrame =
+    scored
+      .join(memb.select(col("rep_id"), col("member_id").as("m_a")), Seq("rep_id"))
+      .join(memb.select(col("rep_id"), col("member_id").as("m_b")), Seq("rep_id"))
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), col(scoreCol))
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2,
                         maxDf: Long = 10000L): DataFrame = {
-    val inv0 = shingleRows(docs, idCol, textCol, k)
+    // Tier 1: collapse exact duplicates; the inverted index is built over
+    // distinct contents only.
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    // csize rides along the shingle explode (one long per row) so the
+    // corpus-weighted df needs no extra join
+    val inv0 = reps
+      .select(col("doc_id"), col("csize"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("csize"),
+        TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
+      .select(col("doc_id"), col("csize"), explode(col("ss")).as("shingle"))
     // shingles are distinct per doc, so |shingle set| = exploded row count
     // (true set sizes, counted before stop-shingle removal)
     val sizes = inv0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // document frequency per shingle; the surviving hot set is tiny
-    // (≤ total_rows / maxDf heavy hitters), so AQE broadcasts the anti-join
-    val stop = inv0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // document frequency per shingle, weighted by group size so the cap
+    // still measures frequency over the FULL corpus (a shingle in one
+    // content duplicated d times has df = d, exactly as uncollapsed); the
+    // surviving hot set is tiny (≤ total_rows / maxDf heavy hitters), so
+    // AQE broadcasts the anti-join
+    val stop = inv0
+      .groupBy(col("shingle")).agg(sum(col("csize")).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
     // shuffle_hash: the shingle self-join keys are high-cardinality and
     // near-uniform once capped (hottest surviving shingle ≤ maxDf docs), so
     // a hash join per partition beats sort-merge's double sort of the
     // inverted index (measured 2x at sf0.1); AQE still splits skewed
     // partitions below the cap.
-    val inv = inv0.join(stop, Seq("shingle"), "left_anti").hint("shuffle_hash")
+    val inv = inv0.select(col("doc_id"), col("shingle"))
+      .join(stop, Seq("shingle"), "left_anti").hint("shuffle_hash")
     val inter = inv.alias("x").join(inv.alias("y"), col("x.shingle") === col("y.shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy(col("x.doc_id").as("rep_a"), col("y.doc_id").as("rep_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val repPairs = inter
+      .join(sizes.select(col("doc_id").as("rep_a"), col("n_sh").as("na")), Seq("rep_a"))
+      .join(sizes.select(col("doc_id").as("rep_b"), col("n_sh").as("nb")), Seq("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") > threshold)
+    // Tier 2: expand back. Intra-group jaccard is computed over SURVIVING
+    // shingles — s/(n+n−s) — the same value the uncollapsed join produces
+    // for two identical docs after stop-shingle removal (1.0 when nothing
+    // was capped); s = 0 yields 0, which the threshold filter drops, just
+    // as docs with no surviving shingles never meet in the join.
+    val surv = inv.groupBy(col("doc_id")).agg(count(lit(1)).as("s_sh"))
+    val intraScores = reps.filter(col("csize") > 1)
+      .select(col("doc_id").as("rep_id"))
+      .join(sizes.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .join(surv.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .select(col("rep_id"),
+        (col("s_sh").cast(DoubleType) / (col("n_sh") * 2 - col("s_sh"))).as("jaccard"))
+      .filter(col("jaccard") > threshold)
+    expandPairs(repPairs, memb, "jaccard")
+      .unionByName(intraPairs(intraScores, memb, "jaccard"))
   }
 
   /** SimHash: 64-bit signature where bit b is set iff the majority of token
@@ -143,7 +244,11 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 chunks). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+    // Tier 1: signatures and chunk-keying over distinct contents only
+    // (identical text ⇒ identical simhash ⇒ hamming exactly 0) — see
+    // collapseExact.
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    val sigs = simhash(reps, "doc_id", "text")
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * 16).bitwiseAND(65535L).as("ckey"))): _*))
@@ -151,12 +256,24 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.ckey"))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("chunk", "ckey"))
+    val repPairs = a.join(b, Seq("chunk", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("sig_a"), col("sig_b"))
       .distinct()
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("rep_a"), col("rep_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // Tier 2: intra-group pairs have hamming exactly 0. Unlike the
+    // shingle-based pipelines, simhash's token explode drops null texts
+    // (tokens(null) = null), so a null-text doc has NO signature and never
+    // pairs uncollapsed; null groups are singletons anyway, and the
+    // isNotNull guard documents-and-enforces the same for any caller
+    // grouping differently. Checking the text column directly keeps the
+    // sig subtree single-consumer.
+    val intra = reps.filter(col("csize") > 1 && col("text").isNotNull)
+      .select(col("doc_id").as("rep_id"))
+      .withColumn("hamming", lit(0L))
+    expandPairs(repPairs, memb, "hamming")
+      .unionByName(intraPairs(intra, memb, "hamming"))
   }
 }

@@ -32,6 +32,39 @@ class OperatorsSpec extends SparkSpec {
     assert(agree === 1.0)
   }
 
+  test("exact-dup collapse expands every member pair; null texts never pair") {
+    // 3-copy group (1,2,5), a near dup (3), and two null-text docs that the
+    // uncollapsed pipelines would drop at tokenization
+    val dup3 = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])
+    )).toDF("doc_id", "text")
+    // Null texts still shingle to {""} (shinglesFromTokens pads to one
+    // position), so the shingle-based pipelines pair them — identically
+    // pre- and post-collapse; only simhash's token explode drops them.
+    for ((pairsDf, nullsPair) <- Seq(
+      Dedup.ngramJaccardPairs(dup3, "doc_id", "text", 3, 0.2) -> true,
+      Dedup.minhashPairs(dup3, "doc_id", "text") -> true,
+      Dedup.simhashPairs(dup3, "doc_id", "text", maxHamming = 8) -> false)) {
+      val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // all three intra-group pairs surface, expanded from one representative
+      assert(Set((1L, 2L), (1L, 5L), (2L, 5L)).subsetOf(pairs))
+      // cross-content pairs reach every member of the group, not just the rep
+      assert(Set((1L, 3L), (2L, 3L), (3L, 5L)).subsetOf(pairs))
+      // the null-text docs pair only with each other, and only on the
+      // shingle-based pipelines
+      assert(pairs.contains((6L, 7L)) === nullsPair)
+      assert(!pairs.exists { case (a, b) => (a >= 6L || b >= 6L) && (a, b) != ((6L, 7L)) })
+      // each unordered pair exactly once, ordered a < b
+      assert(pairsDf.collect().length === pairs.size)
+      assert(pairs.forall { case (a, b) => a < b })
+    }
+  }
+
   test("ngram jaccard is exact: identical docs = 1.0, near dups high, others absent") {
     val rows = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.2)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
