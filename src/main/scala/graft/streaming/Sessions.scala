@@ -110,4 +110,23 @@ object Sessions {
         round(avg(col("value")), 6).as("avg_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("avg_value"))
+
+  /** Watermarked stream-stream interval join: each left row pairs with the
+    * right rows sharing its keys whose timestamp lands in
+    * [left ts, left ts + within]. The watermark plus the time-range
+    * condition bound BOTH sides' join state (Spark evicts a buffered row
+    * once no future input can match it), so state is O(rate × horizon) per
+    * key — the shape that survives unbounded streams. Executes identically
+    * as a batch interval join when both inputs are static (spec-asserted). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   within: String = "15 minutes",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, cond)
+  }
 }

@@ -87,6 +87,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
+  test("stream-stream interval join matches the batch join and drops out-of-window rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // impressions on user 1 and 2; clicks within/outside the 15-minute bound
+    val impressions = Seq(
+      Event(1L, 100L, ts(0), 0.0), Event(2L, 200L, ts(5), 0.0))
+    val clicks = Seq(
+      Event(1L, 101L, ts(10), 1.0),  // within 15 min of impression 100 -> joins
+      Event(1L, 102L, ts(30), 1.0),  // 30 min after -> outside bound
+      Event(2L, 201L, ts(4), 1.0))   // before the impression -> no join
+    val memL = MemoryStream[Event]; memL.addData(impressions: _*)
+    val memR = MemoryStream[Event]; memR.addData(clicks: _*)
+
+    val q = Sessions.intervalJoin(
+        memL.toDF().select(col("user_id"), col("event_id").as("imp_id"), col("ts")),
+        memR.toDF().select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
+      .select(col("imp_id"), col("click_id"))
+      .writeStream.format("memory").queryName("sj_stream")
+      .outputMode(OutputMode.Append()).start()
+    memL.addData(Event(99L, 999L, ts(100000), 0.0))
+    memR.addData(Event(99L, 998L, ts(100000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sj_stream").filter(col("imp_id") < 999)
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(streamed === Set((100L, 101L)))
+    // batch parity: same operator over static frames
+    val batch = Sessions.intervalJoin(
+        impressions.toDF().select(col("user_id"), col("event_id").as("imp_id"), col("ts")),
+        clicks.toDF().select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
+      .select("imp_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(batch === streamed)
+  }
+
   test("watermarked windowed aggregation over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
