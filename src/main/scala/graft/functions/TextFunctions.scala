@@ -45,6 +45,15 @@ object TextFunctions {
     * via [[shinglesFromTokens]] in hot paths (see note there). */
   def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
 
+  /** Word n-grams WITH duplicates (unlike [[shinglesFromTokens]]) — the
+    * repetition-quality metrics need occurrence counts, not the set. Same
+    * staging rule: `t` must be a bound token-array attribute. `concat_ws`
+    * skips the trailing nulls a short document produces, matching the
+    * oracle's concat_ws semantics. */
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
+
   /** MinHash signature: for K hash functions (a_i*h + b_i) mod P over the
     * element hashes, take the min. P is the Mersenne prime 2^31-1; element
     * hashes are reduced mod P first so a*h+b stays < 2^62 (no overflow). */
@@ -97,6 +106,11 @@ object TextFunctions {
     def shingles(text: String, k: Int): String = {
       val parts = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
       s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(t)-${k - 1}, 1)), i -> $parts)) " +
+        s"FROM (SELECT ${tokens(text)} AS t))"
+    }
+    def ngrams(text: String, n: Int): String = {
+      val parts = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+      s"(SELECT list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), i -> concat_ws(' ', $parts)) " +
         s"FROM (SELECT ${tokens(text)} AS t))"
     }
     def bpeTokenCount(text: String): String =

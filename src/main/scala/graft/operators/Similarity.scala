@@ -136,6 +136,72 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Lloyd's k-means over embedding vectors — the training step for the IVF
+    * index ([[ivfTopK]] notes "a production deployment swaps in k-means
+    * means"; this is that path, closing the loop). Deterministic end to end
+    * so an external oracle can replay it bit-for-bit:
+    *
+    *  - seeds = the `k` lowest vec_ids (k-means++ would add RNG for quality,
+    *    not correctness; swap in at will),
+    *  - assignment = argmax cosine with ties broken by cell_id (scores
+    *    rounded to 6dp exactly like [[ivfTopK]]),
+    *  - centroid update sums components IN vec_id ORDER via a running
+    *    window sum (left-to-right double adds are order-fixed, where a plain
+    *    `avg` would depend on partitioning — that nondeterminism is harmless
+    *    in production but would unpin the oracle).
+    *
+    * Scale shape per iteration: centroids broadcast (k rows), assignment is
+    * one narrow pass + per-vector top-1 window, update is a keyed shuffle on
+    * (cell, dim) — no cartesian, no driver collect; iterations compose as a
+    * fixed-depth plan (checkpoint between rounds if iters is large).
+    * Cosine here is the interpreted higher-order form rather than the native
+    * [[graft.plans.VecDot]] because centroids become double arrays after the
+    * first update (VecDot is float-array-specialized); k·N pairs per round is
+    * centroid-bound, not corpus-bound, so this stays off the hot path. */
+  def kmeansCells(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotD(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, x) => acc + x)
+    def cosD(a: Column, b: Column): Column =
+      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("cent"),
+        lit(1L).as("n_members"))
+    for (_ <- 1 to iters) {
+      val aw = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
+      val assigned = corpus.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents.select(col("cell_id"), col("cent"))))
+        .select(col("vec_id"), col("embedding"), col("cell_id"),
+          round(cosD(col("embedding"), col("cent")), 6).as("cscore"))
+        .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        .select(col("cell_id"), col("vec_id"), col("embedding"))
+      val ex = assigned
+        .select(col("cell_id"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell_id"), col("vec_id"), (col("pos") + 1).as("pos"),
+          col("v").cast(DoubleType).as("v"))
+      val cw = Window.partitionBy(col("cell_id"), col("pos")).orderBy(col("vec_id"))
+      val comp = ex
+        .withColumn("run", sum(col("v")).over(
+          cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(cw))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cell_id"), col("pos"))))
+        .filter(col("rn") === col("n"))
+        .select(col("cell_id"), col("pos"), (col("run") / col("n")).as("comp"), col("n"))
+      // rebuild the centroid array: sort_array on (pos, comp) structs is
+      // deterministic because pos is unique within a cell; the list is
+      // bounded by the embedding dim, never by corpus size
+      cents = comp.groupBy(col("cell_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("pc"),
+          min(col("n")).as("n_members"))
+        .select(col("cell_id"),
+          transform(col("pc"), s => s.getField("comp")).as("cent"), col("n_members"))
+    }
+    cents
+  }
+
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join
     * within bucket, verify cosine ≥ threshold. */
   def lshPairs(corpus: DataFrame, dim: Int, nPlanes: Int, threshold: Double): DataFrame = {

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Clustering, Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation suite — the stages a training-data pipeline runs after
+  * candidate generation: duplicate-cluster resolution (connected components +
+  * canonical keeper), repetition-based quality filters (Gopher-style),
+  * PII detection/redaction, deterministic stratified sampling, sequence
+  * packing into token budgets, per-group embedding centroids, and k-means
+  * IVF-index training. All oracle-gated; every shuffle is keyed.
+  */
+object Curation {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- duplicate-cluster resolution -----------------------------------------
+
+  /** SimHash near-dup pairs → connected components → per-doc cluster id,
+    * cluster size, and canonical keeper flag. The step that makes pair
+    * output actionable (drop all non-keepers). */
+  def dedCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    Clustering.assignClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same simhash pairs (shared CTE), components via recursive
+    * transitive closure (min reachable id = cluster id). */
+  val dedClusterOracle: String =
+    s"""WITH RECURSIVE ${Pipeline.simhashCtes},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE hamming <= 8
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs WHERE hamming <= 8),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |cc AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+       |asg AS (
+       |  SELECT d.doc_id, coalesce(cc.label, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.node),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM asg GROUP BY 1)
+       |SELECT asg.doc_id, asg.cluster_id, sz.cluster_size,
+       |  asg.doc_id = asg.cluster_id AS is_keeper
+       |FROM asg JOIN sz ON asg.cluster_id = sz.cluster_id
+       |ORDER BY asg.doc_id""".stripMargin
+
+  // ---- repetition quality (Gopher-style) ------------------------------------
+
+  /** Repetition-based quality signals (Rae et al., Gopher, arXiv:2112.11446
+    * §A1.1 analogs): duplicate-token fraction and top-2-gram mass fraction,
+    * plus the keep/drop decision. Set-based metrics are per-row array ops
+    * (no shuffle); the top-gram mass needs occurrence counts, so it is two
+    * keyed aggregations — (doc, gram) then (doc) — linear at any scale. */
+  def txtQuality(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("t"))).cast(LongType).as("n_distinct"),
+        TextFunctions.ngramsFromTokens(col("t"), 2).as("g2"))
+    val top2 = staged.select(col("doc_id"), explode(col("g2")).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_cnt"), sum(col("cnt")).as("n_grams"))
+    staged.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+      .join(top2, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens")).as("dup_token_frac"),
+        (col("top_cnt").cast(DoubleType) / col("n_grams")).as("top_2gram_frac"))
+      .withColumn("passes_quality",
+        col("dup_token_frac") <= 0.55 && col("top_2gram_frac") <= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val txtQualityOracle: String = {
+    val toks = TextFunctions.sql.tokens("text")
+    val g2 = TextFunctions.sql.ngrams("text", 2)
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+       |    $g2 AS g2
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(g2) AS gram FROM base),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams FROM c GROUP BY 1)
+       |SELECT base.doc_id, n_tokens,
+       |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+       |  CAST(top_cnt AS DOUBLE) / n_grams AS top_2gram_frac,
+       |  (1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) <= 0.55
+       |    AND (CAST(top_cnt AS DOUBLE) / n_grams) <= 0.05 AS passes_quality
+       |FROM base JOIN agg ON base.doc_id = agg.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+  }
+
+  // ---- PII detection / redaction --------------------------------------------
+
+  /** RE2-and-Java-compatible patterns so the oracle replays them verbatim. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The synthetic corpus carries no PII, so the query plants deterministic
+    * PII derived from doc_id (a subset of docs each for email/phone/IP) and
+    * then detects + redacts it — both sides compute the same augmented text,
+    * so counts and the redacted fingerprint are value-checked. Per-row
+    * regex work only: codegen'd, shuffle-free, linear at 100 TB. */
+  def txtPii(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 3 === 0,
+        concat(lit(" contact user"), id.cast(StringType), lit("@example.com")))
+        .otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit(" call 415-555-"), lpad((id % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10."), (id % 256).cast(StringType), lit(".0.1")))
+        .otherwise(lit("")))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(aug, lit(EmailRe)).cast(LongType).as("n_emails"),
+        regexp_count(aug, lit(PhoneRe)).cast(LongType).as("n_phones"),
+        regexp_count(aug, lit(Ipv4Re)).cast(LongType).as("n_ips"),
+        length(redacted).cast(LongType).as("n_chars_redacted"),
+        md5(redacted.cast(BinaryType)).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtPiiOracle: String = {
+    val aug =
+      s"""text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END""".stripMargin
+    s"""WITH a AS (SELECT doc_id, $aug AS aug FROM documents),
+       |r AS (SELECT doc_id, aug,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$EmailRe', '[EMAIL]', 'g'),
+       |    '$PhoneRe', '[PHONE]', 'g'),
+       |    '$Ipv4Re', '[IP]', 'g') AS red
+       |  FROM a)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(aug, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |  CAST(length(red) AS BIGINT) AS n_chars_redacted,
+       |  md5(red) AS redacted_md5
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- deterministic stratified sampling ------------------------------------
+
+  /** Hash-based stratified sampling: keep a doc iff the first 16 bits of
+    * md5(doc_id) fall below the stratum's threshold (en 50%, zh 25%, rest
+    * 12.5%). Deterministic and reproducible on any engine/cluster/run — the
+    * property that matters for dataset versioning — and a pure per-row
+    * filter: no shuffle, no RNG state, prunes at the scan at 100 TB. */
+  def smpStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 4)
+    val threshold = when(col("lang") === "en", "8000")
+      .when(col("lang") === "zh", "4000")
+      .otherwise("2000")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val smpStratifiedOracle: String =
+    """SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
+      |  FROM documents) t
+      |WHERE bucket < CASE WHEN lang = 'en' THEN '8000'
+      |                    WHEN lang = 'zh' THEN '4000'
+      |                    ELSE '2000' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- sequence packing -----------------------------------------------------
+
+  /** Contiguous greedy sequence packing: within each language shard, docs in
+    * id order are packed into 2048-BPE-token bins by their running-total
+    * start offset — the deterministic packing used to build fixed-budget
+    * training batches. The only shuffle is the window keyed by lang (a real
+    * pipeline keys by shard for the same reason: a GLOBAL ordering would
+    * serialize through one partition at 100 TB, a keyed one scales with
+    * shard count). */
+  def packTokens(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.bpeTokenCount(col("text")).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tok) DIV $budget"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin_id"))
+  }
+
+  val packTokensOracle: String = {
+    val ntok = TextFunctions.sql.bpeTokenCount("text")
+    """WITH t AS (SELECT doc_id, lang, %s AS n_tok FROM documents),
+      |c AS (SELECT lang, n_tok,
+      |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM t)
+      |SELECT lang, (cum - n_tok) // 2048 AS bin_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+      |FROM c
+      |GROUP BY lang, bin_id
+      |ORDER BY lang, bin_id""".stripMargin.format(ntok)
+  }
+
+  // ---- embedding centroids --------------------------------------------------
+
+  /** Per-label centroid of the embedding column — the building block of IVF
+    * training, topic clustering, and class prototypes. Components are summed
+    * in vec_id order via a running window sum so the result is bit-exact and
+    * partition-independent (order-fixed double adds); a production variant
+    * that tolerates float fuzz uses plain avg() with one fewer sort. Shape:
+    * one explode (64 rows per vector) + one window keyed by (label, dim) —
+    * linear, no collect. */
+  def embCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("v").cast(DoubleType).as("v"))
+    val w = Window.partitionBy(col("label"), col("pos")).orderBy(col("vec_id"))
+    e.withColumn("run", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("label"), col("pos"))))
+      .filter(col("rn") === col("n"))
+      .select(col("label"), col("pos"), (col("run") / col("n")).as("centroid"),
+        col("n").as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val embCentroidOracle: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i))
+      |SELECT label, pos,
+      |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+      |    (x, y) -> x + y) / COUNT(*) AS centroid,
+      |  COUNT(*) AS n_vecs
+      |FROM e
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
+
+  // ---- k-means IVF training -------------------------------------------------
+
+  /** Two Lloyd iterations of k-means (k=8) over the embedding corpus — the
+    * IVF training path. Output: per-cell member count and the first two
+    * centroid components. */
+  def simKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansCells(Tables.embeddings(spark, dir), k = 8, iters = 2)
+      .select(col("cell_id"), col("n_members"),
+        round(element_at(col("cent"), 1), 6).as("c1"),
+        round(element_at(col("cent"), 2), 6).as("c2"))
+      .orderBy(col("cell_id"))
+
+  val simKmeansOracle: String = {
+    val k = 8
+    val iters = 2
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH cent0 AS (
+         |  SELECT vec_id AS cell_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin)
+    for (i <- 1 to iters) {
+      val prev = s"cent${i - 1}"
+      sb.append(
+        s""",
+           |asg$i AS (
+           |  SELECT cell_id, vec_id, embedding FROM (
+           |    SELECT ct.cell_id, c.vec_id, c.embedding,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY round(${Pipeline.sqlCosine("c.embedding", "ct.cent")}, 6) DESC, ct.cell_id) AS rn
+           |    FROM embeddings c CROSS JOIN $prev ct) t
+           |  WHERE rn = 1),
+           |comp$i AS (
+           |  SELECT cell_id, pos,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(v ORDER BY vec_id)),
+           |      (x, y) -> x + y) / COUNT(*) AS comp,
+           |    COUNT(*) AS n
+           |  FROM (SELECT cell_id, vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+           |        FROM asg$i CROSS JOIN unnest(generate_series(1, 64)) AS t(i)) e
+           |  GROUP BY cell_id, pos),
+           |cent$i AS (
+           |  SELECT cell_id, list(comp ORDER BY pos) AS cent, min(n) AS n_members
+           |  FROM comp$i GROUP BY cell_id)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT cell_id, n_members, round(cent[1], 6) AS c1, round(cent[2], 6) AS c2
+         |FROM cent$iters
+         |ORDER BY cell_id""".stripMargin)
+    sb.toString
+  }
+
+  // ---- registry -------------------------------------------------------------
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
+    "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
+    "txt_pii" -> ((txtPii _, Some(txtPiiOracle))),
+    "smp_stratified" -> ((smpStratified _, Some(smpStratifiedOracle))),
+    "pack_tokens" -> ((packTokens _, Some(packTokensOracle))),
+    "emb_centroid" -> ((embCentroid _, Some(embCentroidOracle))),
+    "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle)))
+  )
+}

@@ -88,10 +88,12 @@ object Pipeline {
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  val dedSimhashOracle: String = {
+  /** SimHash candidate-pair CTE chain (ends in `pairs(doc_a, doc_b,
+    * hamming)`), shared with the cluster-resolution oracle in [[Curation]]. */
+  private[queries] val simhashCtes: String = {
     val norm = TextFunctions.sql.normalize("text")
     val h64 = TextFunctions.sql.hash64("t")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_transform(string_split_regex(trim($norm), '\\s+'), t -> $h64) AS hs,
        |    CAST(len(string_split_regex(trim($norm), '\\s+')) AS BIGINT) AS n
        |  FROM documents),
@@ -108,12 +110,15 @@ object Pipeline {
        |pairs AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |    CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-       |  FROM chunked x JOIN chunked y ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+       |  FROM chunked x JOIN chunked y ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  val dedSimhashOracle: String =
+    s"""WITH $simhashCtes
        |SELECT doc_a, doc_b, hamming
        |FROM pairs
        |WHERE hamming <= 8
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   def dedEmbed(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosinePairsBlocked(Tables.embeddings(spark, dir).filter(col("vec_id") < 2000))
@@ -127,10 +132,10 @@ object Pipeline {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Ordered-fold dot product mirroring Spark's aggregate() exactly. */
-  private def sqlDot(a: String, b: String): String =
+  private[queries] def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def sqlCosine(a: String, b: String): String =
+  private[queries] def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
 
   val dedEmbedOracle: String =

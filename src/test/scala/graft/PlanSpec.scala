@@ -129,6 +129,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("pad"), "column pruning failed: pad in scan\n" + plan.take(2000))
   }
 
+  test("smp_stratified: deterministic sampling is a pure scan+filter, no shuffle") {
+    val df = SparkEntry.queries("smp_stratified")(spark, sfDir)
+    val pre = df.queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation orderBy
+    val exchanges = pre.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"sampling should not shuffle data, got $exchanges exchanges:\n" + pre.take(1500))
+  }
+
+  test("pack_tokens: the packing window is keyed by lang, never a global sort") {
+    val plan = SparkEntry.queries("pack_tokens")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val windowLine = plan.linesIterator.find(_.trim.matches(".*Window .*")).getOrElse("")
+    assert(windowLine.contains("lang"),
+      "window must partition by lang (a global window serializes at scale):\n" + plan.take(2000))
+  }
+
+  test("sim_kmeans: centroids broadcast on every iteration; no plain cartesian") {
+    val plan = executedPlan("sim_kmeans")
+    assert(!plan.contains("CartesianProduct"),
+      "kmeans assignment must broadcast centroids:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "expected broadcast of the k-row centroid side:\n" + plan.take(2000))
+  }
+
+  test("ded_cluster: component iterations use keyed joins, never a cartesian") {
+    val plan = executedPlan("ded_cluster")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
