@@ -39,8 +39,13 @@ object Clustering {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    // both edge directions from ONE evaluation of the (possibly expensive)
+    // pair-generation subtree — a union of two selects over `pairs` would
+    // recompute it per branch
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("a"), col(bCol).as("b")),
+        struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()

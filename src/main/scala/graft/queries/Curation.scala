@@ -316,6 +316,111 @@ object Curation {
     sb.toString
   }
 
+  // ---- corpus heavy hitters -------------------------------------------------
+
+  /** Corpus-level top terms by document frequency (plus total occurrences) —
+    * the statistic behind stop-shingle caps, vocabulary builds, and corpus
+    * drift monitoring. The canonical two-phase-aggregation shape: per-term
+    * partial counts combine map-side, the final agg shuffles only the
+    * (term, count) pairs — never documents — and the top-k compiles to
+    * TakeOrderedAndProject (no global sort). Exact here; at petabyte scale
+    * the same query runs unchanged, or swaps the final top-k for a
+    * count-min/space-saving sketch when the term domain itself is too hot. */
+  def txtTopterms(spark: SparkSession, dir: String): DataFrame = {
+    val staged = Tables.documents(spark, dir)
+      .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+    val tf = staged.select(explode(col("t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val df = staged.select(explode(array_distinct(col("t"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    df.join(tf, Seq("term"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
+
+  val txtTopTermsOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim($norm), '\\s+') AS t FROM documents),
+       |tf AS (SELECT term, COUNT(*) AS tf
+       |       FROM (SELECT unnest(t) AS term FROM t) x GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT unnest(list_distinct(t)) AS term FROM t) x GROUP BY 1)
+       |SELECT df.term, df.df, tf.tf
+       |FROM df JOIN tf ON df.term = tf.term
+       |ORDER BY df.df DESC, df.term
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---- end-to-end curation funnel -------------------------------------------
+
+  /** The full curation funnel composed from the gated stages: exact-dedup
+    * keepers → repetition-quality pass → stratified sample, reported as
+    * per-language survivor counts at each stage. One scan feeds per-row
+    * metrics; the only shuffles are the dedup group-by and the final tiny
+    * count aggregation — the composition adds no new shuffle beyond its
+    * parts, which is the point of keeping every stage a DataFrame. */
+  def curFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // stage 1: exact-dedup keepers
+    val keepers = Dedup.exact(docs, "doc_id", "text").select(col("keeper_id").as("doc_id"))
+    // stage 2: repetition quality (reuse the gated metric definitions)
+    val quality = txtQuality(spark, dir)
+      .select(col("doc_id"), col("passes_quality"))
+    // stage 3: deterministic sample membership
+    val sampled = smpStratified(spark, dir).select(col("doc_id"), lit(true).as("in_sample"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(keepers.withColumn("is_keeper", lit(true)), Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(sampled, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_keeper"), 1)).as("n_keepers"),
+        count(when(col("is_keeper") && col("passes_quality"), 1)).as("n_quality"),
+        count(when(col("is_keeper") && col("passes_quality")
+          && col("in_sample").isNotNull, 1)).as("n_final"))
+      .orderBy(col("lang"))
+  }
+
+  val curFunnelOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = TextFunctions.sql.tokens("text")
+    val g2 = TextFunctions.sql.ngrams("text", 2)
+    s"""WITH keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($norm)),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct,
+       |    $g2 AS g2
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(g2) AS gram FROM base),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+       |agg AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_grams FROM c GROUP BY 1),
+       |quality AS (
+       |  SELECT base.doc_id,
+       |    (1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) <= 0.55
+       |      AND (CAST(top_cnt AS DOUBLE) / n_grams) <= 0.05 AS passes_quality
+       |  FROM base JOIN agg ON base.doc_id = agg.doc_id),
+       |sampled AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) AS bucket
+       |    FROM documents) t
+       |  WHERE bucket < CASE WHEN lang = 'en' THEN '8000'
+       |                      WHEN lang = 'zh' THEN '4000'
+       |                      ELSE '2000' END)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL) AS n_keepers,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL AND q.passes_quality) AS n_quality,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL AND q.passes_quality
+       |    AND s.doc_id IS NOT NULL) AS n_final
+       |FROM documents d
+       |LEFT JOIN keepers k ON d.doc_id = k.doc_id
+       |LEFT JOIN quality q ON d.doc_id = q.doc_id
+       |LEFT JOIN sampled s ON d.doc_id = s.doc_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+  }
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -325,6 +430,8 @@ object Curation {
     "smp_stratified" -> ((smpStratified _, Some(smpStratifiedOracle))),
     "pack_tokens" -> ((packTokens _, Some(packTokensOracle))),
     "emb_centroid" -> ((embCentroid _, Some(embCentroidOracle))),
-    "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle)))
+    "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle))),
+    "txt_topterms" -> ((txtTopterms _, Some(txtTopTermsOracle))),
+    "cur_funnel" -> ((curFunnel _, Some(curFunnelOracle)))
   )
 }

@@ -120,6 +120,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel stages are monotonically narrowing per language") {
+    Curation.curFunnel(spark, sfDir).collect().foreach { r =>
+      val (n, k, q, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= k && k >= q && q >= f, s"funnel must narrow: $n >= $k >= $q >= $f")
+      assert(f >= 0L && n > 0L)
+    }
+  }
+
+  test("top terms are ranked by document frequency with tf >= df") {
+    val rows = Curation.txtTopterms(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.sorted.reverse.toSeq === dfs.toSeq, "rows must arrive df-descending")
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      "total occurrences can never be below document frequency"))
+  }
+
   test("per-label centroids average exactly n_vecs vectors of each label") {
     val out = Curation.embCentroid(spark, sfDir)
     val byLabel = out.groupBy("label").agg(

@@ -158,6 +158,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("txt_topterms: two-phase agg with map-side combine, top-k not global sort") {
+    val plan = SparkEntry.queries("txt_topterms")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count"), "term counts must combine map-side:\n" + plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 should be top-k:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
