@@ -75,11 +75,32 @@ object Clustering {
     * flag — the canonical-selection step of a dedup pipeline. Two keyed
     * shuffles beyond the component loop. */
   def assignClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                     aCol: String, bCol: String): DataFrame = {
-    val labels = connectedComponents(pairs, aCol, bCol)
-    val assigned = docs.select(col(idCol).as("doc_id"))
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+                     aCol: String, bCol: String): DataFrame =
+    sizeAndFlag(docs.select(col(idCol).as("doc_id"))
+      .join(connectedComponents(pairs, aCol, bCol).withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id")))
+
+  /** SimHash near-dup clusters with the component loop run on
+    * REPRESENTATIVE-level pairs (one node per distinct content) instead of
+    * member-level pairs: a d-copy duplicate group contributes d² expanded
+    * edges but zero extra connectivity, so at corpus scale — where duplicate
+    * clusters dominate — the collapsed graph is orders of magnitude smaller.
+    * Result is provably identical to clustering the expanded pairs: every
+    * member connects to its representative (hamming 0 ≤ max), and each
+    * representative is its group's minimum id, so the component minimum over
+    * reps IS the minimum over all members. */
+  def assignClustersSimhash(docs: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int): DataFrame = {
+    val (repPairs, memb, _) = Dedup.simhashRepPairs(docs, idCol, textCol, maxHamming)
+    val labels = connectedComponents(repPairs, "rep_a", "rep_b")
+    sizeAndFlag(memb
+      .join(labels.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
+      .select(col("member_id").as("doc_id"),
+        coalesce(col("label"), col("rep_id")).as("cluster_id")))
+  }
+
+  private def sizeAndFlag(assigned: DataFrame): DataFrame = {
     val sizes = assigned.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     assigned.join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

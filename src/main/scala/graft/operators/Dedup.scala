@@ -118,8 +118,8 @@ object Dedup {
     * them would invent pairs.
     *
     * Returns (reps(doc_id, text, csize), memb(rep_id, member_id)). */
-  private def collapseExact(docs: DataFrame, idCol: String,
-                            textCol: String): (DataFrame, DataFrame) = {
+  private[operators] def collapseExact(docs: DataFrame, idCol: String,
+                                       textCol: String): (DataFrame, DataFrame) = {
     // The text payload never shuffles and md5 runs once: grouping is a
     // window over narrow (doc_id, ckey) rows — memb and the winning ids
     // are two projections of the SAME windowed frame (second consumer is a
@@ -244,6 +244,19 @@ object Dedup {
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 chunks). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val (repPairs, memb, intra) = simhashRepPairs(docs, idCol, textCol, maxHamming)
+    expandPairs(repPairs, memb, "hamming")
+      .unionByName(intraPairs(intra, memb, "hamming"))
+  }
+
+  /** Representative-level simhash pairs BEFORE member expansion, for
+    * consumers (e.g. [[Clustering]]) whose downstream cost scales with edge
+    * count: at corpus scale, expanding a d-copy duplicate group multiplies
+    * its pairs by d² while adding no connectivity information. Returns
+    * (repPairs(rep_a, rep_b, hamming), memb(rep_id, member_id),
+    * intra(rep_id, hamming=0) for multi-member groups). */
+  def simhashRepPairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): (DataFrame, DataFrame, DataFrame) = {
     // Tier 1: signatures and chunk-keying over distinct contents only
     // (identical text ⇒ identical simhash ⇒ hamming exactly 0) — see
     // collapseExact.
@@ -273,7 +286,6 @@ object Dedup {
     val intra = reps.filter(col("csize") > 1 && col("text").isNotNull)
       .select(col("doc_id").as("rep_id"))
       .withColumn("hamming", lit(0L))
-    expandPairs(repPairs, memb, "hamming")
-      .unionByName(intraPairs(intra, memb, "hamming"))
+    (repPairs, memb, intra)
   }
 }

@@ -23,13 +23,14 @@ object Curation {
 
   /** SimHash near-dup pairs → connected components → per-doc cluster id,
     * cluster size, and canonical keeper flag. The step that makes pair
-    * output actionable (drop all non-keepers). */
-  def dedCluster(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
-    Clustering.assignClusters(docs, "doc_id", pairs, "doc_a", "doc_b")
+    * output actionable (drop all non-keepers). Uses the collapsed path (CC
+    * over one node per distinct content; see
+    * [[Clustering.assignClustersSimhash]]) — the oracle clusters the
+    * expanded member pairs and the results are provably identical. */
+  def dedCluster(spark: SparkSession, dir: String): DataFrame =
+    Clustering.assignClustersSimhash(Tables.documents(spark, dir),
+      "doc_id", "text", maxHamming = 8)
       .orderBy(col("doc_id"))
-  }
 
   /** Oracle: same simhash pairs (shared CTE), components via recursive
     * transitive closure (min reachable id = cluster id). */
