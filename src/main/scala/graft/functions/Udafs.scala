@@ -83,10 +83,63 @@ object Udafs {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Misra-Gries summary: item → lower-bound count, plus the cumulative
+    * decrement `err` that bounds the undercount. */
+  case class MGBuf(counts: Map[String, Long], err: Long)
+
+  /** Mergeable Misra-Gries heavy-hitters sketch with capacity [[MisraGries.K]]
+    * — the constant-memory at-scale path behind exact top-k term queries
+    * (when the term domain itself is too hot to aggregate exactly). Partial
+    * summaries merge associatively (Agarwal et al., "Mergeable Summaries",
+    * PODS'12: pointwise sum, then subtract the (K+1)-th largest count), so
+    * it runs as a normal two-phase Spark aggregate: map-side partials of K
+    * entries each, one tiny shuffle, no row ever leaves its partition.
+    *
+    * Invariants (checked end-to-end by the `txt_heavyhitters` gate):
+    * estimates never overcount (`est ≤ true`), the undercount is bounded by
+    * the tracked decrement total (`true − est ≤ err`), and any item absent
+    * from the summary has `true ≤ err` — so every item with
+    * `true > err` is guaranteed present. */
+  object MisraGries extends Aggregator[String, MGBuf, MGBuf] {
+    val K = 8
+
+    def zero: MGBuf = MGBuf(Map.empty, 0L)
+
+    def reduce(b: MGBuf, term: String): MGBuf =
+      b.counts.get(term) match {
+        case Some(c) => MGBuf(b.counts.updated(term, c + 1), b.err)
+        case None if b.counts.size < K => MGBuf(b.counts.updated(term, 1L), b.err)
+        case None =>
+          // full and unseen: decrement every counter (one "vote" cancels
+          // K+1 distinct items), drop zeros — the classic MG step
+          val dec = b.counts.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+          MGBuf(dec, b.err + 1)
+      }
+
+    def merge(a: MGBuf, b: MGBuf): MGBuf = {
+      val summed = b.counts.foldLeft(a.counts) { case (acc, (t, c)) =>
+        acc.updated(t, acc.getOrElse(t, 0L) + c)
+      }
+      val err = a.err + b.err
+      if (summed.size <= K) MGBuf(summed, err)
+      else {
+        // subtract the (K+1)-th largest count from everything; at most K
+        // entries stay positive and the undercount grows by exactly d
+        val d = summed.values.toArray.sorted(Ordering[Long].reverse)(K)
+        MGBuf(summed.view.mapValues(_ - d).filter(_._2 > 0).toMap, err + d)
+      }
+    }
+
+    def finish(b: MGBuf): MGBuf = b
+    def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+    def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
+  }
+
   /** Register all graft UDFs/UDAFs into the session (SQL-callable). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_sum_squares", org.apache.spark.sql.functions.udaf(SumSquares))
     spark.udf.register("graft_tax", (p: Double) => p * 1.1)
     spark.udf.register("graft_wpercentile", org.apache.spark.sql.functions.udaf(WeightedPercentile))
+    spark.udf.register("graft_heavy_hitters", org.apache.spark.sql.functions.udaf(MisraGries))
   }
 }

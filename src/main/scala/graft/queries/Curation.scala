@@ -352,6 +352,43 @@ object Curation {
        |LIMIT 20""".stripMargin
   }
 
+  // ---- mergeable heavy-hitters sketch ---------------------------------------
+
+  /** The [[graft.functions.Udafs.MisraGries]] sketch run over the token
+    * stream with capacity 8 (below the corpus vocabulary, so evictions and
+    * the error bound are genuinely exercised), validated in-plan against
+    * exact counts: for every term, either it is in the summary with
+    * `est ≤ true ≤ est + err`, or it is absent with `true ≤ err`. The
+    * estimates themselves are partition-order-dependent (any mergeable
+    * sketch is), but the INVARIANTS are not — so the output (term,
+    * true_cnt, sketch_ok) is deterministic and the oracle simply states
+    * that every row must check out. */
+  def txtHeavyhitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Udafs
+    val hh = udaf(Udafs.MisraGries)
+    val terms = Tables.documents(spark, dir)
+      .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+      .select(explode(col("t")).as("term"))
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    val sk = terms.agg(hh(col("term")).as("sk")) // one row: (counts map, err)
+    val est = element_at(col("sk.counts"), col("term"))
+    exact.crossJoin(broadcast(sk))
+      .select(col("term"), col("true_cnt"),
+        when(est.isNotNull, est <= col("true_cnt")
+          && col("true_cnt") - est <= col("sk.err"))
+          .otherwise(col("true_cnt") <= col("sk.err")).as("sketch_ok"))
+      .orderBy(col("term"))
+  }
+
+  val txtHeavyhittersOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH t AS (SELECT string_split_regex(trim($norm), '\\s+') AS t FROM documents)
+       |SELECT term, COUNT(*) AS true_cnt, true AS sketch_ok
+       |FROM (SELECT unnest(t) AS term FROM t) x
+       |GROUP BY term
+       |ORDER BY term""".stripMargin
+  }
+
   // ---- end-to-end curation funnel -------------------------------------------
 
   /** The full curation funnel composed from the gated stages: exact-dedup
@@ -433,6 +470,7 @@ object Curation {
     "emb_centroid" -> ((embCentroid _, Some(embCentroidOracle))),
     "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle))),
     "txt_topterms" -> ((txtTopterms _, Some(txtTopTermsOracle))),
+    "txt_heavyhitters" -> ((txtHeavyhitters _, Some(txtHeavyhittersOracle))),
     "cur_funnel" -> ((curFunnel _, Some(curFunnelOracle)))
   )
 }

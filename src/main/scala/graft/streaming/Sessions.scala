@@ -111,6 +111,26 @@ object Sessions {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Watermarked windowed term counts over a document stream — the streaming
+    * form of the corpus term statistic behind `txt_topterms`/
+    * `txt_heavyhitters` (per-window vocabulary counts for drift monitoring).
+    * State is one counter per (window, term), evicted when the watermark
+    * passes the window end; identical code path runs in batch
+    * (spec-asserted stream == batch). */
+  def windowedTermCounts(docs: DataFrame, window_ : String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextFunctions
+    val in = if (docs.isStreaming) docs.withWatermark("ts", watermark) else docs
+    in.select(col("ts"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("term"))
+      .groupBy(window(col("ts"), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("term"), col("n"))
+  }
+
+  /** Document-stream row for the streaming term-count spec. */
+  case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
   /** Watermarked stream-stream interval join: each left row pairs with the
     * right rows sharing its keys whose timestamp lands in
     * [left ts, left ts + within]. The watermark plus the time-range

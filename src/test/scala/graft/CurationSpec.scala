@@ -137,6 +137,34 @@ class CurationSpec extends SparkSpec {
       "total occurrences can never be below document frequency"))
   }
 
+  test("Misra-Gries sketch: invariants hold and a dominant item is always present") {
+    import graft.functions.Udafs
+    import org.apache.spark.sql.functions.udaf
+    // skewed stream: "hot" is 60% of 10k items, tail of 200 distinct terms,
+    // spread over 8 partitions so the MERGE path (not just reduce) runs
+    val rows = (0 until 10000).map { i =>
+      if (i % 5 != 2 && i % 5 != 4) "hot" else s"t${i % 200}"
+    }
+    val df = spark.createDataFrame(rows.map(Tuple1(_))).toDF("term").repartition(8)
+    val hh = udaf(Udafs.MisraGries)
+    val sk = df.agg(hh(col("term")).as("sk"))
+      .select(col("sk.counts").as("counts"), col("sk.err").as("err"))
+      .collect().head
+    val counts = sk.getMap[String, Long](0)
+    val err = sk.getLong(1)
+    val trueCounts = rows.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    assert(counts.size <= Udafs.MisraGries.K)
+    // every estimate is an undercount within the tracked bound
+    counts.foreach { case (t, est) =>
+      assert(est <= trueCounts(t), s"$t overcounted")
+      assert(trueCounts(t) - est <= err, s"$t undercount exceeds err=$err")
+    }
+    // absent items are bounded by err; the 6000-count item must be present
+    trueCounts.filter { case (t, _) => !counts.contains(t) }
+      .foreach { case (t, c) => assert(c <= err, s"absent $t has count $c > err=$err") }
+    assert(counts.contains("hot"), "dominant item evicted — guarantee violated")
+  }
+
   test("per-label centroids average exactly n_vecs vectors of each label") {
     val out = Curation.embCentroid(spark, sfDir)
     val byLabel = out.groupBy("label").agg(

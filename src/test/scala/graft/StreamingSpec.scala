@@ -149,4 +149,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     assert(batch.count() == 4) // (h0: click x2, view x1... h1: view, click) => 4 groups
   }
+
+  test("windowed term counts over a document stream match batch") {
+    import Sessions.TimedDoc
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      TimedDoc(1L, ts(1), "the quick fox"),
+      TimedDoc(2L, ts(20), "the lazy dog"),
+      TimedDoc(3L, ts(70), "the fox again")) // second hour window
+    val mem = MemoryStream[TimedDoc]
+    mem.addData(docs: _*)
+
+    val q = Sessions.windowedTermCounts(mem.toDF())
+      .writeStream.format("memory").queryName("terms_stream")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(TimedDoc(99L, ts(100000), "late"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("terms_stream").filter(col("term") =!= "late")
+    val batch = Sessions.windowedTermCounts(docs.toDF())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // "the" counts twice in window 0, once in window 1
+    val the = batch.filter(col("term") === "the")
+      .select(col("n")).as[Long].collect().sorted.toSeq
+    assert(the === Seq(1L, 2L))
+  }
 }
