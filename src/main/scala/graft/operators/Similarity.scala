@@ -108,25 +108,37 @@ object Similarity {
     * corpus, and candidate search is a keyed join on cell_id — at 100 TB
     * the assigned corpus would be written bucketed by cell_id once and the
     * per-query join becomes a pruned scan of nProbe buckets. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame,
-              nCells: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(col("vec_id") < nCells)
+  private def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
         sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("c_nrm"))
 
-    def nearestCells(df: DataFrame, id: String, emb: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cell_id"))
-      df.crossJoin(broadcast(cents))
-        .select(col(id), col(emb), col(s"${id}_norm"), col("cell_id"),
-          round(VectorFunctions.dot(col(emb), col("c_emb")) /
-            (col(s"${id}_norm") * col("c_nrm")), 6).as("cscore"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
-        .select(col("cell_id"), col(id), col(emb), col(s"${id}_norm"))
-    }
+  private def nearestCells(df: DataFrame, id: String, emb: String, keep: Int,
+                           cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cell_id"))
+    df.crossJoin(broadcast(cents))
+      .select(col(id), col(emb), col(s"${id}_norm"), col("cell_id"),
+        round(VectorFunctions.dot(col(emb), col("c_emb")) /
+          (col(s"${id}_norm") * col("c_nrm")), 6).as("cscore"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
+      .select(col("cell_id"), col(id), col(emb), col(s"${id}_norm"))
+  }
 
-    val assigned = nearestCells(withNorm(corpus, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1)
-    val probes = nearestCells(withNorm(queries, "query_id", "q_vec"), "query_id", "q_vec", nProbe)
+  /** Nearest-centroid cell assignment for the corpus — the step whose output
+    * gets written to storage `partitionBy(cell_id)` in a 100 TB deployment,
+    * turning every probe into a partition-pruned scan of nProbe directories
+    * (demonstrated end-to-end in ScalePathsSpec). */
+  def ivfAssign(corpus: DataFrame, nCells: Int): DataFrame =
+    nearestCells(withNorm(corpus, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1,
+      seedCentroids(corpus, nCells))
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              nCells: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = seedCentroids(corpus, nCells)
+    val assigned = ivfAssign(corpus, nCells)
+    val probes = nearestCells(withNorm(queries, "query_id", "q_vec"), "query_id", "q_vec", nProbe, cents)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
     probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("corpus_id"))
