@@ -158,6 +158,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("cur_funnel: stage joins are keyed on doc_id, never a cartesian") {
+    val plan = executedPlan("cur_funnel")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("txt_heavyhitters: the one-row sketch broadcasts; counts partial-aggregate") {
+    val plan = executedPlan("txt_heavyhitters")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "the single-row sketch must broadcast to the exact counts:\n" + plan.take(1500))
+    assert(plan.contains("partial_count"), "exact counts must combine map-side")
+  }
+
   test("txt_topterms: two-phase agg with map-side combine, top-k not global sort") {
     val plan = SparkEntry.queries("txt_topterms")(spark, sfDir)
       .queryExecution.executedPlan.toString
