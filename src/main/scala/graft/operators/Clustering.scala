@@ -55,15 +55,18 @@ object Clustering {
     var iter = 0
     while (!converged && iter < maxIter) {
       val propagated = edges.join(labels.withColumnRenamed("node", "a"), Seq("a"))
-        .select(col("b").as("node"), col("label"))
-      val next = labels.unionByName(propagated)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("b").as("node"), col("label"), lit(0).as("own"))
+      // the node's previous label rides through the min-aggregate (own=1 rows
+      // are exactly the old assignment, unique per node), so convergence is a
+      // filter over the already-materialized result — not a join job
+      val next = labels.select(col("node"), col("label"), lit(1).as("own"))
+        .unionByName(propagated)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("own") === 1, col("label"))).as("prev"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     require(converged, s"connectedComponents: no fixpoint after $maxIter iterations")
