@@ -266,6 +266,65 @@ object Curation {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  // ---- embedding quantization -----------------------------------------------
+
+  /** Int8 scalar quantization of the embedding column (per-dimension min/max
+    * range, 256 buckets, midpoint reconstruction) — the compression stage of
+    * a vector index at scale (4x smaller than float32 before any product
+    * quantization). Everything is deterministic: min/max are order-free
+    * aggregates, `floor` is exact, and the reconstruction-error bound
+    * |v − recon| ≤ scale/2 is checked per vector (`all_ok` must be true for
+    * every row on both engines). Shape: one explode + one tiny per-dim agg
+    * broadcast back — no corpus-sized shuffle. */
+  def embQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("v").cast(DoubleType).as("v"))
+    val stats = ex.groupBy(col("pos"))
+      .agg(min(col("v")).as("dmin"), max(col("v")).as("dmax"))
+    val scale = (col("dmax") - col("dmin")) / 256.0
+    val q = when(col("dmax") === col("dmin"), lit(0.0))
+      .otherwise(least(lit(255.0), floor((col("v") - col("dmin")) / scale)))
+    ex.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"), col("v"), scale.as("scale"), q.as("q"),
+        col("dmin"))
+      .withColumn("recon", col("dmin") + (col("q") + 0.5) * col("scale"))
+      .withColumn("abs_err", abs(col("v") - col("recon")))
+      .withColumn("ok", col("abs_err") <= col("scale") * 0.5)
+      .groupBy(col("vec_id"))
+      .agg(min(when(col("pos") === 1, col("q"))).cast(LongType).as("q1"),
+        min(when(col("pos") === 2, col("q"))).cast(LongType).as("q2"),
+        max(col("abs_err")).as("max_abs_err"),
+        (min(when(col("ok"), 1L).otherwise(0L)) === 1L).as("all_ok"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embQuantizeOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+      |stats AS (SELECT pos, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY pos),
+      |qr AS (
+      |  SELECT vec_id, pos, v, (dmax - dmin) / 256.0 AS scale,
+      |    CASE WHEN dmax = dmin THEN 0.0
+      |         ELSE least(255.0, floor((v - dmin) / ((dmax - dmin) / 256.0))) END AS q,
+      |    dmin
+      |  FROM ex JOIN stats USING (pos)),
+      |err AS (
+      |  SELECT vec_id, pos, q, scale,
+      |    abs(v - (dmin + (q + 0.5) * scale)) AS abs_err,
+      |    abs(v - (dmin + (q + 0.5) * scale)) <= scale * 0.5 AS ok
+      |  FROM qr)
+      |SELECT vec_id,
+      |  CAST(min(CASE WHEN pos = 1 THEN q END) AS BIGINT) AS q1,
+      |  CAST(min(CASE WHEN pos = 2 THEN q END) AS BIGINT) AS q2,
+      |  max(abs_err) AS max_abs_err,
+      |  min(CASE WHEN ok THEN 1 ELSE 0 END) = 1 AS all_ok
+      |FROM err
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   // ---- k-means IVF training -------------------------------------------------
 
   /** Two Lloyd iterations of k-means (k=8) over the embedding corpus — the
@@ -468,6 +527,7 @@ object Curation {
     "smp_stratified" -> ((smpStratified _, Some(smpStratifiedOracle))),
     "pack_tokens" -> ((packTokens _, Some(packTokensOracle))),
     "emb_centroid" -> ((embCentroid _, Some(embCentroidOracle))),
+    "emb_quantize" -> ((embQuantize _, Some(embQuantizeOracle))),
     "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle))),
     "txt_topterms" -> ((txtTopterms _, Some(txtTopTermsOracle))),
     "txt_heavyhitters" -> ((txtHeavyhitters _, Some(txtHeavyhittersOracle))),

@@ -165,6 +165,16 @@ class CurationSpec extends SparkSpec {
     assert(counts.contains("hot"), "dominant item evicted — guarantee violated")
   }
 
+  test("int8 quantization bounds reconstruction error for every vector") {
+    val rows = Curation.embQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"vec ${r.getLong(0)}: error exceeded scale/2")
+      val (q1, q2) = (r.getLong(1), r.getLong(2))
+      assert(q1 >= 0 && q1 <= 255 && q2 >= 0 && q2 <= 255, "quantized values must fit int8 range")
+    }
+  }
+
   test("per-label centroids average exactly n_vecs vectors of each label") {
     val out = Curation.embCentroid(spark, sfDir)
     val byLabel = out.groupBy("label").agg(
