@@ -73,6 +73,80 @@ object Clustering {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log n) rounds regardless of component diameter, where
+    * [[connectedComponents]]' min-label propagation needs O(diameter)
+    * rounds. Use this variant when components can be long chains (e.g.
+    * transitively-linked near-dups across shingled revisions); the dense
+    * star-shaped clusters dedup normally produces converge in 2-3 rounds
+    * under either algorithm.
+    *
+    * Each round is two keyed aggregate+join passes over the edge list:
+    *  - large-star: every node points its LARGER neighbors at the minimum
+    *    of its neighborhood (long tails fold toward minima in parallel),
+    *  - small-star: every node folds its smaller-or-equal neighbors onto
+    *    that minimum, producing star edges.
+    * The edge list only shrinks toward the final star forest (one edge per
+    * non-root node), so per-round cost is bounded by the input edge count.
+    *
+    * @return (node, label) with label = component minimum, identical to
+    *         [[connectedComponents]] (spec-asserted on random graphs)
+    */
+  def connectedComponentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
+                                     maxRounds: Int = 20): DataFrame = {
+    // canonical undirected form (lo, hi), self-loops dropped
+    var edges = pairs
+      .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    val allNodes = edges.select(col("lo").as("node"))
+      .unionByName(edges.select(col("hi").as("node")))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      // neighborhoods over both directions; m(u) = min(Γ(u) ∪ {u})
+      val dir = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      dir.join(m, Seq("u"))
+        .filter(col("v") > col("u")) // larger neighbors re-point at the min
+        .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient toward the larger endpoint: u = hi, Γ⁻(u) = smaller neighbors
+      val dir = e.select(col("hi").as("u"), col("lo").as("v"))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("m")) // all v < u
+      dir.join(m, Seq("u"))
+        .select(col("v"), col("m"))
+        .filter(col("v") =!= col("m")) // smaller neighbors attach to the min...
+        .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
+        .unionByName(dir.join(m, Seq("u"))
+          .select(col("m").as("lo"), col("u").as("hi")).distinct()) // ...and u itself
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+    }
+
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      round += 1
+    }
+    require(converged, s"connectedComponentsAlternating: no fixpoint after $maxRounds rounds")
+    // fixpoint is a star forest: every non-root edge is (root, node)
+    allNodes.join(edges.select(col("lo").as("label"), col("hi").as("node")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   /** Assign every document a duplicate-cluster id (min member id; docs in no
     * pair are their own singleton cluster) plus the cluster size and a keeper
     * flag — the canonical-selection step of a dedup pipeline. Two keyed

@@ -29,6 +29,31 @@ class CurationSpec extends SparkSpec {
       (7L, 7L, 1L, true)))
   }
 
+  test("alternating star CC matches min-label CC on a random graph") {
+    val rng = new scala.util.Random(7)
+    val pairs = spark.createDataFrame(
+      (1 to 150).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+    ).toDF("a", "b")
+    val viaStars = Clustering.connectedComponentsAlternating(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLabels = Clustering.connectedComponents(pairs, "a", "b", maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaLabels)
+  }
+
+  test("alternating star CC solves a long chain in logarithmic rounds") {
+    // a 200-node path has diameter 199: min-label propagation would need
+    // ~200 rounds, the star algorithm must finish well inside 20
+    val chain = spark.createDataFrame(
+      (0L until 199L).map(i => (i, i + 1))
+    ).toDF("a", "b")
+    val labels = Clustering.connectedComponentsAlternating(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 200)
+    assert(labels.values.forall(_ == 0L), "every chain node must label to the minimum")
+  }
+
   test("connectedComponents fails loudly when the iteration cap is hit") {
     val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L), (3L, 4L))).toDF("a", "b")
     intercept[IllegalArgumentException] {
