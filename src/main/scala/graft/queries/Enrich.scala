@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-enrichment suite — the remaining stages a training-data pipeline
+  * runs between curation and training: benchmark decontamination (n-gram
+  * overlap against a held-out eval set), model-based quality scoring (a
+  * hashing-trick linear classifier evaluated as pure column arithmetic),
+  * URL/JSON metadata extraction, and cohort retention analytics over the
+  * event stream. Everything is oracle-gated; shuffles are keyed and the
+  * decontamination join broadcasts the (small) eval side.
+  */
+object Enrich {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- benchmark decontamination --------------------------------------------
+
+  /** Docs with `doc_id % 97 == 0` stand in for a held-out benchmark set. */
+  private val EvalMod = 97
+  private val DeconK = 8
+
+  /** Benchmark decontamination: flag every training document that shares at
+    * least one 8-token shingle with the eval set (the standard n-gram-overlap
+    * test-set-leakage check, e.g. GPT-3 appendix C / PaLM §7). Shingles are
+    * reduced to portable 64-bit hashes so the eval side is a compact
+    * broadcast — at 100 TB the training side streams through a broadcast
+    * semi-join with no shuffle; only the per-doc `distinct` is keyed. */
+  def txtDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(TextFunctions.shinglesFromTokens(col("t"), DeconK)).as("g"))
+      .select(col("doc_id"), TextFunctions.hash64(col("g")).as("gh"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("gh")).distinct()
+    val hits = grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.filter(col("doc_id") % EvalMod =!= 0)
+      .join(hits.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtDecontaminateOracle: String = {
+    val sh = TextFunctions.sql.shingles("text", DeconK)
+    val h64 = TextFunctions.sql.hash64("g")
+    s"""WITH sh AS (SELECT doc_id, $sh AS ss FROM documents),
+       |grams AS (
+       |  SELECT doc_id, $h64 AS gh
+       |  FROM (SELECT doc_id, unnest(ss) AS g FROM sh)),
+       |ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % $EvalMod = 0),
+       |hits AS (
+       |  SELECT DISTINCT doc_id FROM grams
+       |  WHERE doc_id % $EvalMod <> 0 AND gh IN (SELECT gh FROM ev))
+       |SELECT d.doc_id, h.doc_id IS NOT NULL AS contaminated
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $EvalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- hashing-trick linear quality classifier ------------------------------
+
+  /** Feature buckets and the deterministic per-bucket weight. Knuth's
+    * multiplicative constant spreads bucket ids over [-1, 1] in steps of
+    * 1e-3 — a stand-in for trained fastText-style classifier weights, which
+    * would ship as a broadcast array literal exactly the same way. */
+  private val ClsD = 512
+  private val ClsMult = 2654435761L
+
+  private def clsWeight(bucket: Column): Column =
+    ((bucket * ClsMult) % 2001L - 1000L).cast(DoubleType) / 1000.0
+
+  /** Model-based quality score: tokens → hash64 mod D buckets → per-bucket
+    * weight → mean margin, thresholded at 0. The fastText/logistic-quality
+    * filter shape (CCNet, GPT-3 §2.2) with the trained weights replaced by a
+    * deterministic formula, evaluated entirely as per-row column arithmetic:
+    * no shuffle, no UDF, no model server. The ordered `aggregate` fold keeps
+    * the double sum bit-identical to the oracle's `list_reduce`. */
+  def clsQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+      .select(col("doc_id"),
+        (aggregate(
+          transform(col("t"), tok => clsWeight(TextFunctions.hash64(tok) % ClsD)),
+          lit(0.0), (acc, w) => acc + w)
+          / size(col("t")).cast(DoubleType)).as("m"))
+      .select(col("doc_id"), col("m").as("quality_margin"),
+        (col("m") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val clsQualityOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = s"string_split_regex(trim($norm), '\\s+')"
+    val h64 = TextFunctions.sql.hash64("tok")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($toks,
+       |      tok -> CAST((($h64 % $ClsD) * $ClsMult) % 2001 - 1000 AS DOUBLE) / 1000.0)),
+       |      (acc, w) -> acc + w) / CAST(len($toks) AS DOUBLE) AS m
+       |  FROM documents)
+       |SELECT doc_id, m AS quality_margin, m > 0.0 AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- URL parsing ----------------------------------------------------------
+
+  /** URL metadata extraction with Spark's codegen'd `parse_url` (host, path,
+    * query, single query parameter) over URLs synthesized from document
+    * metadata — the crawl-provenance columns (domain, path, tracking params)
+    * every web-corpus pipeline extracts before domain-level filtering.
+    * Per-row, shuffle-free. */
+  def fnUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+          col("lang"), lit("/"), col("doc_id"),
+          lit("?page="), col("doc_id") % 10, lit("&ref="), col("source")).as("url"))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("page")).as("page"))
+      .orderBy(col("doc_id"))
+
+  val fnUrlOracle: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'https://' || source || '.example.org/docs/' || lang || '/' || doc_id
+       |      || '?page=' || (doc_id % 10) || '&ref=' || source AS url
+       |  FROM documents WHERE doc_id < 200)
+       |SELECT doc_id, url,
+       |  regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+       |  regexp_extract(url, 'https://[^/]+([^?]*)', 1) AS path,
+       |  regexp_extract(url, '\\?(.*)$$', 1) AS query,
+       |  regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  // ---- JSON extraction ------------------------------------------------------
+
+  /** JSON field extraction from the event `props` payload with Spark's
+    * `get_json_object` (JSONPath) — semi-structured metadata is the norm for
+    * crawl/event records; extraction stays per-row and codegen-adjacent
+    * (Jackson under the hood), far cheaper than a full `from_json` schema
+    * parse when only one field is needed. Aggregates the extracted value to
+    * prove it round-trips as a number. */
+  def fnJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val fnJsonOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  MIN(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+       |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- cohort retention -----------------------------------------------------
+
+  /** Classic cohort retention: users grouped by first-activity date, distinct
+    * active users at each day offset 0..7. Two keyed shuffles (user_id for
+    * the cohort assignment, then (cohort_date, day_n) for the matrix) — the
+    * cohort side is a per-user aggregate joined back on the same user_id
+    * key, so AQE can plan it shuffle-hash without re-partitioning. */
+  def evtRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("d"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    e.join(cohort, Seq("user_id"))
+      .select(col("user_id"), col("cohort_d"),
+        datediff(col("d"), col("cohort_d")).cast(LongType).as("day_n"))
+      .filter(col("day_n") <= 7)
+      .groupBy(col("cohort_d"), col("day_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_d"), col("day_n"))
+  }
+
+  val evtRetentionOracle: String =
+    s"""WITH e AS (SELECT user_id, date_trunc('day', ts) AS d FROM events),
+       |cohort AS (SELECT user_id, MIN(d) AS cohort_d FROM e GROUP BY user_id)
+       |SELECT c.cohort_d, date_diff('day', c.cohort_d, e.d) AS day_n,
+       |  COUNT(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN cohort c ON e.user_id = c.user_id
+       |WHERE date_diff('day', c.cohort_d, e.d) <= 7
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "txt_decontaminate" -> ((txtDecontaminate _, Some(txtDecontaminateOracle))),
+    "cls_quality" -> ((clsQuality _, Some(clsQualityOracle))),
+    "fn_url" -> ((fnUrl _, Some(fnUrlOracle))),
+    "fn_json" -> ((fnJson _, Some(fnJsonOracle))),
+    "evt_retention" -> ((evtRetention _, Some(evtRetentionOracle)))
+  )
+}

@@ -178,6 +178,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "top-20 should be top-k:\n" + plan.take(1500))
   }
 
+  test("txt_decontaminate: the eval-gram side broadcasts into a semi join") {
+    val plan = executedPlan("txt_decontaminate")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "training grams must stream through a broadcast semi join (eval side is small):\n" +
+        plan.take(1500))
+  }
+
+  test("cls_quality: per-row scoring needs no keyed shuffle") {
+    val plan = executedPlan("cls_quality")
+    assert(!plan.contains("hashpartitioning"),
+      "classifier scoring is per-row; only the final sort may exchange:\n" + plan.take(1500))
+  }
+
+  test("evt_retention: cohort assignment and matrix both partial-aggregate") {
+    val plan = executedPlan("evt_retention")
+    assert(plan.contains("partial_min") || plan.contains("partial_first"),
+      "cohort min(date) must combine map-side:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
