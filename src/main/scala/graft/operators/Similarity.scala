@@ -97,6 +97,39 @@ object Similarity {
     }.toDF("id_a", "id_b", "raw_score")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):
+    * assign every vector to its nearest seed centroid (IVF cell), generate
+    * candidate pairs only WITHIN a cell, and mark a vector as a duplicate
+    * iff it has a lower-id in-cell neighbor with cosine >= `threshold`.
+    * Keeping the lowest id per neighborhood is the deterministic stand-in
+    * for the paper's keep-one-per-group rule.
+    *
+    * Scale design: this is the whole point of SemDeDup — the O(N²) cosine
+    * comparison collapses to O(Σ |cell|²), and cell size is controlled by
+    * `nCells` (production: nCells ~ N/1000, centroids from
+    * [[kmeansCells]]). The assignment broadcast is C rows; the pair join is
+    * keyed on cell_id — never a cartesian. The cheap `raw` prefilter runs
+    * before `round` because Round allocates a BigDecimal per row (see
+    * [[cosinePairsBlocked]]'s note); `threshold - 1e-5` is safely below the
+    * smallest raw value that rounds to >= threshold at 6 decimals. */
+  def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double): DataFrame = {
+    val asg = ivfAssign(corpus, nCells)
+    val a = asg.select(col("cell_id"), col("corpus_id").as("id_a"),
+      col("c_vec").as("emb_a"), col("corpus_id_norm").as("norm_a"))
+    val b = asg.select(col("cell_id"), col("corpus_id").as("id_b"),
+      col("c_vec").as("emb_b"), col("corpus_id_norm").as("norm_b"))
+    val dupIds = a.join(b, Seq("cell_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("raw",
+        VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("raw") >= threshold - 1e-5)
+      .filter(round(col("raw"), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    asg.select(col("corpus_id").as("vec_id"), col("cell_id"))
+      .join(dupIds.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("dup").isNull.as("is_kept"))
+  }
+
   /** IVF-style ANN: partition the corpus into `nCells` inverted lists by
     * nearest centroid, probe the `nProbe` closest cells per query, and
     * brute-force only inside probed cells.

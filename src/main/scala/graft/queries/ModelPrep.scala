@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-preparation suite — the last pipeline tier before training data is
+  * fixed: semantic (embedding-cluster) deduplication, statistical-LM quality
+  * scoring, and temperature-scaled domain mixing. All oracle-gated against
+  * DuckDB with bit-exact float strategies (ordered left-fold sums, raw
+  * prefilter before round, integer-exact count arithmetic).
+  */
+object ModelPrep {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- semantic dedup (SemDeDup) --------------------------------------------
+
+  /** Cluster embeddings into IVF cells, near-dup pairs only within a cell,
+    * keep the lowest id per semantic neighborhood. See
+    * [[Similarity.semanticDedup]] for the scale analysis. */
+  def dedSemantic(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(spark, dir), nCells = 16, threshold = 0.4)
+      .orderBy(col("vec_id"))
+
+  val dedSemanticOracle: String = {
+    import Pipeline.sqlCosine
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY round(${sqlCosine("c.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings c CROSS JOIN cent ct) t WHERE rn = 1),
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4)
+       |SELECT asg.vec_id, asg.cell_id, dup.vec_id IS NULL AS is_kept
+       |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
+  }
+
+  // ---- statistical-LM quality score -----------------------------------------
+
+  /** Bigram language-model scoring (the CCNet-style quality filter,
+    * arXiv:1911.00359 §4.3, with a corpus-trained add-one bigram LM standing
+    * in for KenLM): per doc, the mean log P(w_i | w_{i-1}) under
+    * P(w|prev) = (c(prev,w)+1) / (c(prev)+V). Low scores flag
+    * incoherent/outlier text; the score doubles as a perplexity ranking
+    * (ppl = exp(-avg_logp)).
+    *
+    * Scale design: counting is two map-side-combined keyed aggregations
+    * (vocabulary- and bigram-bounded, not corpus-bounded — at 100 TB both
+    * fit comfortably and Spark broadcasts them back onto the token stream);
+    * the per-doc sum is a window keyed by doc_id. Bit-exactness: each logp
+    * is rounded to 9 decimals (absorbs sub-ulp libm drift between engines),
+    * then summed in token order via a running window sum — matching the
+    * oracle's sequential list_reduce left fold; a plain SUM would be
+    * partition-order-dependent in Spark and segment-tree-shaped in DuckDB. */
+  def txtLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
+    val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tok2 = tok.withColumn("wprev", lag(col("w"), 1).over(lagW))
+    val bi = tok2.filter(col("wprev").isNotNull)
+    val c1 = tok2.groupBy(col("w")).agg(count(lit(1)).as("c1cnt"))
+      .withColumnRenamed("w", "wprev")
+    val cbi = bi.groupBy(col("wprev"), col("w")).agg(count(lit(1)).as("bicnt"))
+    val vocab = tok2.agg(countDistinct(col("w")).as("vocab"))
+    val lp = bi
+      .join(cbi, Seq("wprev", "w"))
+      .join(c1, Seq("wprev"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"),
+        round(log((col("bicnt") + lit(1.0)) / (col("c1cnt") + col("vocab"))), 9).as("logp"))
+    val sw = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    lp
+      .withColumn("run",
+        sum(col("logp")).over(sw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(sw))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("rn") === col("n"))
+      .select(col("doc_id"), col("n").cast(LongType).as("n_bigrams"),
+        (col("run") / col("n")).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtLmScoreOracle: String = {
+    val toks = TextFunctions.sql.tokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM base),
+       |tok2 AS (SELECT doc_id, pos, t[pos] AS w,
+       |  CASE WHEN pos >= 2 THEN t[pos-1] END AS wprev FROM tok),
+       |c1 AS (SELECT w, COUNT(*) AS cnt FROM tok2 GROUP BY w),
+       |cbi AS (SELECT wprev, w, COUNT(*) AS cnt FROM tok2 WHERE pos >= 2 GROUP BY wprev, w),
+       |v AS (SELECT COUNT(DISTINCT w) AS vocab FROM tok2),
+       |lp AS (
+       |  SELECT t.doc_id, t.pos,
+       |    round(ln((cbi.cnt + 1.0) / (c1.cnt + v.vocab)), 9) AS logp
+       |  FROM tok2 t JOIN cbi ON t.wprev = cbi.wprev AND t.w = cbi.w
+       |    JOIN c1 ON t.wprev = c1.w CROSS JOIN v
+       |  WHERE t.pos >= 2),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (x, y) -> x + y) AS sum_lp
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_lp / n_bigrams AS avg_logp
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- temperature-scaled domain mixture ------------------------------------
+
+  /** Temperature-scaled language mixing (the multilingual sampling rule of
+    * arXiv:1901.07291 §3.1 / mC4, alpha = 0.5): domain l gets sampling share
+    * n_l^alpha / sum_m n_m^alpha of a 50%-of-corpus budget, which up-weights
+    * tail languages and down-weights the head relative to natural frequency.
+    * Docs fill each quota in md5(doc_id) order — the same deterministic,
+    * engine-independent rule as smp_stratified, so the chosen set is
+    * reproducible across runs, engines, and cluster layouts.
+    *
+    * Scale design: per-domain counts are one map-side-combined agg over a
+    * 2-column projection; the quota table is domain-bounded (broadcast); the
+    * only data-sized shuffle is the per-domain ranking window. sqrt is
+    * IEEE-exact and the tiny denominator fold is ordered by lang, so quotas
+    * are bit-identical on any engine. */
+  def smpMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"), sqrt(col("n_docs").cast(DoubleType)).as("wgt"))
+    val byLang = Window.orderBy(col("lang"))
+    val full = Window.partitionBy(lit(1))
+    val tot = stats
+      .withColumn("run",
+        sum(col("wgt")).over(byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(byLang))
+      .withColumn("nl", count(lit(1)).over(full))
+      .withColumn("n_total", sum(col("n_docs")).over(full))
+      .filter(col("rn") === col("nl"))
+      .select(col("run").as("denom"), col("n_total"))
+    val quota = stats.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(col("n_total") * lit(0.5) * col("wgt") / col("denom"))
+          .cast(LongType).as("quota"))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast(StringType).cast(BinaryType)), col("doc_id"))
+    docs.withColumn("rk", row_number().over(rw))
+      .join(broadcast(quota), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("quota"), (col("rk") <= col("quota")).as("sampled"))
+      .orderBy(col("doc_id"))
+  }
+
+  val smpMixtureOracle: String =
+    """WITH lc AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+      |  list_reduce(list_prepend(0.0, list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+      |    (x, y) -> x + y) AS denom
+      |  FROM lc),
+      |quota AS (
+      |  SELECT lc.lang,
+      |    CAST(floor(n_total * 0.5 * sqrt(CAST(lc.n_docs AS DOUBLE)) / denom) AS BIGINT) AS quota
+      |  FROM lc CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, q.quota, r.rk <= q.quota AS sampled
+      |FROM ranked r JOIN quota q ON r.lang = q.lang
+      |ORDER BY r.doc_id""".stripMargin
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
+    "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
+    "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle)))
+  )
+}

@@ -388,6 +388,32 @@ object SourcesDdl {
        |GROUP BY s_nationkey
        |ORDER BY s_nationkey""".stripMargin
 
+  // ---- ORC round-trip — beyond the reference's format list (Parquet/CSV/
+  // JSON/Avro): Spark ships a native vectorized ORC reader/writer, so the
+  // columnar-format surface is wider here at zero cost. Same value-check
+  // shape as src_avro: the oracle aggregates the parquet original, so the
+  // ORC write+read must preserve every row to hash-match. -------------------
+
+  def srcOrc(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val p = tmpPath("src_orc")
+    customer.write.mode("overwrite").orc(p)
+    spark.read.schema(customer.schema).orc(p)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        Dsl.d(sum(Dsl.dec(col("c_acctbal")))).as("total_bal"),
+        min(col("c_name")).as("first_name"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val srcOrcOracle: String =
+    s"""SELECT c_nationkey, COUNT(*) AS n_customers,
+       |       ${Dsl.sql.dsum(Dsl.sql.dec("c_acctbal"))} AS total_bal,
+       |       min(c_name) AS first_name
+       |FROM customer
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   // ---- Runtime custom table provider (reference: CustomTableScanNode,
   // datafusion.proto:126-132; register_table, client/src/context.rs:254-262)
   // — a DataSource V2 TableProvider registered at runtime and queried
@@ -426,6 +452,7 @@ object SourcesDdl {
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "src_avro" -> ((srcAvro _, Some(srcAvroOracle))),
+    "src_orc" -> ((srcOrc _, Some(srcOrcOracle))),
     "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),

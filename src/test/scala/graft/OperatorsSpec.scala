@@ -113,6 +113,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") > 0.99)
   }
 
+  test("semantic dedup drops the higher-id near-identical vector, keeps distinct ones") {
+    // vecs 0/1 seed two cells; 2 is nearly parallel to 0 (same cell, cos ~1),
+    // 3 is nearly parallel to 1. The lower id of each neighborhood is kept.
+    val vecs = spark.createDataFrame(Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f)),
+      (3L, Array(0.01f, 0.99f, 0.0f))
+    )).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("LSH buckets put identical-direction vectors together") {
     val pairs = Similarity.lshPairs(vecs, 64, 8, 0.9)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -198,6 +198,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("ded_semantic: cell assignment broadcasts centroids; pair join keyed, no cartesian") {
+    val plan = executedPlan("ded_semantic")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      "centroid side must broadcast:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairs must come from a keyed join on cell_id:\n" + plan.take(1500))
+  }
+
+  test("txt_lmscore: count tables partial-aggregate; no cartesian in the LM joins") {
+    val plan = executedPlan("txt_lmscore")
+    assert(plan.contains("partial_count"),
+      "unigram/bigram counting must combine map-side:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("smp_mixture: quota side broadcasts onto the ranked stream") {
+    val plan = executedPlan("smp_mixture")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the domain-bounded quota table must broadcast:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
