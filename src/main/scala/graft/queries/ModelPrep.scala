@@ -176,9 +176,103 @@ object ModelPrep {
       |FROM ranked r JOIN quota q ON r.lang = q.lang
       |ORDER BY r.doc_id""".stripMargin
 
+  // ---- exact-substring span dedup -------------------------------------------
+
+  /** Exact-substring deduplication at token-segment granularity (the
+    * ExactSubstr pass of Lee et al., arXiv:2107.06499: repeated spans are
+    * REMOVED from documents, not whole docs dropped). Docs are segmented
+    * into non-overlapping 10-token spans; a span whose exact text occurs
+    * >= 2 times corpus-wide is cut, and the survivors are re-joined in
+    * order into the cleaned text.
+    *
+    * Scale design: segment counting is one map-side-combined agg keyed by
+    * span text; the flag join is keyed the same way (the suffix-array
+    * machinery of the paper is what this replaces — counting fixed-width
+    * spans is the shuffle-friendly formulation). Reassembly sorts a
+    * per-doc-bounded struct array (seg_idx unique within doc), never a
+    * global sort. */
+  def dedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0L), ceil(size(col("t")) / lit(10.0)) - 1),
+          i => array_join(slice(col("t"), (i * 10 + 1).cast(IntegerType), lit(10)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val cnt = seg.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    seg.join(cnt, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(when(col("n") >= 2, 1)).as("n_dup_segments"),
+        array_join(transform(
+          sort_array(collect_list(when(col("n") < 2, struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        (col("n_dup_segments").cast(DoubleType) / col("n_segments")).as("dup_frac"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedSpansOracle: String = {
+    val toks = TextFunctions.sql.tokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS seg_idx, t
+       |  FROM base),
+       |seg2 AS (
+       |  SELECT doc_id, seg_idx,
+       |    array_to_string(list_slice(t, seg_idx * 10 + 1, seg_idx * 10 + 10), ' ') AS seg
+       |  FROM seg),
+       |cnt AS (SELECT seg, COUNT(*) AS n FROM seg2 GROUP BY seg),
+       |j AS (SELECT s.doc_id, s.seg_idx, s.seg, c.n FROM seg2 s JOIN cnt c ON s.seg = c.seg)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(COUNT(*) FILTER (n >= 2) AS BIGINT) AS n_dup_segments,
+       |  CAST(COUNT(*) FILTER (n >= 2) AS DOUBLE) / COUNT(*) AS dup_frac,
+       |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (n < 2), '') AS clean_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- overlapping passage chunking -----------------------------------------
+
+  /** Fixed-budget passage chunking with overlap (size 32 tokens, stride 24 —
+    * the standard retrieval/embedding prep step: every token is covered,
+    * consecutive chunks share an 8-token context window). Pure per-row
+    * generate — no shuffle anywhere, embarrassingly parallel at 100 TB; the
+    * chunk set feeds straight into the embedding + IVF index path
+    * (sim_kmeans / sim_ivf). */
+  def txtChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), posexplode(
+        sequence(lit(0L), floor(greatest(size(col("t")) - 32, lit(0)) / lit(24.0))))
+        .as(Seq("p0", "chunk_id")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("t"), (col("chunk_id") * 24 + 1).cast(IntegerType), lit(32)))
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(col("t"), (col("chunk_id") * 24 + 1).cast(IntegerType), lit(32)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val txtChunksOracle: String = {
+    val toks = TextFunctions.sql.tokens("text")
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+       |idx AS (
+       |  SELECT doc_id, t,
+       |    unnest(generate_series(0,
+       |      CAST(floor(greatest(len(t) - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
+       |  FROM base)
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk_text
+       |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
     "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
-    "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle)))
+    "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle))),
+    "ded_spans" -> ((dedSpans _, Some(dedSpansOracle))),
+    "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle)))
   )
 }

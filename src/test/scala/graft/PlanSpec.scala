@@ -220,6 +220,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1500))
   }
 
+  test("ded_spans: span counting partial-aggregates; flag join keyed, no cartesian") {
+    val plan = executedPlan("ded_spans")
+    assert(plan.contains("partial_count"),
+      "span frequency must combine map-side:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("txt_chunks: chunking is a pure per-row generate, no keyed shuffle") {
+    val plan = executedPlan("txt_chunks")
+    assert(!plan.contains("hashpartitioning"),
+      "chunk expansion is per-row; only the final sort may exchange:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
