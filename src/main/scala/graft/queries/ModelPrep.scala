@@ -27,9 +27,10 @@ object ModelPrep {
     Similarity.semanticDedup(Tables.embeddings(spark, dir), nCells = 16, threshold = 0.4)
       .orderBy(col("vec_id"))
 
-  val dedSemanticOracle: String = {
+  /** CTE fragment shared by the standalone oracle and cur_funnel2. */
+  private[queries] val semCtes: String = {
     import Pipeline.sqlCosine
-    s"""WITH cent AS (
+    s"""cent AS (
        |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
        |asg AS (
        |  SELECT vec_id, cell_id FROM (
@@ -42,11 +43,14 @@ object ModelPrep {
        |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
        |  JOIN embeddings eb ON eb.vec_id = b.vec_id
-       |  WHERE round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4)
+       |  WHERE round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4)""".stripMargin
+  }
+
+  val dedSemanticOracle: String =
+    s"""WITH $semCtes
        |SELECT asg.vec_id, asg.cell_id, dup.vec_id IS NULL AS is_kept
        |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
        |ORDER BY asg.vec_id""".stripMargin
-  }
 
   // ---- statistical-LM quality score -----------------------------------------
 
@@ -94,9 +98,10 @@ object ModelPrep {
       .orderBy(col("doc_id"))
   }
 
-  val txtLmScoreOracle: String = {
+  /** CTE fragment shared by the standalone oracle and cur_funnel2. */
+  private[queries] val lmCtes: String = {
     val toks = TextFunctions.sql.tokens("text")
-    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""base AS (SELECT doc_id, $toks AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t FROM base),
        |tok2 AS (SELECT doc_id, pos, t[pos] AS w,
        |  CASE WHEN pos >= 2 THEN t[pos-1] END AS wprev FROM tok),
@@ -109,13 +114,16 @@ object ModelPrep {
        |  FROM tok2 t JOIN cbi ON t.wprev = cbi.wprev AND t.w = cbi.w
        |    JOIN c1 ON t.wprev = c1.w CROSS JOIN v
        |  WHERE t.pos >= 2),
-       |agg AS (
+       |lmagg AS (
        |  SELECT doc_id, COUNT(*) AS n_bigrams,
        |    list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (x, y) -> x + y) AS sum_lp
-       |  FROM lp GROUP BY doc_id)
-       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_lp / n_bigrams AS avg_logp
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |  FROM lp GROUP BY doc_id)""".stripMargin
   }
+
+  val txtLmScoreOracle: String =
+    s"""WITH $lmCtes
+       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sum_lp / n_bigrams AS avg_logp
+       |FROM lmagg ORDER BY doc_id""".stripMargin
 
   // ---- temperature-scaled domain mixture ------------------------------------
 
@@ -268,11 +276,65 @@ object ModelPrep {
        |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---- end-to-end model-prep funnel -----------------------------------------
+
+  /** The model-prep tier composed: exact-dedup keepers → bigram-LM quality
+    * gate (avg_logp >= -3.45, corpus-trained) → semantic dedup survivors
+    * (embeddings joined on doc id; docs without an embedding pass through —
+    * no semantic evidence is not a drop reason). Per-language funnel counts,
+    * the report a curation run ships. Every stage is the already-gated
+    * operator, so the funnel adds joins keyed on doc_id and one small agg —
+    * nothing that changes the scale story of its parts. */
+  def curFunnel2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val keepers = graft.operators.Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("keeper_id").as("doc_id"), lit(true).as("is_keeper"))
+    val lm = txtLmScore(spark, dir)
+      .select(col("doc_id"), (col("avg_logp") >= -3.45).as("passes_lm"))
+    val sem = dedSemantic(spark, dir).select(col("vec_id").as("doc_id"), col("is_kept"))
+    docs
+      .join(keepers, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_keeper"), 1)).as("n_keepers"),
+        count(when(col("is_keeper") && col("passes_lm"), 1)).as("n_lm"),
+        count(when(col("is_keeper") && col("passes_lm")
+          && coalesce(col("is_kept"), lit(true)), 1)).as("n_final"))
+      .orderBy(col("lang"))
+  }
+
+  val curFunnel2Oracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH $lmCtes,
+       |$semCtes,
+       |keepers AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($norm)),
+       |lmgate AS (
+       |  SELECT doc_id, (sum_lp / n_bigrams) >= -3.45 AS passes_lm FROM lmagg),
+       |sem AS (
+       |  SELECT asg.vec_id AS doc_id, dup.vec_id IS NULL AS is_kept
+       |  FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL) AS n_keepers,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL AND q.passes_lm) AS n_lm,
+       |  COUNT(*) FILTER (k.doc_id IS NOT NULL AND q.passes_lm
+       |    AND coalesce(s.is_kept, TRUE)) AS n_final
+       |FROM documents d
+       |LEFT JOIN keepers k ON d.doc_id = k.doc_id
+       |LEFT JOIN lmgate q ON d.doc_id = q.doc_id
+       |LEFT JOIN sem s ON d.doc_id = s.doc_id
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
     "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
     "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle))),
     "ded_spans" -> ((dedSpans _, Some(dedSpansOracle))),
-    "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle)))
+    "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle))),
+    "cur_funnel2" -> ((curFunnel2 _, Some(curFunnel2Oracle)))
   )
 }

@@ -414,6 +414,47 @@ object SourcesDdl {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  // ---- Schema-evolution read (mergeSchema) — the listing-table analog of
+  // evolving file schemas under one table root (reference exposes per-file
+  // schemas through ListingTable; Spark's mergeSchema unions parquet
+  // footers at planning time). Two generations are written with different
+  // column sets; the merged read must surface the union schema with nulls
+  // where a generation lacks the column. ------------------------------------
+
+  def srcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val p = tmpPath("src_merge")
+    // gen 1: key+name only; gen 2: key+region — different column sets
+    nation.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$p/gen=1")
+    nation.select(col("n_nationkey"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$p/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .groupBy(col("n_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("n_name")).as("with_name"),
+        count(col("n_regionkey")).as("with_region"),
+        min(col("n_name")).as("name"),
+        min(col("n_regionkey")).as("regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Oracle restates the merged read as a UNION ALL BY NAME of the two
+    * generations' projections over the parquet original. */
+  val srcMergeOracle: String =
+    """WITH merged AS (
+      |  SELECT n_nationkey, n_name, NULL::INTEGER AS n_regionkey FROM nation
+      |  UNION ALL
+      |  SELECT n_nationkey, NULL, n_regionkey FROM nation)
+      |SELECT n_nationkey, COUNT(*) AS n_rows,
+      |  COUNT(n_name) AS with_name,
+      |  COUNT(n_regionkey) AS with_region,
+      |  min(n_name) AS name,
+      |  min(n_regionkey) AS regionkey
+      |FROM merged
+      |GROUP BY n_nationkey
+      |ORDER BY n_nationkey""".stripMargin
+
   // ---- Runtime custom table provider (reference: CustomTableScanNode,
   // datafusion.proto:126-132; register_table, client/src/context.rs:254-262)
   // — a DataSource V2 TableProvider registered at runtime and queried
@@ -453,6 +494,7 @@ object SourcesDdl {
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "src_avro" -> ((srcAvro _, Some(srcAvroOracle))),
     "src_orc" -> ((srcOrc _, Some(srcOrcOracle))),
+    "src_merge" -> ((srcMerge _, Some(srcMergeOracle))),
     "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),

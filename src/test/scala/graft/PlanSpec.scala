@@ -233,6 +233,13 @@ class PlanSpec extends SparkSpec {
       "chunk expansion is per-row; only the final sort may exchange:\n" + plan.take(1500))
   }
 
+  test("cur_funnel2: stage joins are keyed on doc_id, never a cartesian") {
+    val plan = executedPlan("cur_funnel2")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("partial_count"),
+      "funnel counts must combine map-side:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
