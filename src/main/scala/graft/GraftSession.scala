@@ -37,6 +37,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // on by default under AQE, pinned explicitly: Zipf-skewed join keys
+      // (token/bigram count joins, hot foreign keys) get their oversized
+      // partitions split at runtime instead of stalling one reducer
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long (ns since epoch) and convert explicitly.

@@ -62,9 +62,14 @@ object ModelPrep {
     * (ppl = exp(-avg_logp)).
     *
     * Scale design: counting is two map-side-combined keyed aggregations
-    * (vocabulary- and bigram-bounded, not corpus-bounded — at 100 TB both
-    * fit comfortably and Spark broadcasts them back onto the token stream);
-    * the per-doc sum is a window keyed by doc_id. Bit-exactness: each logp
+    * (vocabulary- and bigram-bounded, not corpus-bounded); the count tables
+    * broadcast back onto the token stream while they fit. At 100 TB the
+    * bigram table outgrows broadcast and the count join's keys are
+    * Zipf-skewed (every occurrence of "the" lands on one reducer) — that is
+    * the AQE skew-join case (enabled in GraftSession; splits the hot
+    * partition at runtime), with [[graft.operators.Skew.saltedJoin]] as the
+    * deterministic fallback. The per-doc sum is a window keyed by doc_id.
+    * Bit-exactness: each logp
     * is rounded to 9 decimals (absorbs sub-ulp libm drift between engines),
     * then summed in token order via a running window sum — matching the
     * oracle's sequential list_reduce left fold; a plain SUM would be
