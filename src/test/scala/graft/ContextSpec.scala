@@ -36,6 +36,42 @@ class ContextSpec extends SparkSpec {
     assert(cfg("ballista.shuffle.partitions") == spark.conf.get("spark.sql.shuffle.partitions"))
   }
 
+  // ---- EXPLAIN / ANALYZE (reference: ExplainNode/AnalyzeNode,
+  // core/proto/datafusion.proto — EXPLAIN returns the plan as rows, ANALYZE
+  // executes and reports; both are engine-specific text by design, so they
+  // are pinned by spec rather than a DuckDB oracle row) ---------------------
+
+  test("EXPLAIN through SQL returns the physical plan with pushdown visible") {
+    ctx.registerParquet("ctx_lineitem", s"$sfDir/lineitem.parquet")
+    val rows = ctx.sql(
+      "EXPLAIN FORMATTED SELECT l_orderkey FROM ctx_lineitem WHERE l_quantity > 10")
+      .collect()
+    assert(rows.nonEmpty)
+    val text = rows.map(_.getString(0)).mkString("\n")
+    assert(text.contains("Scan parquet"), text.take(500))
+    assert(text.contains("PushedFilters") && text.contains("l_quantity"),
+      "EXPLAIN output must show the filter pushed into the scan:\n" + text.take(800))
+  }
+
+  test("ANALYZE TABLE records size and row-count statistics in the catalog") {
+    ctx.sql("DROP TABLE IF EXISTS ctx_supplier_stats")
+    // the in-memory catalog forgets tables across sessions but the warehouse
+    // dir survives — clear it so saveAsTable never trips LOCATION_ALREADY_EXISTS
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), "ctx_supplier_stats")
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    ctx.readParquet(s"$sfDir/supplier.parquet")
+      .write.mode("overwrite").saveAsTable("ctx_supplier_stats")
+    ctx.sql("ANALYZE TABLE ctx_supplier_stats COMPUTE STATISTICS")
+    val stats = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("ctx_supplier_stats"))
+      .stats
+    assert(stats.isDefined, "no stats recorded after ANALYZE")
+    assert(stats.get.rowCount.exists(_.toLong > 0), s"rowCount missing: ${stats.get}")
+    assert(stats.get.sizeInBytes > 0, s"sizeInBytes missing: ${stats.get}")
+    ctx.sql("DROP TABLE ctx_supplier_stats")
+  }
+
   // ---- object-store registry (reference: object_store_registry/mod.rs:
   // 27-60). The connector jars are deployment-time classpath additions —
   // absent here — so these pin what IS testable without egress: the
