@@ -206,6 +206,8 @@ object ModelPrep {
     * global sort. */
   def dedSpans(spark: SparkSession, dir: String): DataFrame = {
     val seg = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // see txtChunks — null text must drop
+      // identically on both sides, not fabricate empty segments via size()=-1
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0L), ceil(size(col("t")) / lit(10.0)) - 1),
@@ -227,7 +229,7 @@ object ModelPrep {
 
   val dedSpansOracle: String = {
     val toks = TextFunctions.sql.tokens("text")
-    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL),
        |seg AS (
        |  SELECT doc_id,
        |    unnest(generate_series(0, CAST(ceil(len(t) / 10.0) AS BIGINT) - 1)) AS seg_idx, t
@@ -256,9 +258,13 @@ object ModelPrep {
     * (sim_kmeans / sim_ivf). */
   def txtChunks(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("text").isNotNull) // null text tokenizes to size -1 in Spark
+      // but vanishes in the oracle — drop it identically on both sides
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      // ceil, not floor: the final partial window must still be emitted or
+      // the last (n-32) mod 24 tokens of every document silently vanish
       .select(col("doc_id"), col("t"), posexplode(
-        sequence(lit(0L), floor(greatest(size(col("t")) - 32, lit(0)) / lit(24.0))))
+        sequence(lit(0L), ceil(greatest(size(col("t")) - 32, lit(0)) / lit(24.0))))
         .as(Seq("p0", "chunk_id")))
       .select(col("doc_id"), col("chunk_id"),
         size(slice(col("t"), (col("chunk_id") * 24 + 1).cast(IntegerType), lit(32)))
@@ -269,11 +275,11 @@ object ModelPrep {
 
   val txtChunksOracle: String = {
     val toks = TextFunctions.sql.tokens("text")
-    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""WITH base AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL),
        |idx AS (
        |  SELECT doc_id, t,
        |    unnest(generate_series(0,
-       |      CAST(floor(greatest(len(t) - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
+       |      CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS BIGINT))) AS chunk_id
        |  FROM base)
        |SELECT doc_id, chunk_id,
        |  CAST(len(list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT) AS n_tokens,

@@ -4,18 +4,20 @@ package graft
   * bit-exact float arithmetic must produce IDENTICAL bytes under a different
   * shuffle layout — the property that makes their results reproducible on a
   * 1000-executor cluster, not just on this box. Each test re-runs the query
-  * with a co-prime shuffle-partition count and compares full collected
-  * output with strict Row equality (java.lang.Double.equals — distinguishes
-  * -0.0 and NaN, stricter than ==).
+  * with a co-prime shuffle-partition count and compares the rendered rows
+  * (Row equality would coerce -0.0 == 0.0 via boxed numeric equality;
+  * toString preserves the sign, so a fold-order sign flip fails the test).
   */
 class DeterminismSpec extends SparkSpec {
 
   private def runTwice(name: String): Unit = {
-    val a = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+    def render(): Seq[String] =
+      SparkEntry.queries(name)(spark, sfDir).collect().toSeq.map(_.toString)
+    val a = render()
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try {
-      val b = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      val b = render()
       assert(a == b, s"$name differs under 7 shuffle partitions")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
