@@ -1048,6 +1048,86 @@ object Coverage {
         col("now_c").cast("date") >= col("today_c"))
       .orderBy(col("n_nationkey"))
 
+  // ---- pivot / unpivot / lateral -------------------------------------------
+
+  /** PIVOT: wide per-group columns from a categorical column (reference:
+    * DataFusion exposes this via CASE-aggregation; Spark has a native
+    * `.pivot` that plans to the same single hash-aggregate — one shuffle on
+    * the group key, no per-pivot-value scan, so it holds at any scale).
+    * Counts are coalesced to 0 to match SQL `COUNT(*) FILTER`, which never
+    * returns NULL; sums stay NULL for empty cells on both sides. */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("qty"))
+      .select(col("l_returnflag"),
+        coalesce(col("F_n"), lit(0L)).as("n_f"),
+        coalesce(col("O_n"), lit(0L)).as("n_o"),
+        col("F_qty").as("qty_f"), col("O_qty").as("qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  val aggPivotOracle: String = {
+    import sql._
+    s"""SELECT l_returnflag,
+       |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+       |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS n_o,
+       |  CAST(SUM(${dec("l_quantity")}) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f,
+       |  CAST(SUM(${dec("l_quantity")}) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** UNPIVOT: melt measure columns to (metric, value) rows via Spark's native
+    * `unpivot` (no join, no explode — a single projection that emits k rows
+    * per input row, pipelined inside the scan stage), then aggregate.
+    * Oracle uses the portable UNION ALL formulation. */
+  def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), d(sum(dec(col("value")))).as("total"))
+      .orderBy(col("metric"))
+
+  val aggUnpivotOracle: String = {
+    import sql._
+    s"""SELECT metric, COUNT(*) AS n, ${dsum(dec("value"))} AS total
+       |FROM (
+       |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+       |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+       |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem) u
+       |GROUP BY metric
+       |ORDER BY metric""".stripMargin
+  }
+
+  /** LATERAL correlated derived table (SQL:1999 surface; Spark ≥3.2 plans the
+    * correlated aggregate as a decorrelated outer join + hash aggregate — one
+    * keyed shuffle, no per-row re-execution, so the lateral form costs the
+    * same as the hand-written join at any scale). */
+  def joinLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT c_custkey, t.n_orders, t.max_price
+        |FROM customer, LATERAL (
+        |  SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        |  FROM orders WHERE o_custkey = c_custkey) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val joinLateralOracle: String =
+    """SELECT c_custkey, t.n_orders, t.max_price
+      |FROM customer, LATERAL (
+      |  SELECT COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+      |  FROM orders WHERE o_custkey = c_custkey) t
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -1093,6 +1173,9 @@ object Coverage {
     "fn_conditional" -> ((fnConditional _, Some(fnConditionalOracle))),
     "fn_registry" -> ((fnRegistry _, Some(fnRegistryOracle))),
     "fn_nondet" -> ((fnNondet _, None)),
-    "gen_explode" -> ((genExplode _, Some(genExplodeOracle)))
+    "gen_explode" -> ((genExplode _, Some(genExplodeOracle))),
+    "agg_pivot" -> ((aggPivot _, Some(aggPivotOracle))),
+    "agg_unpivot" -> ((aggUnpivot _, Some(aggUnpivotOracle))),
+    "join_lateral" -> ((joinLateral _, Some(joinLateralOracle)))
   )
 }

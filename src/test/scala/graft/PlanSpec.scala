@@ -240,6 +240,29 @@ class PlanSpec extends SparkSpec {
       "funnel counts must combine map-side:\n" + plan.take(1500))
   }
 
+  test("agg_pivot: pivot rewrites to one two-phase aggregate, no per-value scans") {
+    val plan = executedPlan("agg_pivot")
+    assert(plan.contains("partial_"),
+      "pivot must combine map-side (single-pass CASE aggregation):\n" + plan.take(1500))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"pivot re-scanned the table ($scans scans):\n" + plan.take(1500))
+  }
+
+  test("agg_unpivot: unpivot is a pipelined Expand, not a join or union of scans") {
+    val plan = executedPlan("agg_unpivot")
+    assert(plan.contains("Expand"), "unpivot should compile to Expand:\n" + plan.take(1500))
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 1, s"unpivot re-scanned the table ($scans scans):\n" + plan.take(1500))
+  }
+
+  test("join_lateral: correlated lateral decorrelates to a keyed join, no nested loop") {
+    val plan = executedPlan("join_lateral")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "lateral must decorrelate, not re-execute per row:\n" + plan.take(1500))
+    assert(plan.contains("partial_count"),
+      "decorrelated aggregate must combine map-side:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
