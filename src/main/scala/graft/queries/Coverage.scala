@@ -1128,6 +1128,106 @@ object Coverage {
       |WHERE c_mktsegment = 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
+  /** Array scalar + higher-order functions (reference: DataFusion's
+    * array_* / list_* function family). All per-row, no shuffle — scale is
+    * linear in rows regardless of cluster size. Order-sensitive results are
+    * normalized (sort after distinct) because engines differ on
+    * distinct-order guarantees, and array outputs are stringified — the
+    * gate convention (see agg_array): the hash compare sorts rows by every
+    * column, which needs scalar cells. */
+  def fnCollection(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast(LongType).as("k"),
+        array(col("n_nationkey").cast(LongType), col("n_regionkey").cast(LongType),
+          (col("n_nationkey") % 5).cast(LongType),
+          col("n_regionkey").cast(LongType)).as("arr"))
+      .select(col("k"),
+        size(col("arr")).cast(LongType).as("arr_len"),
+        array_contains(col("arr"), 3L).as("has3"),
+        array_join(sort_array(array_distinct(col("arr"))), ",").as("uniq_sorted"),
+        element_at(col("arr"), 2).as("second_el"),
+        array_join(slice(col("arr"), 2, 2), ",").as("mid"),
+        array_join(transform(col("arr"), x => x + 1L), ",").as("plus1"),
+        array_join(filter(col("arr"), x => x % 2L === 0L), ",").as("evens"),
+        aggregate(col("arr"), lit(0L), (acc, x) => acc + x).as("total"))
+      .orderBy(col("k"))
+
+  val fnCollectionOracle: String =
+    """SELECT k,
+      |  CAST(len(arr) AS BIGINT) AS arr_len,
+      |  list_contains(arr, 3) AS has3,
+      |  array_to_string(list_sort(list_distinct(arr)), ',') AS uniq_sorted,
+      |  arr[2] AS second_el,
+      |  array_to_string(list_slice(arr, 2, 3), ',') AS mid,
+      |  array_to_string(list_transform(arr, x -> x + 1), ',') AS plus1,
+      |  coalesce(array_to_string(list_filter(arr, x -> x % 2 = 0), ','), '') AS evens,
+      |  CAST(list_aggregate(arr, 'sum') AS BIGINT) AS total
+      |FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |    [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT),
+      |     CAST(n_nationkey % 5 AS BIGINT), CAST(n_regionkey AS BIGINT)] AS arr
+      |  FROM nation) t
+      |ORDER BY k""".stripMargin
+
+  /** DISTINCT ON semantics (reference: DataFusion supports `SELECT DISTINCT
+    * ON (keys) ... ORDER BY keys, tiebreak`): latest order per customer.
+    * Spark lacks the syntax; the scalable re-expression is a keyed top-1
+    * window — one hash shuffle on the key, rank inside the partition, no
+    * global sort before the final presentation ORDER BY. */
+  def sortDistinctOn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val sortDistinctOnOracle: String =
+    """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin
+
+  /** Boolean aggregates (reference: DataFusion AggregateFunction BOOL_AND /
+    * BOOL_OR) + COUNT_IF. All map-side-combinable single-bit state — the
+    * cheapest possible aggregate at scale. */
+  def aggBool(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bool_and(col("l_quantity") > 1).as("all_qty_gt1"),
+        bool_or(col("l_discount") === 0.0).as("any_nodisc"),
+        count_if(col("l_tax") > 0.05).as("n_hightax"))
+      .orderBy(col("l_returnflag"))
+
+  val aggBoolOracle: String =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 1) AS all_qty_gt1,
+      |  bool_or(l_discount = 0.0) AS any_nodisc,
+      |  COUNT(*) FILTER (WHERE l_tax > 0.05) AS n_hightax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered string aggregation: SQL:2016 LISTAGG ... WITHIN GROUP (Spark ≥4
+    * native; DuckDB spells it string_agg with ORDER BY). The in-group sort
+    * is per-partition-key, not global, so it scales with the widest group,
+    * not the table. */
+  def aggStragg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .groupBy(col("n_regionkey").cast(LongType).as("rk"))
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("names"))
+      .orderBy(col("rk"))
+
+  val aggStraggOracle: String =
+    """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation
+      |GROUP BY 1
+      |ORDER BY rk""".stripMargin
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -1176,6 +1276,10 @@ object Coverage {
     "gen_explode" -> ((genExplode _, Some(genExplodeOracle))),
     "agg_pivot" -> ((aggPivot _, Some(aggPivotOracle))),
     "agg_unpivot" -> ((aggUnpivot _, Some(aggUnpivotOracle))),
-    "join_lateral" -> ((joinLateral _, Some(joinLateralOracle)))
+    "join_lateral" -> ((joinLateral _, Some(joinLateralOracle))),
+    "fn_collection" -> ((fnCollection _, Some(fnCollectionOracle))),
+    "sort_distinct_on" -> ((sortDistinctOn _, Some(sortDistinctOnOracle))),
+    "agg_bool" -> ((aggBool _, Some(aggBoolOracle))),
+    "agg_stragg" -> ((aggStragg _, Some(aggStraggOracle)))
   )
 }
