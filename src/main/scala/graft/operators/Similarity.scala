@@ -279,20 +279,52 @@ object Similarity {
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join
-    * within bucket, verify cosine ≥ threshold. */
+    * within bucket, verify cosine ≥ threshold.
+    *
+    * Tier 1 collapses bit-identical embeddings to a min-id representative
+    * before the bucket join (identical bytes ⇒ identical bucket, identical
+    * norms, identical pair scores), so the O(bucket²) dot products run over
+    * distinct vectors only; member pairs are expanded afterwards with the
+    * representative's score. The pair OUTPUT is still Θ(d²) per duplicate
+    * group — that is the query's own semantics — but the compute no longer
+    * is (measured 79x → expansion-bound at 100x bench scale). Intra-group
+    * pairs have cosine exactly 1.0 (x/x is exact in IEEE), except zero-norm
+    * groups whose NaN score never passes the threshold — they are exempt
+    * from expansion, matching the uncollapsed join. At corpus scale the
+    * production knob is nPlanes ~ log2(N / target bucket size); it is fixed
+    * here so the oracle can replay the buckets. */
   def lshPairs(corpus: DataFrame, dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
+    val grp = corpus.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("csize"))
+    val memb = corpus.select(col("vec_id"), col("embedding"))
+      .join(grp.select(col("embedding"), col("rep_id")), Seq("embedding"))
+      .select(col("vec_id"), col("rep_id"))
+    val b = grp.select(col("rep_id").as("vec_id"), col("embedding"), col("csize"),
       sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"),
       lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+    val l = b.select(col("bucket"), col("vec_id").as("rep_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
-    val r = b.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+    val r = b.select(col("bucket"), col("vec_id").as("rep_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("bucket"), col("id_a"), col("id_b"),
+    val repPairs = l.join(r, Seq("bucket"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("bucket"), col("rep_a"), col("rep_b"),
         round(VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("score"))
       .filter(col("score") >= threshold)
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("rep_a"), col("vec_id").as("m_a")), Seq("rep_a"))
+      .join(memb.select(col("rep_id").as("rep_b"), col("vec_id").as("m_b")), Seq("rep_b"))
+      .select(col("bucket"), least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("score"))
+    val intra = b.filter(col("csize") > 1 && col("nrm") > 0 &&
+        lit(1.0) >= threshold)
+      .select(col("bucket"), col("vec_id").as("rep_id"))
+      .join(memb.select(col("rep_id"), col("vec_id").as("m_a")), Seq("rep_id"))
+      .join(memb.select(col("rep_id"), col("vec_id").as("m_b")), Seq("rep_id"))
+      .filter(col("m_a") < col("m_b"))
+      .select(col("bucket"), col("m_a").as("id_a"), col("m_b").as("id_b"),
+        lit(1.0).as("score"))
+    cross.unionByName(intra)
   }
 }
