@@ -1228,6 +1228,55 @@ object Coverage {
       |GROUP BY 1
       |ORDER BY rk""".stripMargin
 
+  /** Bitwise aggregates (reference: DataFusion AggregateFunction BIT_AND /
+    * BIT_OR / BIT_XOR). Single-word state, map-side combinable. */
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_and(col("l_linenumber").cast(LongType)).as("band"),
+        bit_or(col("l_linenumber").cast(LongType)).as("bor"),
+        bit_xor(col("l_linenumber").cast(LongType)).as("bxor"))
+      .orderBy(col("l_returnflag"))
+
+  val aggBitwiseOracle: String =
+    """SELECT l_returnflag,
+      |  bit_and(CAST(l_linenumber AS BIGINT)) AS band,
+      |  bit_or(CAST(l_linenumber AS BIGINT)) AS bor,
+      |  bit_xor(CAST(l_linenumber AS BIGINT)) AS bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Regex surface remainder (reference: DataFusion regexp_match returns a
+    * list — expressed here as regexp_extract_all — plus count/instr/substr).
+    * Per-row codegen'd compute, no shuffle. */
+  def fnRegex2(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(regexp_extract_all(col("text"), lit("[A-Za-z]{5,}"), lit(0)), ",")
+          .as("long_words"),
+        regexp_count(col("text"), lit("[aeiou]{2}")).cast(LongType).as("n_vowelpairs"),
+        regexp_instr(col("text"), lit("[0-9]")).cast(LongType).as("first_digit_pos"),
+        coalesce(regexp_substr(col("text"), lit("[A-Za-z]{5,}")), lit("")).as("first_long"))
+      .orderBy(col("doc_id"))
+      .limit(2000)
+
+  val fnRegex2Oracle: String =
+    """SELECT doc_id,
+      |  coalesce(array_to_string(regexp_extract_all(text, '[A-Za-z]{5,}'), ','), '')
+      |    AS long_words,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowelpairs,
+      |  CAST(CASE WHEN NOT regexp_matches(text, '[0-9]') THEN 0
+      |    ELSE strpos(text, regexp_extract(text, '[0-9]')) END AS BIGINT)
+      |    AS first_digit_pos,
+      |  regexp_extract(text, '[A-Za-z]{5,}') AS first_long
+      |FROM documents
+      |WHERE text IS NOT NULL
+      |ORDER BY doc_id
+      |LIMIT 2000""".stripMargin
+
   // ---- registry -------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -1280,6 +1329,8 @@ object Coverage {
     "fn_collection" -> ((fnCollection _, Some(fnCollectionOracle))),
     "sort_distinct_on" -> ((sortDistinctOn _, Some(sortDistinctOnOracle))),
     "agg_bool" -> ((aggBool _, Some(aggBoolOracle))),
-    "agg_stragg" -> ((aggStragg _, Some(aggStraggOracle)))
+    "agg_stragg" -> ((aggStragg _, Some(aggStraggOracle))),
+    "agg_bitwise" -> ((aggBitwise _, Some(aggBitwiseOracle))),
+    "fn_regex2" -> ((fnRegex2 _, Some(fnRegex2Oracle)))
   )
 }

@@ -41,4 +41,16 @@ class DeterminismSpec extends SparkSpec {
   test("sim_kmeans: iterated centroids are layout-independent") {
     runTwice("sim_kmeans")
   }
+
+  test("sim_lsh: collapsed pair generation is layout-independent") {
+    runTwice("sim_lsh")
+  }
+
+  test("sort_distinct_on: top-1-per-key tie-breaks are layout-independent") {
+    runTwice("sort_distinct_on")
+  }
+
+  test("agg_stragg: WITHIN GROUP ordering is layout-independent") {
+    runTwice("agg_stragg")
+  }
 }
