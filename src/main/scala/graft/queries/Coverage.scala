@@ -211,14 +211,23 @@ object Coverage {
       |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) segs
       |ORDER BY r_name, c_mktsegment""".stripMargin
 
-  /** Null-safe equality (<=> / IS NOT DISTINCT FROM) on a nullable derived key. */
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM) on a nullable derived
+    * key. The count-over-join is computed aggregate-below-join: per-key
+    * counts first, then the <=> join on key-cardinality-sized sides, then
+    * the product — identical result (pairs per key = |C_k|·|S_k|), but the
+    * quadratic key fan-out never materializes. Measured 82x at 100x bench
+    * scale the fan-out way; flat this way. The null-matches-null semantics
+    * are still exercised: the NULL group must survive both aggregations and
+    * meet in the join. */
   def joinNullsafe(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(nullif(col("c_nationkey"), lit(3)).as("c_key"))
+      .groupBy(col("c_key")).agg(count(lit(1)).as("n_c"))
     val s = Tables.supplier(spark, dir)
       .select(nullif(col("s_nationkey"), lit(3)).as("s_key"))
+      .groupBy(col("s_key")).agg(count(lit(1)).as("n_s"))
     c.join(s, col("c_key") <=> col("s_key"))
-      .groupBy(col("c_key")).agg(count(lit(1)).as("pairs"))
+      .select(col("c_key"), (col("n_c") * col("n_s")).as("pairs"))
       .orderBy(col("c_key").asc_nulls_first)
   }
 

@@ -150,6 +150,29 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() == 4) // (h0: click x2, view x1... h1: view, click) => 4 groups
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the canonical dimension-enrichment shape: the static side is planned
+    // per micro-batch (broadcast under AQE for a dim this small), the stream
+    // side never buffers state — no watermark needed for stream-static
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(eventData: _*)
+    val q = mem.toDF().join(dim, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enrich_stream")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = eventData.toDF().join(dim, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("tier"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed === batch && streamed.size == 7)
+  }
+
   test("windowed term counts over a document stream match batch") {
     import Sessions.TimedDoc
     import spark.implicits._
