@@ -382,6 +382,29 @@ object Pipeline {
       .orderBy(col("user_id"), col("start_us"))
   }
 
+  /** Hopping (sliding) time windows: Spark's native `window(ts, w, slide)` —
+    * each event lands in w/slide = 2 windows, assigned by pure arithmetic
+    * inside the scan stage (an Expand of 2 rows per event, no join), then
+    * one keyed aggregation. The oracle replays the assignment from first
+    * principles: start_j = (t div slide − j)·slide for j ∈ {0,1}. */
+  def evtHop(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"), col("n"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  val evtHopOracle: String =
+    """WITH e AS (
+      |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_type FROM events),
+      |hops AS (
+      |  SELECT ((t_us // 1800000000) - j) * 1800000000 AS w_start_us, event_type
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS j) js)
+      |SELECT w_start_us, event_type, COUNT(*) AS n
+      |FROM hops
+      |GROUP BY w_start_us, event_type
+      |ORDER BY w_start_us, event_type""".stripMargin
+
   val evtSessionWindowOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
@@ -582,6 +605,7 @@ object Pipeline {
     "txt_tokens" -> ((txtTokens _, Some(txtTokensOracle))),
     "evt_sessionize" -> ((evtSessionize _, Some(evtSessionizeOracle))),
     "evt_session_window" -> ((evtSessionWindow _, Some(evtSessionWindowOracle))),
+    "evt_hop" -> ((evtHop _, Some(evtHopOracle))),
     "evt_asof" -> ((evtAsof _, Some(evtAsofOracle))),
     "evt_range" -> ((evtRange _, Some(evtRangeOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),

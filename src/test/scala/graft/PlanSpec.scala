@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
       "decorrelated aggregate must combine map-side:\n" + plan.take(1500))
   }
 
+  test("evt_hop: sliding windows assign via Expand in the scan stage, no join") {
+    val plan = executedPlan("evt_hop")
+    assert(plan.contains("Expand"), "hop assignment should be an Expand:\n" + plan.take(1500))
+    assert(plan.contains("partial_count"), "hop counts must combine map-side:\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "window assignment must not join:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
