@@ -112,24 +112,41 @@ object Similarity {
     * before `round` because Round allocates a BigDecimal per row (see
     * [[cosinePairsBlocked]]'s note); `threshold - 1e-5` is safely below the
     * smallest raw value that rounds to >= threshold at 6 decimals. */
+  /** Tier-1 exact collapse for vector pipelines: (vec_id, embedding, rep_id)
+    * membership where rep_id = min vec_id among bit-identical embeddings.
+    * Hash-aggregate + join back (cheaper than a window, which would sort the
+    * full array column once per consumer — measured 4x on the sf10 ramp);
+    * the join is NULL-SAFE because groupBy puts NULL embeddings in a group
+    * but a plain equi-join would silently drop their rows. */
+  private def collapseVectors(corpus: DataFrame): DataFrame = {
+    val grp = corpus.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+    corpus.select(col("vec_id"), col("embedding")).alias("c")
+      .join(grp.alias("g"), col("c.embedding") <=> col("g.embedding"))
+      .select(col("c.vec_id"), col("c.embedding"), col("g.rep_id"))
+  }
+
+  /** Pair-filter guard shared by the dedup/LSH pair joins: the DuckDB oracle
+    * computes 0/0 as SQL NULL (dropped by any comparison filter), while raw
+    * Java division gives NaN — which Spark SQL orders ABOVE every number, so
+    * an unguarded `raw >= t` would PASS zero-norm pairs the oracle drops.
+    * Requiring both norms positive pins the engine-neutral semantics:
+    * zero-norm (and NULL) vectors never produce duplicate pairs. */
+  private def normsPositive(a: Column, b: Column): Column = a > 0 && b > 0
+
   def semanticDedup(corpus: DataFrame, nCells: Int, threshold: Double): DataFrame = {
     // Tier 1: collapse bit-identical embeddings to one representative (min
     // id) — SemDeDup's standard exact-dedup pre-pass. Identical vectors get
     // identical (deterministic) cell assignments and cosine exactly 1.0
     // against each other, so every non-representative member of a
-    // positive-norm group is a duplicate by construction, and the O(|cell|²)
-    // pair join below only ever sees distinct vectors. Without this tier a
-    // d-times-duplicated corpus pays d² in the cell join for a result that
-    // is decidable per group (measured 81x at 100x bench scale; ~linear
-    // after). Zero-norm groups are exempt: their cosine is NaN against
-    // everything — including their own copies — so no member is ever a
-    // duplicate, exactly as the uncollapsed join computes.
-    val grp = corpus.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep_id"))
-    val memb = corpus.select(col("vec_id"), col("embedding"))
-      .join(grp, Seq("embedding"))
-      .select(col("vec_id"), col("rep_id"))
-    val reps = grp.select(col("rep_id").as("vec_id"), col("embedding"))
+    // positive-norm group is a duplicate by construction (when the threshold
+    // is reachable, i.e. <= 1.0), and the O(|cell|²) pair join below only
+    // ever sees distinct vectors. Without this tier a d-times-duplicated
+    // corpus pays d² in the cell join for a result that is decidable per
+    // group (measured 81x at 100x bench scale; ~linear after). Zero-norm
+    // groups are exempt per the [[normsPositive]] contract.
+    val memb = collapseVectors(corpus)
+    val reps = memb.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
     // centroids still come from the FULL corpus (vec_id < nCells), so the
     // assignment is byte-identical to the uncollapsed form
     val asg = nearestCells(withNorm(reps, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1,
@@ -140,6 +157,7 @@ object Similarity {
       col("c_vec").as("emb_b"), col("corpus_id_norm").as("norm_b"))
     val dupReps = a.join(b, Seq("cell_id"))
       .filter(col("id_a") < col("id_b"))
+      .filter(normsPositive(col("norm_a"), col("norm_b")))
       .withColumn("raw",
         VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("raw") >= threshold - 1e-5)
@@ -149,15 +167,19 @@ object Similarity {
     // join too (same bytes ⇒ same cosine); conversely any uncollapsed
     // witness u implies the rep-level witness rep(u) ≤ u with equal cosine —
     // so rep-level flags are exactly the uncollapsed flags restricted to
-    // reps, and member flags follow from the group rule above.
+    // reps, and member flags follow from the group rule above. selfDup is
+    // the threshold-reachability of the intra-group cosine (round(1.0) = 1.0
+    // >= t): with t > 1.0 nothing can ever be a duplicate.
+    val selfDup = threshold <= 1.0
     val repFlag = asg.select(col("corpus_id").as("rep_id"), col("cell_id"),
-        (col("corpus_id_norm") > 0).as("pos_norm"))
+        coalesce(col("corpus_id_norm") > 0, lit(false)).as("pos_norm"))
       .join(dupReps.withColumn("rep_dup", lit(true)), Seq("rep_id"), "left")
       .select(col("rep_id"), col("cell_id"),
         coalesce(col("rep_dup"), lit(false)).as("rep_dup"), col("pos_norm"))
-    memb.join(repFlag, Seq("rep_id"))
+    memb.select(col("vec_id"), col("rep_id")).join(repFlag, Seq("rep_id"))
       .select(col("vec_id"), col("cell_id"),
-        (!(col("rep_dup") || (col("vec_id") =!= col("rep_id") && col("pos_norm"))))
+        (!(col("rep_dup") ||
+          (col("vec_id") =!= col("rep_id") && col("pos_norm") && lit(selfDup))))
           .as("is_kept"))
   }
 
@@ -181,10 +203,16 @@ object Similarity {
                            cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(id)).orderBy(col("cscore").desc, col("cell_id"))
+    // The norm product is guarded: ANSI mode (Spark 4 default) throws on a
+    // zero divisor even for doubles, and the DuckDB oracle's 0/0 is SQL NULL
+    // anyway — so a zero-norm vector gets NULL cscores against every
+    // centroid (sorted last, deterministic cell_id tie-break), identically
+    // in both engines.
+    val nrmProd = col(s"${id}_norm") * col("c_nrm")
     df.crossJoin(broadcast(cents))
       .select(col(id), col(emb), col(s"${id}_norm"), col("cell_id"),
-        round(VectorFunctions.dot(col(emb), col("c_emb")) /
-          (col(s"${id}_norm") * col("c_nrm")), 6).as("cscore"))
+        round(when(nrmProd > 0,
+          VectorFunctions.dot(col(emb), col("c_emb")) / nrmProd), 6).as("cscore"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= keep)
       .select(col("cell_id"), col(id), col(emb), col(s"${id}_norm"))
   }
@@ -288,26 +316,24 @@ object Similarity {
     * representative's score. The pair OUTPUT is still Θ(d²) per duplicate
     * group — that is the query's own semantics — but the compute no longer
     * is (measured 79x → expansion-bound at 100x bench scale). Intra-group
-    * pairs have cosine exactly 1.0 (x/x is exact in IEEE), except zero-norm
-    * groups whose NaN score never passes the threshold — they are exempt
-    * from expansion, matching the uncollapsed join. At corpus scale the
+    * pairs have cosine exactly 1.0 (x/x is exact in IEEE); zero-norm groups
+    * are exempt per the [[normsPositive]] contract (the oracle's 0/0 is SQL
+    * NULL, dropped by its threshold filter). At corpus scale the
     * production knob is nPlanes ~ log2(N / target bucket size); it is fixed
     * here so the oracle can replay the buckets. */
   def lshPairs(corpus: DataFrame, dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
-    val grp = corpus.groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("csize"))
-    val memb = corpus.select(col("vec_id"), col("embedding"))
-      .join(grp.select(col("embedding"), col("rep_id")), Seq("embedding"))
-      .select(col("vec_id"), col("rep_id"))
-    val b = grp.select(col("rep_id").as("vec_id"), col("embedding"), col("csize"),
-      sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"),
-      lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
+    val memb = collapseVectors(corpus)
+    val b = memb.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))).as("nrm"),
+        lshBucket(col("embedding"), dim, nPlanes).as("bucket"))
     val l = b.select(col("bucket"), col("vec_id").as("rep_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
     val r = b.select(col("bucket"), col("vec_id").as("rep_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"))
     val repPairs = l.join(r, Seq("bucket"))
       .filter(col("rep_a") < col("rep_b"))
+      .filter(normsPositive(col("nrm_a"), col("nrm_b")))
       .select(col("bucket"), col("rep_a"), col("rep_b"),
         round(VectorFunctions.dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
           .as("score"))
@@ -317,7 +343,9 @@ object Similarity {
       .join(memb.select(col("rep_id").as("rep_b"), col("vec_id").as("m_b")), Seq("rep_b"))
       .select(col("bucket"), least(col("m_a"), col("m_b")).as("id_a"),
         greatest(col("m_a"), col("m_b")).as("id_b"), col("score"))
-    val intra = b.filter(col("csize") > 1 && col("nrm") > 0 &&
+    val groupSizes = memb.groupBy(col("rep_id")).agg(count(lit(1)).as("csize"))
+    val intra = b.join(groupSizes.withColumnRenamed("rep_id", "vec_id"), Seq("vec_id"))
+      .filter(col("csize") > 1 && coalesce(col("nrm") > 0, lit(false)) &&
         lit(1.0) >= threshold)
       .select(col("bucket"), col("vec_id").as("rep_id"))
       .join(memb.select(col("rep_id"), col("vec_id").as("m_a")), Seq("rep_id"))

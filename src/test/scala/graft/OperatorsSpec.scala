@@ -133,6 +133,50 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  // exercises the exact-collapse tier (testdata has no duplicate embeddings,
+  // so only these specs and the ScaleUp bench data reach the member-expansion
+  // code): duplicate groups, a zero-norm duplicate group, and an unreachable
+  // threshold must all match the uncollapsed first-principles semantics.
+  private lazy val dupVecs = spark.createDataFrame(Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),   // rep of {0, 4, 7}
+    (1L, Array(0.0f, 1.0f, 0.0f)),   // distinct, kept
+    (2L, Array(0.0f, 0.0f, 0.0f)),   // rep of zero-norm group {2, 5}
+    (3L, Array(0.99f, 0.01f, 0.0f)), // near-dup of 0's direction
+    (4L, Array(1.0f, 0.0f, 0.0f)),   // exact copy of 0
+    (5L, Array(0.0f, 0.0f, 0.0f)),   // exact copy of 2 (zero norm)
+    (7L, Array(1.0f, 0.0f, 0.0f))    // exact copy of 0
+  )).toDF("vec_id", "embedding")
+
+  test("semantic dedup: exact copies collapse to the min-id keeper; zero-norm copies all kept") {
+    val out = Similarity.semanticDedup(dupVecs, nCells = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 0 kept (lowest of its neighborhood), 4/7 exact dups, 3 near-dup;
+    // zero-norm vectors (2, 5) produce NULL/NaN cosines -> never duplicates
+    assert(out === Map(0L -> true, 1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 7L -> false))
+  }
+
+  test("semantic dedup: unreachable threshold keeps everything, even exact copies") {
+    val out = Similarity.semanticDedup(dupVecs, nCells = 2, threshold = 1.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.values.forall(identity), s"nothing can exceed cosine 1.0: $out")
+  }
+
+  test("LSH pairs: duplicate groups expand to all member pairs with score 1.0, zero-norm exempt") {
+    val pairs = Similarity.lshPairs(dupVecs, 3, 8, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("score"))).toSet
+    val intra = pairs.filter(p => Set(0L, 4L, 7L).contains(p._1) && Set(0L, 4L, 7L).contains(p._2))
+    assert(intra.map(p => (p._1, p._2)) === Set((0L, 4L), (0L, 7L), (4L, 7L)))
+    assert(intra.forall(_._3 == 1.0))
+    // the zero-norm group {2, 5} must produce no pair at all
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 5L || p._2 == 5L))
+  }
+
+  test("LSH pairs: unreachable threshold yields no pairs") {
+    assert(Similarity.lshPairs(dupVecs, 3, 8, 1.5).count() === 0L)
+  }
+
   test("IVF top-k probes nearest cells and finds the true neighbor") {
     // nCells=2 -> centroids are vec 0 (e0) and vec 1 (~e0). Query vec 0
     // probes both cells, so it must find vec 1 (cosine ~0.994) at rank 1.
