@@ -685,6 +685,45 @@ object Coverage {
       |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       |ORDER BY event_type, event_id""".stripMargin
 
+  /** IGNORE NULLS window offsets (reference: DataFusion's
+    * `ignore_nulls` flag on first/last/nth/lag window exprs,
+    * proto `WindowExprNode`): the gap-fill / carry-forward-last-observation
+    * idiom. `purchase_value` is NULL on non-purchase rows, and each variant
+    * skips those NULLs while scanning the frame. Shuffles once on user_id;
+    * at corpus scale this is the standard forward-fill over event history. */
+  def winIgnulls(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.eventsTs(spark, dir)
+      .filter(col("user_id") < 40)
+      .withColumn("purchase_value",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"), col("purchase_value"),
+        last(col("purchase_value"), ignoreNulls = true).over(run).as("last_purchase"),
+        first(col("purchase_value"), ignoreNulls = true).over(run).as("first_purchase"),
+        nth_value(col("purchase_value"), 2, ignoreNulls = true).over(run)
+          .as("second_purchase"),
+        lag(col("purchase_value"), 1, null, ignoreNulls = true).over(w)
+          .as("prev_purchase"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val winIgnullsOracle: String =
+    """SELECT user_id, event_id,
+      |  CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase,
+      |  first_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase,
+      |  nth_value(CASE WHEN event_type = 'purchase' THEN value END, 2 IGNORE NULLS)
+      |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_purchase,
+      |  lag(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER w AS prev_purchase
+      |FROM events
+      |WHERE user_id < 40
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---- §2.6 sort / limit / offset ----------------------------------------
 
   def sortNullsOffset(spark: SparkSession, dir: String): DataFrame = {
@@ -1316,6 +1355,7 @@ object Coverage {
     "win_frame" -> ((winFrame _, Some(winFrameOracle))),
     "win_dist" -> ((winDist _, Some(winDistOracle))),
     "win_groups" -> ((winGroups _, Some(winGroupsOracle))),
+    "win_ignulls" -> ((winIgnulls _, Some(winIgnullsOracle))),
     "sort_nulls_offset" -> ((sortNullsOffset _, Some(sortNullsOffsetOracle))),
     "set_union_all" -> ((setUnionAll _, Some(setUnionAllOracle))),
     "set_union" -> ((setUnion _, Some(setUnionOracle))),

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Clustering, Dedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -520,6 +520,164 @@ object Curation {
 
   // ---- registry -------------------------------------------------------------
 
+  // ---- tokenizer training: BPE merge-pair counting --------------------------
+
+  /** One round of byte-pair-encoding vocabulary induction: count adjacent
+    * symbol pairs across the corpus, weighted by word frequency — the pair
+    * with the max count is the next BPE merge. The load-bearing trick is the
+    * same one real BPE trainers use: aggregate the corpus to a (word, freq)
+    * vocabulary FIRST, then enumerate pairs over the vocabulary only. Pair
+    * generation cost scales with |vocab| * avg word length, not corpus
+    * tokens — at 100 TB the vocab is ~millions of rows while the corpus is
+    * trillions of tokens. Two keyed shuffles (word agg, pair agg) plus a
+    * TakeOrdered top-k; everything between is codegen'd projection. */
+  def txtBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+    words
+      .select(col("word"), col("wfreq"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(concat(expr("substring(word, i, 1)"), lit(" "),
+        expr("substring(word, i + 1, 1)")).as("pair"), col("wfreq"))
+      .groupBy(col("pair")).agg(sum(col("wfreq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(30)
+  }
+
+  val txtBpePairsOracle: String =
+    """WITH words AS (
+      |  SELECT w AS word, COUNT(*) AS wfreq FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) t
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(word, CAST(i AS INTEGER), 1) || ' ' ||
+      |         substr(word, CAST(i AS INTEGER) + 1, 1) AS pair, wfreq
+      |  FROM words, unnest(range(1, length(word))) AS u(i))
+      |SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY pair
+      |ORDER BY pair_count DESC, pair
+      |LIMIT 30""".stripMargin
+
+  // ---- retrieval: BM25 ranking ----------------------------------------------
+
+  /** Okapi BM25 top-k document ranking for a fixed 3-term query (k1=1.2,
+    * b=0.75) — the retrieval scorer used for corpus quality mining and
+    * hard-negative selection. Float determinism across engines: ln/pow are
+    * bit-identical between the JVM and DuckDB on this platform (probed), all
+    * other arithmetic is IEEE ops in an identical expression tree, and the
+    * per-term contributions are summed as FIXED-ORDER column additions (a
+    * row-wise SUM would be partition-order-dependent). Shape at scale: one
+    * keyed shuffle for per-doc term frequencies, one for doc lengths, two
+    * single-row aggregates broadcast onto the scored stream, TakeOrdered
+    * top-k. tf = 0 terms contribute exactly 0 (0/positive), so only docs
+    * matching at least one term are scored — the semi-join a search engine
+    * would do with an inverted index. */
+  def txtBm25(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks.filter(col("tok").isin("data", "query", "vector"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("tok") === "data", 1L).otherwise(0L)).as("tf1"),
+        sum(when(col("tok") === "query", 1L).otherwise(0L)).as("tf2"),
+        sum(when(col("tok") === "vector", 1L).otherwise(0L)).as("tf3"))
+    val dfs = tf.agg(
+      sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+      sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"),
+      sum(when(col("tf3") > 0, 1L).otherwise(0L)).as("df3"))
+    // identical expression tree on both sides: see the oracle text
+    def term(tfc: Column, dfc: Column): Column = {
+      val idf = log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+      val dlNorm = col("dl") / (col("tot_dl").cast(DoubleType) / col("n_docs"))
+      idf * ((tfc * lit(2.2)) / (tfc + lit(1.2) * (lit(0.25) + (lit(0.75) * dlNorm))))
+    }
+    tf.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scal))
+      .crossJoin(broadcast(dfs))
+      .select(col("doc_id"), col("dl"),
+        (term(col("tf1"), col("df1")) + term(col("tf2"), col("df2")) +
+          term(col("tf3"), col("df3"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val txtBm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, w AS tok FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      |    FROM documents) t
+      |  WHERE length(w) >= 2),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |scal AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN tok = 'data' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+      |    CAST(SUM(CASE WHEN tok = 'query' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+      |    CAST(SUM(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      |  FROM toks WHERE tok IN ('data', 'query', 'vector') GROUP BY doc_id),
+      |dfs AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+      |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+      |  FROM tf)
+      |-- NOTE every literal is ::DOUBLE: a bare 2.2 is DECIMAL in this engine and
+      |-- e.g. tf1 * 2.2 would be computed EXACTLY in decimal, drifting an ulp
+      |-- from the engine-side double arithmetic.
+      |SELECT t.doc_id, d.dl,
+      |  ln((s.n_docs - f.df1 + 0.5::DOUBLE) / (f.df1 + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |    * ((t.tf1 * 2.2::DOUBLE) / (t.tf1 + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE *
+      |        (d.dl / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))))) +
+      |  ln((s.n_docs - f.df2 + 0.5::DOUBLE) / (f.df2 + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |    * ((t.tf2 * 2.2::DOUBLE) / (t.tf2 + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE *
+      |        (d.dl / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))))) +
+      |  ln((s.n_docs - f.df3 + 0.5::DOUBLE) / (f.df3 + 0.5::DOUBLE) + 1.0::DOUBLE)
+      |    * ((t.tf3 * 2.2::DOUBLE) / (t.tf3 + 1.2::DOUBLE * (0.25::DOUBLE + (0.75::DOUBLE *
+      |        (d.dl / (CAST(s.tot_dl AS DOUBLE) / s.n_docs)))))) AS score
+      |FROM tf t
+      |JOIN dl d USING (doc_id)
+      |CROSS JOIN scal s
+      |CROSS JOIN dfs f
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
+  // ---- weighted sampling ----------------------------------------------------
+
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each doc draws u in (0,1) from the top 52
+    * bits of md5(doc_id) — 52 so the integer is exactly representable in a
+    * double — and the k docs with the largest u^(1/weight) ARE a weighted
+    * sample without replacement. Hash-derived u makes the "random" draw
+    * reproducible across engines, runs, and retries (the property that
+    * matters when a 100 TB sampling job restarts); weight = n_chars, always
+    * positive in this corpus. Per-row compute plus a TakeOrdered top-k:
+    * per-partition heaps, no global sort, no shuffle of the corpus. */
+  def smpWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val u = (expr("CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), 1, 13), 16, 10) AS BIGINT)") +
+      lit(0.5)) / lit(4503599627370496.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pow(u, lit(1.0) / col("n_chars")).as("samp_key"))
+      .orderBy(col("samp_key").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val smpWeightedOracle: String =
+    """SELECT doc_id, lang, n_chars,
+      |  pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 0.5)
+      |        / 4503599627370496.0,
+      |      1.0 / n_chars) AS samp_key
+      |FROM documents
+      |ORDER BY samp_key DESC, doc_id
+      |LIMIT 50""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
@@ -531,6 +689,9 @@ object Curation {
     "sim_kmeans" -> ((simKmeans _, Some(simKmeansOracle))),
     "txt_topterms" -> ((txtTopterms _, Some(txtTopTermsOracle))),
     "txt_heavyhitters" -> ((txtHeavyhitters _, Some(txtHeavyhittersOracle))),
-    "cur_funnel" -> ((curFunnel _, Some(curFunnelOracle)))
+    "cur_funnel" -> ((curFunnel _, Some(curFunnelOracle))),
+    "txt_bpe_pairs" -> ((txtBpePairs _, Some(txtBpePairsOracle))),
+    "txt_bm25" -> ((txtBm25 _, Some(txtBm25Oracle))),
+    "smp_weighted" -> ((smpWeighted _, Some(smpWeightedOracle)))
   )
 }

@@ -278,6 +278,52 @@ object SourcesDdl {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Recursive CTE (reference: DataFusion 37 `WITH RECURSIVE` /
+    * `RecursiveQuery` plan node, exposed through BallistaContext::sql):
+    * the calendar-spine gap-fill idiom — generate every month in the data's
+    * range, then left-join per-month order aggregates so empty months
+    * surface as zero rows. Spark 4 runs this as `UnionLoop` (driver-side
+    * iteration over an 80-row spine; the per-month aggregate below it is
+    * the only distributed work, one hash shuffle, partial agg first). The
+    * recursion depth is bounded by the date range, far under
+    * `spark.sql.cteRecursionLevelLimit` (100). */
+  def sqlRecursive(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH RECURSIVE spine(mon) AS (
+        |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT mon + INTERVAL '1' MONTH FROM spine
+        |  WHERE mon < TIMESTAMP '2001-08-01 00:00:00'
+        |)
+        |SELECT s.mon, COALESCE(m.n, 0) AS n_orders,
+        |  CAST(COALESCE(m.spend, 0) AS DOUBLE) AS spend
+        |FROM spine s
+        |LEFT JOIN (
+        |  SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n,
+        |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+        |  FROM orders GROUP BY date_trunc('month', o_orderdate)
+        |) m ON s.mon = m.mon
+        |ORDER BY s.mon""".stripMargin)
+  }
+
+  val sqlRecursiveOracle: String =
+    """WITH RECURSIVE spine(mon) AS (
+      |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT mon + INTERVAL 1 MONTH FROM spine
+      |  WHERE mon < TIMESTAMP '2001-08-01 00:00:00'
+      |)
+      |SELECT s.mon, COALESCE(m.n, 0) AS n_orders,
+      |  CAST(COALESCE(m.spend, 0) AS DOUBLE) AS spend
+      |FROM spine s
+      |LEFT JOIN (
+      |  SELECT date_trunc('month', o_orderdate) AS mon, COUNT(*) AS n,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      |  FROM orders GROUP BY date_trunc('month', o_orderdate)
+      |) m ON s.mon = m.mon
+      |ORDER BY s.mon""".stripMargin
+
   // ---- Standalone semi/anti join (reference: JoinType LEFTSEMI/LEFTANTI,
   // datafusion.proto:240-249; also exercised inside q4/q16/q21/q22) ---------
 
@@ -506,6 +552,7 @@ object SourcesDdl {
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),
     "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
     "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
+    "sql_recursive" -> ((sqlRecursive _, Some(sqlRecursiveOracle))),
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
     "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),

@@ -271,6 +271,44 @@ class PlanSpec extends SparkSpec {
       "window assignment must not join:\n" + plan.take(1500))
   }
 
+  test("sql_recursive: spine runs as UnionLoop; the monthly agg still partial-aggregates") {
+    val plan = executedPlan("sql_recursive")
+    assert(plan.contains("UnionLoop"), "recursive CTE should plan as UnionLoop:\n" + plan.take(1500))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "per-month aggregate under the spine join must combine map-side:\n" + plan.take(1500))
+  }
+
+  test("win_ignulls: forward-fill is one keyed window, no extra shuffle or join") {
+    val plan = executedPlan("win_ignulls")
+    assert(plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Join"), "carry-forward must not rewrite to a join:\n" + plan.take(1500))
+    // one shuffle for the user_id partitioning (plus AQE reads); never two keyed exchanges
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most one keyed exchange, got $exchanges:\n" + plan.take(2000))
+  }
+
+  test("txt_bpe_pairs: pair counting partial-aggregates and top-k avoids a global sort") {
+    val plan = executedPlan("txt_bpe_pairs")
+    assert(plan.contains("partial_"), "word/pair counts must combine map-side:\n" + plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-30 pairs should be TakeOrdered, not Sort+Limit:\n" + plan.take(1500))
+  }
+
+  test("txt_bm25: corpus scalars broadcast onto the scored stream; top-k is TakeOrdered") {
+    val plan = executedPlan("txt_bm25")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "single-row scalar joins must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), "scalar joins must not be cartesian:\n" + plan.take(2000))
+  }
+
+  test("smp_weighted: sampling never shuffles the corpus; top-k merges per-partition heaps") {
+    val plan = executedPlan("smp_weighted")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "weighted sampling must be per-row + TakeOrdered, no keyed shuffle:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
