@@ -724,6 +724,59 @@ object Coverage {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---- §2.4 greatest-per-group without a self-join -------------------------
+
+  /** MAX_BY / MIN_BY — greatest-n-per-group in ONE aggregation pass instead
+    * of the agg-then-self-join idiom (which at scale re-shuffles the corpus
+    * twice and re-reads it once). The ordering key is a (value, event_id)
+    * struct so ties break deterministically: struct comparison is
+    * lexicographic in both the engine and the oracle's window formulation. */
+  def aggArgminmax(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("value"), col("event_id"))).as("top_user"),
+        max(col("value")).as("top_value"),
+        min_by(col("user_id"), struct(col("value"), col("event_id"))).as("bottom_user"),
+        min(col("value")).as("bottom_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggArgminmaxOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, user_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rd,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS ra
+      |  FROM events)
+      |SELECT a.event_type,
+      |  max(CASE WHEN rd = 1 THEN user_id END) AS top_user,
+      |  max(CASE WHEN rd = 1 THEN value END) AS top_value,
+      |  max(CASE WHEN ra = 1 THEN user_id END) AS bottom_user,
+      |  max(CASE WHEN ra = 1 THEN value END) AS bottom_value
+      |FROM ranked a
+      |GROUP BY a.event_type
+      |ORDER BY a.event_type""".stripMargin
+
+  // ---- §2.2 SELECT * EXCLUDE ------------------------------------------------
+
+  /** DataFusion's `SELECT * EXCLUDE(...)` projection — drop named columns,
+    * keep the rest. The point at scale: the EXCLUDED columns must not be
+    * read at all (documents.text dominates the table bytes; the plan guard
+    * asserts the scan schema omits it). */
+  def projExclude(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .drop("text", "source")
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
+  val projExcludeOracle: String =
+    """SELECT * EXCLUDE (text, source) FROM documents
+      |ORDER BY doc_id
+      |LIMIT 100""".stripMargin
+
   // ---- §2.6 sort / limit / offset ----------------------------------------
 
   def sortNullsOffset(spark: SparkSession, dir: String): DataFrame = {
@@ -1379,6 +1432,8 @@ object Coverage {
     "sort_distinct_on" -> ((sortDistinctOn _, Some(sortDistinctOnOracle))),
     "agg_bool" -> ((aggBool _, Some(aggBoolOracle))),
     "agg_stragg" -> ((aggStragg _, Some(aggStraggOracle))),
+    "agg_argminmax" -> ((aggArgminmax _, Some(aggArgminmaxOracle))),
+    "proj_exclude" -> ((projExclude _, Some(projExcludeOracle))),
     "agg_bitwise" -> ((aggBitwise _, Some(aggBitwiseOracle))),
     "fn_regex2" -> ((fnRegex2 _, Some(fnRegex2Oracle)))
   )

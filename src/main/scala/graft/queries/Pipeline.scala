@@ -588,6 +588,59 @@ object Pipeline {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- typed Dataset API: per-group sequential algorithm ---------------------
+
+  /** Longest same-type event streak per user, via the TYPED Dataset API
+    * (`KeyValueGroupedDataset.mapGroups`) — the per-group imperative escape
+    * hatch for logic that is genuinely sequential (the JVM analog of
+    * applyInPandas; same altitude as the reference's user-defined
+    * execution nodes). The group iterator is materialized and sorted in
+    * memory: per-user history is bounded (the same contract sessionization
+    * relies on), so state is O(one user's events), never O(corpus), and the
+    * only shuffle is the groupByKey. Ties on streak length resolve to the
+    * lexicographically smallest event_type; the oracle replays the whole
+    * thing declaratively as gaps-and-islands SQL, so the imperative and
+    * declarative forms must agree row-for-row. */
+  def evtStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        var bestLen = 0L; var bestType = ""
+        var curLen = 0L; var curType: String = null
+        evs.foreach { e =>
+          if (e._4 == curType) curLen += 1
+          else { curType = e._4; curLen = 1 }
+          if (curLen > bestLen || (curLen == bestLen && curType < bestType)) {
+            bestLen = curLen; bestType = curType
+          }
+        }
+        (uid, bestLen, bestType)
+      }
+      .toDF("user_id", "max_streak", "streak_type")
+      .orderBy(col("user_id"))
+  }
+
+  val evtStreaksOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rnt
+      |  FROM events WHERE user_id < 40),
+      |streaks AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS streak
+      |  FROM seq GROUP BY user_id, event_type, rn - rnt),
+      |mx AS (SELECT user_id, max(streak) AS max_streak FROM streaks GROUP BY user_id)
+      |SELECT m.user_id, m.max_streak, min(s.event_type) AS streak_type
+      |FROM mx m JOIN streaks s ON s.user_id = m.user_id AND s.streak = m.max_streak
+      |GROUP BY m.user_id, m.max_streak
+      |ORDER BY m.user_id""".stripMargin
+
   // ---- registry --------------------------------------------------------------------
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -612,6 +665,7 @@ object Pipeline {
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
     "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
-    "ddl_view" -> ((ddlView _, Some(ddlViewOracle)))
+    "ddl_view" -> ((ddlView _, Some(ddlViewOracle))),
+    "evt_streaks" -> ((evtStreaks _, Some(evtStreaksOracle)))
   )
 }

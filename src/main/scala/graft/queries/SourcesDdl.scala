@@ -213,6 +213,77 @@ object SourcesDdl {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  /** CREATE TABLE AS SELECT (reference: DataFusion `CreateMemoryTable` /
+    * `CREATE TABLE t AS SELECT`, exposed via BallistaContext::sql): the
+    * result of a query becomes a catalog table, here parquet-backed so the
+    * materialization is durable and re-readable — the mechanism a pipeline
+    * uses to checkpoint an expensive intermediate once and fan out many
+    * consumers. Reading back goes through the catalog, so pruning/pushdown
+    * apply to the materialized table like any other scan. */
+  /** DROP TABLE only clears the in-memory catalog; a previous JVM's
+    * managed-table directory would still fail CREATE with
+    * LOCATION_ALREADY_EXISTS, so remove the warehouse path too. */
+  private def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(warehouse, true)
+  }
+
+  def ddlCtas(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    dropManaged(spark, "graft_ctas_summary")
+    spark.sql(
+      """CREATE TABLE graft_ctas_summary USING parquet AS
+        |SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey""".stripMargin)
+    spark.sql(
+      """SELECT n_orders, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(spend AS DECIMAL(16,2))) AS DOUBLE) AS tot_spend
+        |FROM graft_ctas_summary
+        |GROUP BY n_orders
+        |ORDER BY n_orders""".stripMargin)
+  }
+
+  val ddlCtasOracle: String =
+    """WITH graft_ctas_summary AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT n_orders, COUNT(*) AS n_custs,
+      |  CAST(SUM(CAST(spend AS DECIMAL(16,2))) AS DOUBLE) AS tot_spend
+      |FROM graft_ctas_summary
+      |GROUP BY n_orders
+      |ORDER BY n_orders""".stripMargin
+
+  /** INSERT INTO — both VALUES and SELECT forms (reference: DataFusion
+    * `DmlStatement::Insert`): append-only writes into a catalog table.
+    * Each INSERT is one atomic parquet commit; at scale the INSERT ...
+    * SELECT distributes like any other write (no driver materialization). */
+  def ddlInsert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    dropManaged(spark, "graft_ins_regions")
+    spark.sql(
+      "CREATE TABLE graft_ins_regions (r_key BIGINT, r_label STRING) USING parquet")
+    spark.sql(
+      "INSERT INTO graft_ins_regions VALUES (100, 'synthetic-a'), (101, 'synthetic-b')")
+    spark.sql(
+      """INSERT INTO graft_ins_regions
+        |SELECT r_regionkey AS r_key, r_name AS r_label FROM region""".stripMargin)
+    spark.sql(
+      """SELECT r_key, r_label FROM graft_ins_regions
+        |ORDER BY r_key, r_label""".stripMargin)
+  }
+
+  val ddlInsertOracle: String =
+    """SELECT r_key, r_label FROM (
+      |  SELECT CAST(100 AS BIGINT) AS r_key, 'synthetic-a' AS r_label
+      |  UNION ALL SELECT CAST(101 AS BIGINT), 'synthetic-b'
+      |  UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region) t
+      |ORDER BY r_key, r_label""".stripMargin
+
   // ---- Join strategy hints (reference: HashJoinExecNode partition modes
   // COLLECT_LEFT / PARTITIONED, datafusion.proto:1173-1187) -----------------
 
@@ -553,6 +624,8 @@ object SourcesDdl {
     "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
     "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
     "sql_recursive" -> ((sqlRecursive _, Some(sqlRecursiveOracle))),
+    "ddl_ctas" -> ((ddlCtas _, Some(ddlCtasOracle))),
+    "ddl_insert" -> ((ddlInsert _, Some(ddlInsertOracle))),
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
     "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),

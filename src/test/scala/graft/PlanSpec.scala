@@ -309,6 +309,26 @@ class PlanSpec extends SparkSpec {
       "weighted sampling must be per-row + TakeOrdered, no keyed shuffle:\n" + plan.take(1500))
   }
 
+  test("proj_exclude: excluded columns never reach the scan") {
+    val plan = executedPlan("proj_exclude")
+    assert(!plan.contains("text") && !plan.contains("source"),
+      "EXCLUDE must prune the scan schema (text dominates table bytes):\n" + plan.take(1500))
+  }
+
+  test("evt_streaks: typed mapGroups shuffles once on user_id, no join") {
+    val plan = executedPlan("evt_streaks")
+    assert(plan.contains("MapGroups"), plan.take(1500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n" + plan.take(2000))
+    assert(!plan.contains("Join"), plan.take(1500))
+  }
+
+  test("agg_argminmax: greatest-per-group is one aggregation pass, no self-join") {
+    val plan = executedPlan("agg_argminmax")
+    assert(plan.contains("partial_"), "max_by must partial-aggregate map-side:\n" + plan.take(1500))
+    assert(!plan.contains("Join"), "MAX_BY exists to avoid the agg+self-join idiom:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
