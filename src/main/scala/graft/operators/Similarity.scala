@@ -40,6 +40,27 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus items whose cosine falls in [lo, hi) — below
+    * the positive threshold but close enough to carry gradient. Same
+    * broadcast-query + windowed-top-k shape as [[bruteForceTopK]]; the band
+    * filter runs BEFORE the rank window, so the per-query sort only sees
+    * band candidates (at corpus scale the band is a small fraction of N). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = withNorm(queries, "query_id", "q_emb")
+    val c = withNorm(corpus, "corpus_id", "c_emb")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+          (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
+      .filter(col("score") >= lo && col("score") < hi)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim i):
     * md5-derived hash mapped into [-1, 1]. Computed once at plan time in
     * Scala — exactly the formula TextFunctions.hash64 evaluates, so the

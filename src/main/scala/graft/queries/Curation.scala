@@ -561,6 +561,94 @@ object Curation {
       |ORDER BY pair_count DESC, pair
       |LIMIT 30""".stripMargin
 
+  /** Adjacent-symbol pair counts over a (sym, wfreq) vocabulary, where sym
+    * is a space-separated symbol string — the inner statistic of the BPE
+    * trainer. Words that have collapsed to one symbol stop producing pairs
+    * (the `size > 1` filter also keeps `sequence` ascending). */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("wfreq"), split(col("sym"), " ").as("a"))
+      .filter(size(col("a")) > 1)
+      .select(col("wfreq"), col("a"),
+        explode(expr("sequence(1, size(a) - 1)")).as("i"))
+      .select(concat(expr("element_at(a, i)"), lit(" "),
+        expr("element_at(a, i + 1)")).as("pair"), col("wfreq"))
+      .groupBy(col("pair")).agg(sum(col("wfreq")).as("pair_count"))
+
+  /** Three rounds of the BPE trainer LOOP: count pairs over the vocabulary,
+    * pick the argmax pair (count desc, pair asc — fully deterministic),
+    * apply the merge, recount. Output is the top-5 pair table per round;
+    * each round's rank-1 row IS the chosen merge, so the result pins both
+    * the merge choices and the post-merge statistics.
+    *
+    * Per round the driver collects exactly ONE row (the argmax pair) and
+    * stamps it into the next round's plan — the same driver-per-round shape
+    * as k-means centroid refresh; the corpus-sized work (word counting) runs
+    * once, and each round touches only the vocabulary. Merge application is
+    * sentinel-padded left-to-right non-overlapping `replace` — identical
+    * semantics in the engine and the oracle, and the standard greedy BPE
+    * scan. At production scale rounds run to a vocab budget (~50k merges);
+    * 3 here keeps the oracle's unrolled CTE chain reviewable. */
+  def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+    var vocab = words
+      .select(trim(array_join(split(col("word"), ""), " ")).as("sym"), col("wfreq"))
+      .localCheckpoint()
+    val perRound = (1 to 3).map { round =>
+      val counts = bpePairCounts(vocab).localCheckpoint()
+      val top = counts.orderBy(col("pair_count").desc, col("pair"))
+        .limit(1).collect()(0).getString(0)
+      val merged = top.replace(" ", "")
+      vocab = vocab.select(
+        trim(expr(s"replace(concat(' ', sym, ' '), ' $top ', ' $merged ')")).as("sym"),
+        col("wfreq")).localCheckpoint()
+      counts.orderBy(col("pair_count").desc, col("pair")).limit(5)
+        .select(lit(round.toLong).as("round"), col("pair"), col("pair_count"))
+    }
+    perRound.reduce(_ unionByName _)
+      .orderBy(col("round"), col("pair_count").desc, col("pair"))
+  }
+
+  val txtBpeTrainOracle: String = {
+    def pairCte(v: String, p: String, c: String): String =
+      s"""$p AS (
+         |  SELECT a[CAST(i AS INTEGER)] || ' ' || a[CAST(i AS INTEGER) + 1] AS pair, wfreq
+         |  FROM (SELECT str_split(sym, ' ') AS a, wfreq FROM $v) s,
+         |       unnest(range(1, len(a))) AS u(i)),
+         |$c AS (SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS pair_count
+         |       FROM $p GROUP BY pair)""".stripMargin
+    def mergeCte(vIn: String, t: String, c: String, vOut: String): String =
+      s"""$t AS (SELECT pair FROM $c ORDER BY pair_count DESC, pair LIMIT 1),
+         |$vOut AS (
+         |  SELECT trim(replace(' ' || sym || ' ',
+         |    ' ' || (SELECT pair FROM $t) || ' ',
+         |    ' ' || replace((SELECT pair FROM $t), ' ', '') || ' ')) AS sym, wfreq
+         |  FROM $vIn)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT w AS word, COUNT(*) AS wfreq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       |    FROM documents) t
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |v1 AS (SELECT array_to_string(str_split(word, ''), ' ') AS sym, wfreq FROM words),
+       |${pairCte("v1", "p1", "c1")},
+       |${mergeCte("v1", "t1", "c1", "v2")},
+       |${pairCte("v2", "p2", "c2")},
+       |${mergeCte("v2", "t2", "c2", "v3")},
+       |${pairCte("v3", "p3", "c3")}
+       |SELECT round, pair, pair_count FROM (
+       |  SELECT CAST(1 AS BIGINT) AS round, pair, pair_count FROM
+       |    (SELECT pair, pair_count FROM c1 ORDER BY pair_count DESC, pair LIMIT 5) x1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), pair, pair_count FROM
+       |    (SELECT pair, pair_count FROM c2 ORDER BY pair_count DESC, pair LIMIT 5) x2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), pair, pair_count FROM
+       |    (SELECT pair, pair_count FROM c3 ORDER BY pair_count DESC, pair LIMIT 5) x3) u
+       |ORDER BY round, pair_count DESC, pair""".stripMargin
+  }
+
   // ---- retrieval: BM25 ranking ----------------------------------------------
 
   /** Okapi BM25 top-k document ranking for a fixed 3-term query (k1=1.2,
@@ -691,6 +779,7 @@ object Curation {
     "txt_heavyhitters" -> ((txtHeavyhitters _, Some(txtHeavyhittersOracle))),
     "cur_funnel" -> ((curFunnel _, Some(curFunnelOracle))),
     "txt_bpe_pairs" -> ((txtBpePairs _, Some(txtBpePairsOracle))),
+    "txt_bpe_train" -> ((txtBpeTrain _, Some(txtBpeTrainOracle))),
     "txt_bm25" -> ((txtBm25 _, Some(txtBm25Oracle))),
     "smp_weighted" -> ((smpWeighted _, Some(smpWeightedOracle)))
   )

@@ -588,6 +588,32 @@ object Pipeline {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Hard-negative mining (contrastive-training data prep): per query, the
+    * 5 most-similar corpus vectors with cosine in [0.1, 0.3) — similar
+    * enough to be hard, dissimilar enough to be true negatives. */
+  def simHardneg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(e.filter(col("vec_id").isin(0, 1, 2)), e,
+        k = 5, lo = 0.1, hi = 0.3)
+      .select(col("query_id"), col("corpus_id"), col("score"),
+        col("rank").cast(LongType).as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simHardnegOracle: String =
+    s"""SELECT query_id, corpus_id, score, rank FROM (
+       |  SELECT query_id, corpus_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, corpus_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      round(${sqlCosine("q.embedding", "c.embedding")}, 6) AS score
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id IN (0, 1, 2) AND q.vec_id <> c.vec_id) s
+       |  WHERE score >= 0.1 AND score < 0.3) t
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- typed Dataset API: per-group sequential algorithm ---------------------
 
   /** Longest same-type event streak per user, via the TYPED Dataset API
@@ -666,6 +692,7 @@ object Pipeline {
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
     "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
     "ddl_view" -> ((ddlView _, Some(ddlViewOracle))),
-    "evt_streaks" -> ((evtStreaks _, Some(evtStreaksOracle)))
+    "evt_streaks" -> ((evtStreaks _, Some(evtStreaksOracle))),
+    "sim_hardneg" -> ((simHardneg _, Some(simHardnegOracle)))
   )
 }

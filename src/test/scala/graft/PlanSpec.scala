@@ -329,6 +329,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"), "MAX_BY exists to avoid the agg+self-join idiom:\n" + plan.take(1500))
   }
 
+  test("sim_hardneg: query side broadcasts; band filter runs below the rank window") {
+    val plan = executedPlan("sim_hardneg")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "3-row query side must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("Window"), plan.take(1500))
+    // the band filter must appear under the window (fewer rows sorted per query)
+    val wIdx = plan.indexOf("Window")
+    assert(plan.indexOf("Filter", wIdx) > wIdx,
+      "score-band filter should prune before ranking:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
