@@ -97,6 +97,39 @@ object Dedup {
       .unionByName(intraPairs(intra, memb, "sig_agree"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup pairs under prefix+length
+    * blocking. Candidates come from a per-block self-join keyed on
+    * (normalized `pfxLen`-char prefix, `lenBucket`-char length bucket) —
+    * near-identical docs land in the same block unless the edit falls in
+    * the first characters, the standard prefix-blocking trade-off. Blocks
+    * larger than `blockCap` are dropped before the join (stop-shingle
+    * pattern: a boilerplate prefix shared by d docs costs d² pairs), and
+    * the distance runs once per surviving pair on a bounded `cmpLen`
+    * prefix with Spark's thresholded early-exit, so one pair costs
+    * O(cmpLen·maxDist) regardless of document length. */
+  def editPairs(docs: DataFrame, idCol: String, textCol: String,
+                pfxLen: Int = 12, lenBucket: Int = 32, cmpLen: Int = 96,
+                maxDist: Int = 20, blockCap: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocked = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.normalize(col(textCol)).as("s"))
+      .select(col("doc_id"), col("s"),
+        substring(col("s"), 1, pfxLen).as("pfx"),
+        expr(s"length(s) DIV $lenBucket").as("lb"))
+      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("pfx", "lb")))
+      .filter(col("block_n") <= blockCap)
+    val lhs = blocked.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+      col("pfx"), col("lb"))
+    val rhs = blocked.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+      col("pfx"), col("lb"))
+    lhs.join(rhs, Seq("pfx", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(substring(col("sa"), 1, cmpLen),
+          substring(col("sb"), 1, cmpLen), maxDist).cast(LongType).as("dist"))
+      .filter(col("dist").between(0, maxDist)) // thresholded form yields -1 above maxDist
+  }
+
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
     * join on shingle (only docs sharing one meet), count intersections,
     * compute |A∩B| / (|A|+|B|-|A∩B|). The join is keyed by shingle, and

@@ -1,0 +1,393 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second continuation batch — remaining analytics surface: edit-distance
+  * fuzzy dedup (blocked, never all-pairs), time-spine gap-fill resampling,
+  * order-exact exponential smoothing, fixed-width histograms, the range
+  * table generator, and the map-type function family. Everything is
+  * oracle-gated; every join is keyed; the one self-join is bounded by an
+  * explicit hot-block cap (the stop-shingle pattern from Dedup.ngram).
+  */
+object Analytics {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- edit-distance fuzzy dedup --------------------------------------------
+
+  /** Candidate blocking: normalized 12-char prefix × 32-char length bucket.
+    * Near-identical documents land in the same block unless the edit is in
+    * the first 12 normalized chars — the standard prefix-blocking trade-off.
+    */
+  private val EditPfx = 12
+  private val EditLenBucket = 32
+  /** Compare on a bounded prefix so one pair costs O(96²), not O(|doc|²). */
+  private val EditCmpLen = 96
+  private val EditMaxDist = 20
+  /** Blocks larger than this are dropped before the self-join (boilerplate
+    * prefixes shared corpus-wide would otherwise go quadratic at 100 TB).
+    * sf0.1's largest block is far below the cap, so results are unchanged
+    * at test scale — AnalyticsSpec pins both properties. */
+  private val EditBlockCap = 64
+
+  /** Levenshtein near-dup pairs under prefix+length blocking: per-block
+    * self-join (keyed shuffle, no cartesian), hot blocks capped, distance
+    * computed once per candidate pair on a bounded prefix — see
+    * [[graft.operators.Dedup.editPairs]]. */
+  def dedEdit(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.editPairs(Tables.documents(spark, dir), "doc_id", "text",
+      EditPfx, EditLenBucket, EditCmpLen, EditMaxDist, EditBlockCap)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedEditOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH n AS (SELECT doc_id, $norm AS s FROM documents),
+       |b AS (
+       |  SELECT doc_id, s, substr(s, 1, $EditPfx) AS pfx,
+       |    length(s) // $EditLenBucket AS lb
+       |  FROM n),
+       |sized AS (SELECT *, COUNT(*) OVER (PARTITION BY pfx, lb) AS block_n FROM b),
+       |k AS (SELECT * FROM sized WHERE block_n <= $EditBlockCap),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |    CAST(levenshtein(substr(a.s, 1, $EditCmpLen),
+       |                     substr(c.s, 1, $EditCmpLen)) AS BIGINT) AS dist
+       |  FROM k a JOIN k c ON a.pfx = c.pfx AND a.lb = c.lb AND a.doc_id < c.doc_id)
+       |SELECT doc_a, doc_b, dist FROM p WHERE dist <= $EditMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- time-spine gap fill ---------------------------------------------------
+
+  /** Daily resample with gap filling: per-event-type day spine generated
+    * with `sequence` (the span aggregate is tiny — one row per type), left
+    * join back, zero-fill, running total. One keyed shuffle for the daily
+    * agg; the spine explode is proportional to types × days, not events. */
+  def evtGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .withColumn("cum_events",
+        sum(col("n_events"))
+          .over(Window.partitionBy("event_type").orderBy("d"))
+          .cast(LongType))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val evtGapfillOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d FROM events),
+      |daily AS (SELECT event_type, d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d
+      |  FROM span),
+      |j AS (
+      |  SELECT s.event_type, s.d, COALESCE(daily.n, 0) AS n_events
+      |  FROM spine s LEFT JOIN daily
+      |    ON s.event_type = daily.event_type AND s.d = daily.d)
+      |SELECT event_type, d, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT)
+      |    AS cum_events
+      |FROM j ORDER BY event_type, d""".stripMargin
+
+  // ---- exponential smoothing -------------------------------------------------
+
+  /** EWMA is an inherently sequential fold, so both engines run the SAME
+    * left-to-right reduction over the SAME (ts, event_id)-sorted list —
+    * bit-exact doubles (0.75/0.25 are exact binary), the list_reduce
+    * pairing from the verify recipe. Per-user lists are session-sized;
+    * the groupBy is one keyed shuffle. */
+  def evtEwma(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+          .as("evs"))
+      .select(col("user_id"), col("n_events"),
+        aggregate(transform(col("evs"), e => e.getField("value")), lit(0.0),
+          (acc, v) => acc * 0.75 + v * 0.25).as("ewma"))
+      .orderBy(col("user_id"))
+
+  val evtEwmaOracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(value ORDER BY ts, event_id)),
+      |    (acc, v) -> acc * 0.75 + v * 0.25) AS ewma
+      |FROM events WHERE user_id % 10 = 0
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- fixed-width histogram -------------------------------------------------
+
+  /** 5000-wide price buckets over [0, 110000). The bucket edges are exact
+    * doubles (multiples of 5000) and the prices are 2-decimal values, so
+    * Spark's double `width_bucket` and the oracle's decimal floor-divide
+    * agree on every boundary; min/max ride through DECIMAL for the exact
+    * final DOUBLE. Map-side partial agg, one keyed shuffle on 22 buckets. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(
+        width_bucket(col("l_extendedprice"), lit(0d), lit(110000d), lit(22))
+          .as("bucket"),
+        Dsl.dec(col("l_extendedprice")).as("p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        Dsl.d(min(col("p"))).as("lo"), Dsl.d(max(col("p"))).as("hi"))
+      .orderBy(col("bucket"))
+
+  val aggHistogramOracle: String =
+    """SELECT CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2)) / 5000) AS BIGINT) + 1
+      |    AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+      |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- range generator -------------------------------------------------------
+
+  /** `spark.range` — the parallel sequence generator (DataFusion's range
+    * table provider analog): splits the [start, end) interval across
+    * partitions with no data read at all. */
+  def srcRange(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1, 1001, 3).toDF("id")
+      .select(col("id"), (col("id") * col("id")).as("sq"),
+        (col("id") % 7).as("m7"))
+      .orderBy(col("id"))
+
+  val srcRangeOracle: String =
+    """SELECT CAST(range AS BIGINT) AS id,
+      |  CAST(range * range AS BIGINT) AS sq,
+      |  CAST(range % 7 AS BIGINT) AS m7
+      |FROM range(1, 1001, 3) ORDER BY id""".stripMargin
+
+  // ---- map functions ---------------------------------------------------------
+
+  /** Map-type surface: build a `k=v` metadata string from order columns,
+    * parse with `str_to_map`, then read it back through element_at /
+    * map_keys / map_values / map_filter / transform_values / map_concat.
+    * The oracle recomputes every output from the SOURCE columns — so the
+    * gate proves the map round-trip, not just self-consistency. Pure
+    * per-row projection, no shuffle. */
+  def fnMap(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"),
+        concat(lit("status="), col("o_orderstatus"),
+          lit(",prio="), col("o_orderpriority"),
+          lit(",cust="), col("o_custkey").cast(StringType)).as("meta"))
+      .select(col("o_orderkey"), str_to_map(col("meta"), lit(","), lit("=")).as("kv"))
+      .select(col("o_orderkey"),
+        element_at(col("kv"), "status").as("status"),
+        element_at(col("kv"), "prio").as("prio"),
+        size(col("kv")).cast(LongType).as("n_keys"),
+        array_join(array_sort(map_keys(col("kv"))), ",").as("keys"),
+        array_join(array_sort(map_values(
+          map_filter(col("kv"), (k, _) => k =!= "cust"))), ",").as("nonid_vals"),
+        element_at(transform_values(col("kv"), (_, v) => upper(v)), "prio")
+          .as("prio_uc"),
+        size(map_concat(col("kv"), map(lit("src"), lit("synth"))))
+          .cast(LongType).as("n_plus"))
+      .orderBy(col("o_orderkey"))
+
+  val fnMapOracle: String =
+    """SELECT o_orderkey,
+      |  o_orderstatus AS status,
+      |  o_orderpriority AS prio,
+      |  CAST(3 AS BIGINT) AS n_keys,
+      |  'cust,prio,status' AS keys,
+      |  CASE WHEN o_orderstatus <= o_orderpriority
+      |       THEN o_orderstatus || ',' || o_orderpriority
+      |       ELSE o_orderpriority || ',' || o_orderstatus END AS nonid_vals,
+      |  upper(o_orderpriority) AS prio_uc,
+      |  CAST(4 AS BIGINT) AS n_plus
+      |FROM orders WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- bitmap distinct count -------------------------------------------------
+
+  /** Distinct users per event type via the bitmap family — the mergeable
+    * two-level pattern for COUNT(DISTINCT) at scale: partial bitmaps built
+    * per (type, 32k-id bucket), OR-merged map-side, popcounted and summed.
+    * Unlike a plain count_distinct the partial state is a fixed-size bitmap
+    * (never a growing hash set), and the bucket level re-shards giant key
+    * ranges. Oracle is the plain COUNT(DISTINCT). */
+  def aggBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  val aggBitmapDistinctOracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- conversion funnel -----------------------------------------------------
+
+  /** Ordered conversion funnel view → click → purchase: each stage is the
+    * MIN event time strictly after the previous stage's time, so out-of-order
+    * events never count (the sequential-funnel semantics product analytics
+    * engines implement natively). Three keyed aggregations + two keyed
+    * joins on user_id; the final counts are single-row aggregates. */
+  def evtFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = e.join(s1, Seq("user_id"))
+      .filter(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = e.join(s2, Seq("user_id"))
+      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stageCount(df: DataFrame, name: String, n: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("stage"), lit(n).as("stage_n"), col("n_users"))
+    stageCount(s1, "view", 1L)
+      .unionAll(stageCount(s2, "view>click", 2L))
+      .unionAll(stageCount(s3, "view>click>purchase", 3L))
+      .orderBy(col("stage_n"))
+  }
+
+  val evtFunnelOracle: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      |SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_n, COUNT(*) AS n_users FROM s1
+      |UNION ALL
+      |SELECT 'view>click', CAST(2 AS BIGINT), COUNT(*) FROM s2
+      |UNION ALL
+      |SELECT 'view>click>purchase', CAST(3 AS BIGINT), COUNT(*) FROM s3
+      |ORDER BY stage_n""".stripMargin
+
+  // ---- snapshot diff (CDC classify) ------------------------------------------
+
+  /** Change-data-capture between two table snapshots: full outer join on
+    * the key, classify insert / delete / update, drop unchanged rows. The
+    * snapshots are carved deterministically from orders (key mod 7 picks
+    * inserts/deletes, mod 5 bumps prices for updates); the join is keyed,
+    * and at 100 TB the unchanged majority is filtered before any wide
+    * payload is materialized. */
+  def cdcDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Dsl.dec(col("o_totalprice")).as("p"))
+    val oldSnap = base.filter(col("o_orderkey") % 7 =!= 1)
+      .select(col("o_orderkey"), col("p").as("old_p"))
+    val newSnap = base.filter(col("o_orderkey") % 7 =!= 2)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("p") + 1).otherwise(col("p")).as("new_p"))
+    oldSnap.join(newSnap, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_p").isNull, "insert")
+          .when(col("new_p").isNull, "delete")
+          .when(col("old_p") =!= col("new_p"), "update"))
+      .filter(col("change").isNotNull)
+      .select(col("o_orderkey"), col("change"),
+        Dsl.d(col("old_p")).as("old_price"), Dsl.d(col("new_p")).as("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val cdcDiffOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |olds AS (SELECT o_orderkey, p AS old_p FROM base WHERE o_orderkey % 7 <> 1),
+      |news AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN p + 1 ELSE p END AS new_p
+      |  FROM base WHERE o_orderkey % 7 <> 2),
+      |j AS (
+      |  SELECT COALESCE(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
+      |    old_p, new_p,
+      |    CASE WHEN old_p IS NULL THEN 'insert'
+      |         WHEN new_p IS NULL THEN 'delete'
+      |         WHEN old_p <> new_p THEN 'update' END AS change
+      |  FROM olds FULL OUTER JOIN news ON olds.o_orderkey = news.o_orderkey)
+      |SELECT o_orderkey, change,
+      |  CAST(old_p AS DOUBLE) AS old_price, CAST(new_p AS DOUBLE) AS new_price
+      |FROM j WHERE change IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- array function family, part 2 ----------------------------------------
+
+  /** The array functions fn_collection leaves out: zip_with, flatten,
+    * array_repeat, array_position, set algebra (union/intersect/except),
+    * arrays_overlap, sequence. The oracle recomputes each from list
+    * primitives (DuckDB lacks several of these natively), so the gate
+    * checks semantics, not a shared implementation. Per-row, no shuffle. */
+  def fnArray2(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast(LongType).as("k"),
+        array(col("n_nationkey").cast(LongType), (col("n_nationkey") % 5).cast(LongType),
+          (col("n_nationkey") % 3).cast(LongType)).as("a"),
+        array((col("n_nationkey") % 5).cast(LongType),
+          (col("n_nationkey") + 1).cast(LongType)).as("b"))
+      .select(col("k"),
+        array_join(zip_with(col("a"), col("b"),
+          (x, y) => coalesce(x, lit(0L)) * 10 + coalesce(y, lit(0L))), ",").as("zipped"),
+        array_join(flatten(array(col("a"), col("b"))), ",").as("flat"),
+        array_join(array_repeat(col("k"), 3), ",").as("repeated"),
+        array_position(col("a"), 2L).as("pos2"),
+        array_join(array_sort(array_union(col("a"), col("b"))), ",").as("u"),
+        array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("i"),
+        array_join(array_sort(array_except(col("a"), col("b"))), ",").as("x"),
+        arrays_overlap(col("a"), col("b")).as("overlaps"),
+        array_join(sequence(lit(1L), col("k") % 4 + 1), ",").as("seq"))
+      .orderBy(col("k"))
+
+  val fnArray2Oracle: String =
+    """SELECT k,
+      |  array_to_string(list_transform(generate_series(1, greatest(len(a), len(b))),
+      |    i -> coalesce(a[i], 0) * 10 + coalesce(b[i], 0)), ',') AS zipped,
+      |  array_to_string(flatten([a, b]), ',') AS flat,
+      |  array_to_string(list_transform(generate_series(1, 3), i -> k), ',') AS repeated,
+      |  CAST(coalesce(list_position(a, 2), 0) AS BIGINT) AS pos2,
+      |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+      |  coalesce(array_to_string(list_sort(list_distinct(
+      |    list_filter(a, e -> list_contains(b, e)))), ','), '') AS i,
+      |  coalesce(array_to_string(list_sort(list_distinct(
+      |    list_filter(a, e -> NOT list_contains(b, e)))), ','), '') AS x,
+      |  len(list_filter(a, e -> list_contains(b, e))) > 0 AS overlaps,
+      |  array_to_string(generate_series(1, k % 4 + 1), ',') AS seq
+      |FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |    [CAST(n_nationkey AS BIGINT), CAST(n_nationkey % 5 AS BIGINT),
+      |     CAST(n_nationkey % 3 AS BIGINT)] AS a,
+      |    [CAST(n_nationkey % 5 AS BIGINT), CAST(n_nationkey + 1 AS BIGINT)] AS b
+      |  FROM nation) t
+      |ORDER BY k""".stripMargin
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
+    "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
+    "evt_ewma" -> ((evtEwma _, Some(evtEwmaOracle))),
+    "agg_histogram" -> ((aggHistogram _, Some(aggHistogramOracle))),
+    "src_range" -> ((srcRange _, Some(srcRangeOracle))),
+    "fn_map" -> ((fnMap _, Some(fnMapOracle))),
+    "agg_bitmap_distinct" -> ((aggBitmapDistinct _, Some(aggBitmapDistinctOracle))),
+    "evt_funnel" -> ((evtFunnel _, Some(evtFunnelOracle))),
+    "cdc_diff" -> ((cdcDiff _, Some(cdcDiffOracle))),
+    "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle)))
+  )
+}

@@ -284,6 +284,28 @@ class OperatorsSpec extends SparkSpec {
     assert(binned.select("pid", "iid").exceptAll(naive.select("pid", "iid")).isEmpty)
   }
 
+  test("edit-distance dedup: near dups pair, hot blocks never join, -1 sentinel filtered") {
+    // 70 docs sharing a prefix+length block (over the cap of 64) plus one
+    // near-dup pair in a small block. The hot block must contribute ZERO
+    // pairs — its 70·69/2 candidates are exactly what would go quadratic
+    // corpus-wide — and the thresholded levenshtein's -1 (distance above
+    // maxDist) must not leak through the `dist <= maxDist` filter.
+    val hot = (100L until 170L).map(i => (i, s"shared boilerplate header unit $i"))
+    val near = Seq(
+      (1L, "a distinctive document about spark engines and scale"),
+      (2L, "a distinctive document about spark engines and scales"),
+      (3L, "a distinctive bbbbb ccccc ddddd eeeee fffff ggggg")) // same block as 1/2, dist > maxDist → -1
+    val df = spark.createDataFrame(hot ++ near).toDF("doc_id", "text")
+    val pairs = Dedup.editPairs(df, "doc_id", "text", blockCap = 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)), pairs.mkString(","))
+    assert(pairs.head._3 === 1L) // one trailing-char edit
+    // same data under a higher cap: the hot block pairs freely (cap, not
+    // blocking, was what suppressed it)
+    val uncapped = Dedup.editPairs(df, "doc_id", "text", blockCap = 100L).count()
+    assert(uncapped > 2000L)
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

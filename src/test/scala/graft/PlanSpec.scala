@@ -340,6 +340,34 @@ class PlanSpec extends SparkSpec {
       "score-band filter should prune before ranking:\n" + plan.take(2000))
   }
 
+  test("ded_edit: blocked self-join is keyed, never a cartesian") {
+    val plan = optimizedPlan("ded_edit")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+  }
+
+  test("agg_histogram: bucket aggregation is two-phase") {
+    val plan = SparkEntry.queries("agg_histogram")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), "no map-side partial aggregation in plan")
+  }
+
+  test("src_range: generator plan reads no files") {
+    val plan = SparkEntry.queries("src_range")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Range"), plan.take(1000))
+    assert(!plan.contains("FileScan"), "range generator must not scan data")
+  }
+
+  test("evt_gapfill: spine explode sits above the per-type span aggregate") {
+    // the generator's input is the tiny (event_type, d0, d1) aggregate —
+    // two-phase agg below a Generate node, never an explode of raw events
+    val plan = optimizedPlan("evt_gapfill")
+    assert(plan.contains("Generate explode"), plan.take(2000))
+    assert(plan.indexOf("Generate explode") < plan.indexOf("Relation"),
+      "explode should sit above the aggregated span, not the raw scan")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
