@@ -378,6 +378,117 @@ object Analytics {
       |  FROM nation) t
       |ORDER BY k""".stripMargin
 
+  // ---- canonical-URL dedup ---------------------------------------------------
+
+  /** URL canonicalization + dedup — the crawl-pipeline step that collapses
+    * the same page fetched under different tracking params, host casing,
+    * and fragments. Messy URLs are synthesized from document metadata
+    * (host case flips, utm_* params, #fragments); the canonical form keeps
+    * lowercase host + path + the one identifying param. One keyed shuffle
+    * on the canonical string; the regexes are per-row codegen'd. */
+  def dedUrl(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 2 === 0, "Docs.Example.ORG").otherwise("docs.example.org"),
+          lit("/p/"), col("doc_id") % 97,
+          lit("?utm_source="), col("source"),
+          lit("&id="), col("doc_id") % 97,
+          lit("&utm_campaign=x#sec"), col("doc_id") % 3).as("url"))
+      .select(col("doc_id"),
+        concat(lower(regexp_extract(col("url"), "^https://([^/]+)", 1)),
+          regexp_extract(col("url"), "^https://[^/]+([^?#]*)", 1),
+          lit("?id="), regexp_extract(col("url"), "[?&]id=([^&#]*)", 1)).as("canon"))
+      .groupBy(col("canon"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_urls"))
+      .orderBy(col("canon"))
+
+  val dedUrlOracle: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'Docs.Example.ORG' ELSE 'docs.example.org' END ||
+      |    '/p/' || (doc_id % 97) ||
+      |    '?utm_source=' || source || '&id=' || (doc_id % 97) ||
+      |    '&utm_campaign=x#sec' || (doc_id % 3) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^https://([^/]+)', 1)) ||
+      |    regexp_extract(url, '^https://[^/]+([^?#]*)', 1) ||
+      |    '?id=' || regexp_extract(url, '[?&]id=([^&#]*)', 1) AS canon
+      |  FROM u)
+      |SELECT canon, MIN(doc_id) AS keeper_id, COUNT(*) AS n_urls
+      |FROM c GROUP BY canon ORDER BY canon""".stripMargin
+
+  // ---- robust outlier stats (median absolute deviation) ----------------------
+
+  /** Per-type robust outlier screen: median, MAD, and the count of values
+    * beyond 3 MADs — the curation-pipeline alternative to z-scores that
+    * heavy-tailed metrics need. Medians are selection (not summation), so
+    * doubles stay bit-exact across engines with no decimal detour. Two
+    * keyed aggregations; the per-type stats joins broadcast. */
+  def winMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type")).agg(median(col("adev")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val winMadOracle: String =
+    """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
+      |  CAST(SUM(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  COUNT(*) AS n
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  // ---- struct functions ------------------------------------------------------
+
+  /** Struct surface: named_struct construction, field access, nesting, and
+    * JSON serialization. The oracle builds the JSON strings from raw
+    * columns with string concatenation, so the gate pins Spark's struct →
+    * JSON encoding (compact, field order preserved) rather than comparing
+    * two implementations of the same library. Per-row, no shuffle. */
+  def fnStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast(LongType).as("k"), col("n_name"), col("n_regionkey"))
+      .select(col("k"),
+        struct(col("k").as("id"), col("n_name").as("name")).as("st"),
+        struct(col("k").as("id"),
+          struct(col("n_regionkey").cast(LongType).as("r"),
+            (col("k") % 3).cast(LongType).as("m")).as("inner")).as("nested"))
+      .select(col("k"),
+        col("st").getField("name").as("sname"),
+        to_json(col("st")).as("sjson"),
+        to_json(col("nested")).as("njson"),
+        col("nested").getField("inner").getField("r").as("rkey"))
+      .orderBy(col("k"))
+
+  val fnStructOracle: String =
+    """SELECT k,
+      |  n_name AS sname,
+      |  '{"id":' || k || ',"name":"' || n_name || '"}' AS sjson,
+      |  '{"id":' || k || ',"inner":{"r":' || rk || ',"m":' || (k % 3) || '}}' AS njson,
+      |  rk AS rkey
+      |FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name,
+      |    CAST(n_regionkey AS BIGINT) AS rk
+      |  FROM nation) t
+      |ORDER BY k""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
@@ -388,6 +499,9 @@ object Analytics {
     "agg_bitmap_distinct" -> ((aggBitmapDistinct _, Some(aggBitmapDistinctOracle))),
     "evt_funnel" -> ((evtFunnel _, Some(evtFunnelOracle))),
     "cdc_diff" -> ((cdcDiff _, Some(cdcDiffOracle))),
-    "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle)))
+    "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),
+    "ded_url" -> ((dedUrl _, Some(dedUrlOracle))),
+    "win_mad" -> ((winMad _, Some(winMadOracle))),
+    "fn_struct" -> ((fnStruct _, Some(fnStructOracle)))
   )
 }

@@ -368,6 +368,28 @@ class PlanSpec extends SparkSpec {
       "explode should sit above the aggregated span, not the raw scan")
   }
 
+  test("ded_url: canonicalization dedups on one keyed exchange, no join") {
+    val plan = executedPlan("ded_url")
+    assert(plan.contains("partial_"), "canon groupBy must partial-aggregate map-side:\n" + plan.take(1500))
+    assert(!plan.contains("Join"), plan.take(1500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n" + plan.take(2000))
+  }
+
+  test("win_mad: per-type median/MAD stats broadcast back onto events") {
+    val plan = executedPlan("win_mad")
+    assert(plan.contains("BroadcastHashJoin"),
+      "tiny per-type stats must broadcast, never shuffle events:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("fn_struct: struct build/serialize is per-row, no shuffle-by-key or join") {
+    val plan = executedPlan("fn_struct")
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "per-row struct projection must not shuffle by key:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
