@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality and layout operators a production 100 TB pipeline runs
+  * before and after every ingest: constraint validation (`dq_checks`),
+  * table statistics collection (`dq_profile`), deterministic train/val/test
+  * splitting (`smp_split`), and Z-order clustering for data skipping
+  * (`cls_zorder`). Every check is a single-pass conditional aggregation or
+  * a keyed anti-join — nothing here sorts, collects, or all-pairs.
+  */
+object Quality {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  // ---- constraint validation -------------------------------------------------
+
+  /** Expectation-suite scan: null / range / domain checks as ONE conditional
+    * aggregation pass per table (count(when(...)) all partial-aggregate
+    * map-side), plus a duplicate-PK check (keyed count) and a referential
+    * check (left-anti join on the key). Output is one row per check with its
+    * violation count — the shape of a DQ dashboard feed. At 100 TB each
+    * check family is one linear scan; none of them widens rows or sorts. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_shipdate"))
+    val liAgg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_shipdate").isNull, true)).as("c_null"),
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, true)).as("c_qty"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, true)).as("c_disc"))
+    val liChecks = liAgg.select(
+      expr("stack(3, 'li_null_shipdate', c_null, 'li_qty_range', c_qty, " +
+        "'li_disc_range', c_disc) as (chk, n_bad)"),
+      col("n_rows"))
+
+    // n_rows falls out of the same grouped pass (sum of per-key counts) —
+    // no second lineitem scan just for the denominator
+    val liDup = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L))
+          .cast(LongType).as("n_bad"),
+        sum(col("cnt")).cast(LongType).as("n_rows"))
+      .select(lit("li_dup_pk").as("chk"), col("n_bad"), col("n_rows"))
+
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val ordAgg = ord.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), true)).as("c_status"))
+    val ordChecks = ordAgg.select(
+      expr("stack(1, 'ord_status_domain', c_status) as (chk, n_bad)"),
+      col("n_rows"))
+
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    // the denominator reuses ordAgg's subtree — AQE's exchange reuse makes
+    // the second reference free instead of a second orders scan
+    val fk = ord.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit("ord_fk_customer").as("chk"), col("n_bad"))
+      .crossJoin(ordAgg.select(col("n_rows")))
+
+    liChecks.select(col("chk"), col("n_bad"), col("n_rows"))
+      .union(liDup.select(col("chk"), col("n_bad"), col("n_rows")))
+      .union(ordChecks.select(col("chk"), col("n_bad"), col("n_rows")))
+      .union(fk.select(col("chk"), col("n_bad"), col("n_rows")))
+      .orderBy(col("chk"))
+  }
+
+  val dqChecksOracle: String =
+    """WITH lin AS (SELECT COUNT(*) AS n_rows FROM lineitem),
+      |     orn AS (SELECT COUNT(*) AS n_rows FROM orders)
+      |SELECT chk, n_bad, n_rows FROM (
+      |  SELECT 'li_null_shipdate' AS chk,
+      |    (SELECT COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) FROM lineitem) AS n_bad,
+      |    (SELECT n_rows FROM lin) AS n_rows
+      |  UNION ALL
+      |  SELECT 'li_qty_range',
+      |    (SELECT COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) FROM lineitem),
+      |    (SELECT n_rows FROM lin)
+      |  UNION ALL
+      |  SELECT 'li_disc_range',
+      |    (SELECT COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM lineitem),
+      |    (SELECT n_rows FROM lin)
+      |  UNION ALL
+      |  SELECT 'li_dup_pk',
+      |    (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) FROM (
+      |       SELECT COUNT(*) AS cnt FROM lineitem
+      |       GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+      |    (SELECT n_rows FROM lin)
+      |  UNION ALL
+      |  SELECT 'ord_status_domain',
+      |    (SELECT COUNT(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders),
+      |    (SELECT n_rows FROM orn)
+      |  UNION ALL
+      |  SELECT 'ord_fk_customer',
+      |    (SELECT COUNT(*) FROM orders o
+      |       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT n_rows FROM orn)
+      |) ORDER BY chk""".stripMargin
+
+  // ---- table statistics collection -------------------------------------------
+
+  /** ANALYZE-style column profile: per column, null count, exact distinct
+    * count, and min/max rendered to strings for a uniform schema. Each
+    * column profiles in its OWN aggregation over a one-column projection —
+    * parquet column pruning makes that a single-column scan apiece, and it
+    * avoids the multi-countDistinct Expand (one input copy per distinct agg
+    * in a shared pass — the 32x superlinear shape agg_approx documents).
+    * Doubles profile through a lossless DECIMAL view so min/max strings are
+    * engine-independent. */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def prof(name: String, v: org.apache.spark.sql.Column): DataFrame =
+      ord.select(v.as("v")).agg(
+        count(when(col("v").isNull, true)).as("n_nulls"),
+        count_distinct(col("v")).as("n_distinct"),
+        min(col("v")).cast(StringType).as("min_s"),
+        max(col("v")).cast(StringType).as("max_s"))
+        .select(lit(name).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+    prof("o_orderkey", col("o_orderkey"))
+      .union(prof("o_custkey", col("o_custkey")))
+      .union(prof("o_orderstatus", col("o_orderstatus")))
+      .union(prof("o_totalprice", col("o_totalprice").cast(DecimalType(12, 2))))
+      .union(prof("o_orderpriority", col("o_orderpriority")))
+      .orderBy(col("col_name"))
+  }
+
+  val dqProfileOracle: String =
+    """SELECT col_name, n_nulls, n_distinct, min_s, max_s FROM (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+      |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+      |    CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+      |    CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+      |    COUNT(DISTINCT o_custkey),
+      |    CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+      |    COUNT(DISTINCT o_orderstatus),
+      |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+      |    COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))),
+      |    CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+      |    CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+      |    COUNT(DISTINCT o_orderpriority),
+      |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+      |  FROM orders
+      |) ORDER BY col_name""".stripMargin
+
+  // ---- deterministic train/val/test split ------------------------------------
+
+  /** Hash-based dataset split: bucket every document by the first hex char
+    * of md5(doc_id) — 0-9a-c train (13/16), d-e val (2/16), f test (1/16).
+    * The split is a pure per-row function of the stable id, so it is
+    * reproducible run-to-run, stable under repartitioning, and new data
+    * lands in the same proportions without reshuffling old assignments —
+    * the property random() splits lack. One keyed aggregation for the
+    * audit counts; the split itself is shuffle-free. */
+  def smpSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        substring(md5(col("doc_id").cast(StringType)), 1, 1).as("h"))
+      .withColumn("split",
+        when(col("h") < "d", "train")
+          .when(col("h") < "f", "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("split"), col("lang"))
+
+  val smpSplitOracle: String =
+    """SELECT CASE WHEN h < 'd' THEN 'train' WHEN h < 'f' THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n
+      |FROM (SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |      FROM documents)
+      |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin
+
+  // ---- Z-order clustering ----------------------------------------------------
+
+  /** Bits interleaved per dimension in the Z-value (8 → 16-bit Morton code). */
+  private val ZBits = 8
+
+  /** Morton/Z-order interleave of two 8-bit key dimensions — the layout
+    * trick behind multi-column data skipping: sorting by the interleaved
+    * value co-locates rows that are close in BOTH dimensions, so per-file
+    * min/max ranges stay tight on each column and a predicate on either one
+    * prunes files. The gate groups by the top Z-bits (a "file" stand-in)
+    * and reports per-bucket min/max of both dimensions — tight ranges are
+    * the evidence the clustering works. The interleave is 32 codegen'd
+    * shift/mask terms, per-row, shuffle-free; the bucket stats are one
+    * keyed aggregation. */
+  def clsZorder(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select((col("user_id") % 256).as("ux"), (col("event_id") % 256).as("ey"))
+    val z = (0 until ZBits).flatMap { i =>
+      Seq(shiftleft(shiftright(col("ux"), i).bitwiseAND(lit(1L)), 2 * i + 1),
+        shiftleft(shiftright(col("ey"), i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    e.withColumn("zval", z)
+      .groupBy(shiftright(col("zval"), 10).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ux")).as("min_x"), max(col("ux")).as("max_x"),
+        min(col("ey")).as("min_y"), max(col("ey")).as("max_y"))
+      .orderBy(col("zbucket"))
+  }
+
+  val clsZorderOracle: String = {
+    val terms = (0 until ZBits).flatMap { i =>
+      Seq(s"(((ux >> $i) & 1) << ${2 * i + 1})", s"(((ey >> $i) & 1) << ${2 * i})")
+    }.mkString(" | ")
+    s"""SELECT (zval >> 10) AS zbucket, COUNT(*) AS n,
+       |  MIN(ux) AS min_x, MAX(ux) AS max_x,
+       |  MIN(ey) AS min_y, MAX(ey) AS max_y
+       |FROM (
+       |  SELECT ux, ey, ($terms) AS zval
+       |  FROM (SELECT user_id % 256 AS ux, event_id % 256 AS ey FROM events))
+       |GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
+    "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),
+    "smp_split" -> ((smpSplit _, Some(smpSplitOracle))),
+    "cls_zorder" -> ((clsZorder _, Some(clsZorderOracle)))
+  )
+}

@@ -390,6 +390,67 @@ class PlanSpec extends SparkSpec {
       "per-row struct projection must not shuffle by key:\n" + plan.take(1500))
   }
 
+  test("dq_checks: validation is conditional aggregation + anti-join, never a sort or wide join") {
+    val plan = executedPlan("dq_checks")
+    assert(plan.contains("partial_"), "checks must partial-aggregate map-side:\n" + plan.take(1500))
+    assert(plan.contains("LeftAnti"), "referential check must compile to an anti join:\n" + plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("dq_profile: each column profiles over a pruned single-column scan") {
+    val plan = executedPlan("dq_profile")
+    assert(!plan.contains("o_orderdate"),
+      "column pruning failed: unprofiled o_orderdate read:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), plan.take(1500))
+    assert(!plan.contains("Expand"),
+      "per-column profiling exists to avoid the multi-distinct Expand:\n" + plan.take(2000))
+  }
+
+  test("smp_split: hash split is per-row; only the audit count shuffles") {
+    val plan = executedPlan("smp_split")
+    assert(!plan.contains("Join"), plan.take(1500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n" + plan.take(2000))
+  }
+
+  test("cls_zorder: interleave is per-row codegen; bucket stats are one keyed agg") {
+    val plan = executedPlan("cls_zorder")
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("partial_"), plan.take(1500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n" + plan.take(2000))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // With broadcast off (a 100 TB fact table can force this), Catalyst's
+    // InjectRuntimeFilter should build a bloom filter from the selective
+    // dimension side and push might_contain onto the lineitem scan side —
+    // the runtime analog of static partition pruning.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val ord = graft.Tables.orders(spark, sfDir)
+        .filter(col("o_totalprice") > 90000.0).select("o_orderkey")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        "expected an injected runtime bloom filter:\n" + plan.take(2500))
+    } finally {
+      keys.foreach { k =>
+        saved(k) match {
+          case Some(v) => conf.set(k, v)
+          case None    => conf.unset(k)
+        }
+      }
+    }
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
