@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterative graph analytics over a synthesized link graph — the quality-
+  * propagation step (PageRank over hyperlinks) crawl pipelines run to score
+  * documents. Connected components already ships in
+  * [[graft.operators.Clustering]] (`ded_cluster`); this adds the power-
+  * iteration family.
+  *
+  * Determinism strategy: ranks are BIGINT fixed-point (1e6 = rank 1.0) and
+  * every step is integer arithmetic — `div` truncation and integer sums are
+  * bit-identical in Spark and DuckDB, so an unrolled iteration hash-matches
+  * exactly, with no float-summation-order hazard at any partitioning/scale.
+  */
+object Graphs {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  /** Unrolled power-iteration count (each is one keyed shuffle). */
+  private val PrIters = 3
+  /** Fixed-point scale: 1_000_000 == rank 1.0. */
+  private val PrOne = 1000000L
+  /** Per-node out-degree (edge synthesis emits exactly k = 1..3). */
+  private val PrDeg = 3
+
+  /** Fixed-point PageRank, damping 0.85, 3 unrolled iterations.
+    *
+    * Edges are synthesized deterministically from the document table:
+    * doc i links to ((i*31 + 7k) mod N) for k = 1..3, so every node has
+    * out-degree exactly 3 (self-loops and parallel edges kept — degree
+    * stays constant, the oracle agrees). Each iteration is
+    * edges ⋈ ranks (keyed on src) → groupBy(dst) sum → left join back onto
+    * the node set for zero-indegree nodes: two keyed shuffles per round,
+    * nothing driver-side, no cartesian — the plan shape GraphX/Pregel
+    * lowers to. Output: top 100 nodes by rank (top-k, not a global sort). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(n) // 1-row count broadcast onto every node
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array(lit(1), lit(2), lit(3))).as("k"))
+      .select(col("src"),
+        ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
+
+    def step(ranks: DataFrame): DataFrame = {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr(s"r div $PrDeg")).as("in_sum"))
+      docs.select(col("doc_id").as("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"))
+    }
+    val r0 = docs.select(col("doc_id").as("id"), lit(PrOne).as("r"))
+    val r3 = Iterator.iterate(r0)(step).drop(PrIters).next()
+    r3.select(col("id").as("doc_id"), col("r").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val pageRankOracle: String = {
+    // one CTE pair (contribution sum, damped rank) per unrolled iteration
+    val iters = (1 to PrIters).map { i =>
+      s"""s$i AS (
+         |  SELECT e.dst AS id, CAST(SUM(r.r // $PrDeg) AS BIGINT) AS in_sum
+         |  FROM e JOIN r${i - 1} r ON r.id = e.src GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT d.doc_id AS id,
+         |    150000 + COALESCE(s.in_sum, 0) * 85 // 100 AS r
+         |  FROM documents d LEFT JOIN s$i s ON s.id = d.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + k * 7) % n.n AS dst
+       |  FROM documents CROSS JOIN n CROSS JOIN (VALUES (1), (2), (3)) AS ks(k)),
+       |r0 AS (SELECT doc_id AS id, CAST($PrOne AS BIGINT) AS r FROM documents),
+       |$iters
+       |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r$PrIters
+       |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
+  }
+
+  def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "graph_pagerank" -> ((pageRank _, Some(pageRankOracle)))
+  )
+}

@@ -451,6 +451,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("graph_pagerank: iterations are keyed shuffles ending in top-k, never a global sort") {
+    val plan = executedPlan("graph_pagerank")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "rank output must be top-k, not a full sort:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("partial_sum"),
+      "contribution sums must partial-aggregate map-side:\n" + plan.take(2000))
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the partitioned fact scan at runtime") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables.orders(spark, sfDir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    val fact = spark.read.parquet(p)
+    // the dim must come from a file scan: a Seq-backed local relation gets
+    // its filter constant-folded away, and DPP requires a surviving
+    // selective Filter node on the build side
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3))
+      .toDF("pri", "grp").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"grp" === 1)
+    val joined = fact.join(dim, fact("o_orderpriority") === dim("pri"))
+      .agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a runtime partition filter on the fact scan:\n" + plan.take(2500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
