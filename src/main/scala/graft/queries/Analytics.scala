@@ -427,7 +427,11 @@ object Analytics {
     * beyond 3 MADs — the curation-pipeline alternative to z-scores that
     * heavy-tailed metrics need. Medians are selection (not summation), so
     * doubles stay bit-exact across engines with no decimal detour. Two
-    * keyed aggregations; the per-type stats joins broadcast. */
+    * keyed aggregations; the per-type stats joins broadcast. Scale note:
+    * exact median() buffers each group's values (ObjectHashAggregate) —
+    * measured ~linear to 100x bench scale, but at 100 TB with few groups
+    * swap median() for percentile_approx(col, 0.5), whose sketch is
+    * mergeable and memory-bounded; the MAD pipeline shape is unchanged. */
   def winMad(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
