@@ -137,5 +137,8 @@ object TextFunctions {
     registerExpression(spark, "graft_token_count", es => SqlExprs.tokenCount(es(0)))
     registerExpression(spark, "graft_similar_to", es =>
       SqlExprs.similarTo(es(0), SqlExprs.stringLiteral(es(1), "graft_similar_to pattern")))
+    // table-valued: LATERAL VIEW graft_ngrams(text, 2) g AS gram
+    registerExpression(spark, "graft_ngrams", es =>
+      graft.plans.NgramGenerator(es(0), SqlExprs.intLiteral(es(1), "graft_ngrams n")))
   }
 }

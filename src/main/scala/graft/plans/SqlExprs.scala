@@ -64,4 +64,12 @@ object SqlExprs {
     case other => throw new IllegalArgumentException(
       s"$what must be a string literal, got $other")
   }
+
+  /** Extract a required integer-literal argument (n-gram width, k, ...). */
+  def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
 }

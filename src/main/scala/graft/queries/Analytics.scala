@@ -493,6 +493,33 @@ object Analytics {
       |  FROM nation) t
       |ORDER BY k""".stripMargin
 
+  // ---- custom Generator (table-valued function) ------------------------------
+
+  /** Top word-bigrams via the custom [[graft.plans.NgramGenerator]] UDTF,
+    * invoked from SQL as a LATERAL VIEW — the table-function registration
+    * surface (scalar UDFs and UDAFs are gated by udf_surface/
+    * agg_wpercentile_udaf; this completes the trio). GenerateExec streams
+    * the generator's rows straight into the partial aggregation — no
+    * per-document gram array ever materializes. The oracle reproduces the
+    * exact tokenization contract with unnest over token windows. */
+  def udtfNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT gram, COUNT(*) AS n
+        |FROM documents LATERAL VIEW graft_ngrams(text, 2) g AS gram
+        |GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin)
+  }
+
+  val udtfNgramsOracle: String =
+    """SELECT gram, n FROM (
+      |  SELECT array_to_string(toks[i:i+1], ' ') AS gram, COUNT(*) AS n
+      |  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |       unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      |  GROUP BY 1)
+      |ORDER BY n DESC, gram LIMIT 50""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
@@ -506,6 +533,7 @@ object Analytics {
     "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),
     "ded_url" -> ((dedUrl _, Some(dedUrlOracle))),
     "win_mad" -> ((winMad _, Some(winMadOracle))),
-    "fn_struct" -> ((fnStruct _, Some(fnStructOracle)))
+    "fn_struct" -> ((fnStruct _, Some(fnStructOracle))),
+    "udtf_ngrams" -> ((udtfNgrams _, Some(udtfNgramsOracle)))
   )
 }

@@ -127,6 +127,43 @@ class FunctionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("unsupported algorithm") || e2.getMessage.contains("blake3"))
   }
 
+  test("graft_ngrams generator: tokenization contract and declarative equivalence") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  padded   whitespace  "), // trim + \s+ collapse
+      (3L, "single"),                  // fewer tokens than n -> no rows
+      (4L, null.asInstanceOf[String])  // null -> no rows
+    ).toDF("id", "text")
+    df.createOrReplaceTempView("ngram_t")
+    val got = spark.sql(
+      "SELECT id, gram FROM ngram_t LATERAL VIEW graft_ngrams(text, 2) g AS gram")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, "brown fox"), (1L, "quick brown"), (1L, "the quick"),
+      (2L, "padded whitespace")))
+    // equivalence with the declarative staged-array formulation
+    val decl = df.filter($"text".isNotNull)
+      .select($"id", split(trim($"text"), "\\s+").as("toks"))
+      .filter(size($"toks") >= 2) // sequence(0, -1) would count DOWN in Spark
+      .select($"id", explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i+1]))")).as("gram"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(decl == got)
+    // n = 1 degenerates to tokens
+    val ones = spark.sql(
+      "SELECT gram FROM ngram_t LATERAL VIEW graft_ngrams(text, 1) g AS gram " +
+        "WHERE id = 3").as[String].collect().toSeq
+    assert(ones == Seq("single"))
+    // non-literal n is rejected at analysis with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT gram FROM ngram_t LATERAL VIEW graft_ngrams(text, id) g AS gram")
+        .collect())
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
     import graft.functions.RegexFunctions.similarToRegex
     assert(similarToRegex("abc") == "^abc$")

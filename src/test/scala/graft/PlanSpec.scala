@@ -480,6 +480,16 @@ class PlanSpec extends SparkSpec {
       "expected a runtime partition filter on the fact scan:\n" + plan.take(2500))
   }
 
+  test("udtf_ngrams: generator rows stream into the partial aggregation") {
+    val plan = executedPlan("udtf_ngrams")
+    assert(plan.contains("Generate graft_ngrams"),
+      "the custom Generator should plan as a Generate node:\n" + plan.take(2000))
+    assert(plan.contains("partial_count"),
+      "grams must partial-aggregate map-side before the shuffle:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be top-k, not a global sort:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
