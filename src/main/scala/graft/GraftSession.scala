@@ -53,6 +53,9 @@ object GraftSession {
       // the shingle-explode dedup pipelines.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // custom-operator planner strategies (TopKPerKey) — the same conf line
+      // a cluster deployment puts in spark-defaults.conf
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   /** Get-or-create a configured session and register graft SQL functions. */

@@ -234,10 +234,37 @@ object Quality {
        |GROUP BY 1 ORDER BY zbucket""".stripMargin
   }
 
+  // ---- group top-k via the custom physical operator --------------------------
+
+  /** Top-3 orders by price per priority class through the custom
+    * [[graft.plans.TopKPerKey]] operator (bounded per-key heaps both sides
+    * of one keyed exchange) rather than a row_number window (full per-key
+    * sort after shuffling every row). Prices pass through unmodified — pure
+    * selection, so doubles hash-match with no decimal detour. Ties break on
+    * o_orderkey so the top-3 set is unique; the outer orderBy is
+    * presentation only. */
+  def topkGroup(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    graft.operators.TopK.perKey(ord, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val topkGroupOracle: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
     "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),
     "smp_split" -> ((smpSplit _, Some(smpSplitOracle))),
-    "cls_zorder" -> ((clsZorder _, Some(clsZorderOracle)))
+    "cls_zorder" -> ((clsZorder _, Some(clsZorderOracle))),
+    "topk_group" -> ((topkGroup _, Some(topkGroupOracle)))
   )
 }

@@ -13,6 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a (resolved) logical plan as a DataFrame — how a library hands a
+    * custom LogicalPlan node to the session for optimization + planning. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a SQL-callable function backed by an expression builder —
     * the codegen-preserving path (a lambda registered through spark.udf is
     * an interpreted black box; an expression builder stays inside

@@ -306,6 +306,32 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped > 2000L)
   }
 
+  test("topKPerKey matches the window formulation and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 keys x 40 rows with deliberate score ties (score = i % 7)
+    val df = (0 until 120).map(i => (s"k${i % 3}", i.toLong, (i % 7).toDouble))
+      .toDF("key", "id", "score")
+    def asSet(out: org.apache.spark.sql.DataFrame) =
+      out.select("key", "id", "score").as[(String, Long, Double)].collect().toSet
+    val expected = asSet(df.withColumn("rn",
+      row_number().over(Window.partitionBy($"key").orderBy($"score".desc, $"id")))
+      .filter($"rn" <= 5).drop("rn"))
+    val got = asSet(TopK.perKey(df, Seq("key"), Seq("score" -> false, "id" -> true), 5))
+    assert(got === expected)
+    // partition-invariance: 1 vs 16 input partitions agree
+    val one = asSet(TopK.perKey(df.coalesce(1), Seq("key"), Seq("score" -> false, "id" -> true), 5))
+    val many = asSet(TopK.perKey(df.repartition(16), Seq("key"), Seq("score" -> false, "id" -> true), 5))
+    assert(one === got && many === got)
+    // k larger than a group returns the whole group
+    val all = TopK.perKey(df.filter($"id" < 4), Seq("key"), Seq("score" -> true, "id" -> true), 100)
+    assert(all.count() === 4)
+    // unknown column fails fast with the available names
+    val e = intercept[IllegalArgumentException](
+      TopK.perKey(df, Seq("nope"), Seq("score" -> false), 3))
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("key"))
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

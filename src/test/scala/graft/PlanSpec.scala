@@ -421,36 +421,6 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one keyed exchange, got $exchanges:\n" + plan.take(2000))
   }
 
-  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
-    // With broadcast off (a 100 TB fact table can force this), Catalyst's
-    // InjectRuntimeFilter should build a bloom filter from the selective
-    // dimension side and push might_contain onto the lineitem scan side —
-    // the runtime analog of static partition pruning.
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-    val saved = keys.map(k => k -> conf.getOption(k)).toMap
-    try {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      val li = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
-      val ord = graft.Tables.orders(spark, sfDir)
-        .filter(col("o_totalprice") > 90000.0).select("o_orderkey")
-      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      val plan = joined.queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
-        "expected an injected runtime bloom filter:\n" + plan.take(2500))
-    } finally {
-      keys.foreach { k =>
-        saved(k) match {
-          case Some(v) => conf.set(k, v)
-          case None    => conf.unset(k)
-        }
-      }
-    }
-  }
-
   test("graph_pagerank: iterations are keyed shuffles ending in top-k, never a global sort") {
     val plan = executedPlan("graph_pagerank")
     assert(plan.contains("TakeOrderedAndProject"),
@@ -488,6 +458,22 @@ class PlanSpec extends SparkSpec {
       "grams must partial-aggregate map-side before the shuffle:\n" + plan.take(2000))
     assert(plan.contains("TakeOrderedAndProject"),
       "top-50 must be top-k, not a global sort:\n" + plan.take(2000))
+  }
+
+  test("topk_group: custom operator plans two-phase around one keyed exchange, no Window/Sort rank") {
+    val plan = executedPlan("topk_group")
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      "expected both phases of the custom operator:\n" + plan.take(2500))
+    assert(!plan.contains("Window"),
+      "top-k must not fall back to a row_number window:\n" + plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly one keyed exchange between the phases, got $exchanges:\n" + plan.take(2500))
+    // the partial phase must sit BELOW the exchange (map-side combine)
+    val pIdx = plan.indexOf("TopKPerKeyPartial")
+    val eIdx = plan.indexOf("Exchange hashpartitioning")
+    assert(eIdx >= 0 && pIdx > eIdx,
+      "partial top-k should run before the shuffle:\n" + plan.take(2500))
   }
 
   test("whole-stage codegen covers the q6 hot path") {
