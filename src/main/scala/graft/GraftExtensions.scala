@@ -13,5 +13,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // row_number()<=k window-filters rewrite to the bounded-heap operator
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

@@ -476,6 +476,42 @@ class PlanSpec extends SparkSpec {
       "partial top-k should run before the shuffle:\n" + plan.take(2500))
   }
 
+  test("TopKRewrite: the DISTINCT ON window idiom auto-rewrites to the heap operator") {
+    // sort_distinct_on is written as row_number()=1 over a window — the
+    // injected optimizer rule should plan it as TopKPerKey with no Window
+    // node and no per-key sort anywhere in the plan
+    val plan = executedPlan("sort_distinct_on")
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      "row_number()=1 + drop(rn) should rewrite to TopKPerKey:\n" + plan.take(2500))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("TopKRewrite: unsafe shapes keep their Window") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (s"k${i % 3}", i.toLong)).toDF("key", "id")
+    df.createOrReplaceTempView("tkr_t")
+    // rank() admits >k rows under ties — must not rewrite
+    val rank = spark.sql(
+      """SELECT key, id FROM (
+        |  SELECT key, id, rank() OVER (PARTITION BY key ORDER BY id) AS rn
+        |  FROM tkr_t) WHERE rn <= 5""".stripMargin)
+    assert(rank.queryExecution.optimizedPlan.toString.contains("Window"))
+    // the rank value survives into the output — must not rewrite
+    val keeps = spark.sql(
+      """SELECT key, id, rn FROM (
+        |  SELECT key, id, row_number() OVER (PARTITION BY key ORDER BY id) AS rn
+        |  FROM tkr_t) WHERE rn <= 5""".stripMargin)
+    assert(keeps.queryExecution.optimizedPlan.toString.contains("Window"))
+    // the safe shape rewrites and returns the same rows
+    val safe = spark.sql(
+      """SELECT key, id FROM (
+        |  SELECT key, id, row_number() OVER (PARTITION BY key ORDER BY id) AS rn
+        |  FROM tkr_t) WHERE rn <= 5""".stripMargin)
+    assert(safe.queryExecution.optimizedPlan.toString.contains("TopKPerKey"))
+    assert(safe.as[(String, Long)].collect().toSet ===
+      keeps.select("key", "id").as[(String, Long)].collect().toSet)
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
