@@ -199,4 +199,34 @@ class StreamingSpec extends SparkSpec {
       .select(col("n")).as[Long].collect().sorted.toSeq
     assert(the === Seq(1L, 2L))
   }
+
+  test("CDC apply maintains latest-per-key state across incremental batches") {
+    import graft.streaming.CdcApply
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_cdc").resolve("state").toString
+    val keys = Seq("id")
+    val order = Seq("seq" -> false) // highest seq wins
+
+    val mem = MemoryStream[(Long, Long, String)]
+    def changes = mem.toDF().toDF("id", "seq", "value")
+
+    // batch 1: initial upserts, including an in-batch supersede for id=1
+    mem.addData((1L, 1L, "a"), (2L, 1L, "b"), (1L, 2L, "c"))
+    CdcApply.start(changes, statePath, keys, order).awaitTermination()
+    val s1 = CdcApply.currentState(spark, statePath).get
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(s1 == Seq((1L, 2L, "c"), (2L, 1L, "b")))
+
+    // batch 2 (restart from checkpoint): update id=2, insert id=3
+    mem.addData((2L, 2L, "d"), (3L, 1L, "e"))
+    CdcApply.start(changes, statePath, keys, order).awaitTermination()
+    val s2 = CdcApply.currentState(spark, statePath).get
+    val expected = CdcApply.latestPerKey(
+      Seq((1L, 1L, "a"), (2L, 1L, "b"), (1L, 2L, "c"), (2L, 2L, "d"), (3L, 1L, "e"))
+        .toDF("id", "seq", "value"), keys, order)
+    assert(s2.exceptAll(expected).isEmpty && expected.exceptAll(s2).isEmpty)
+    assert(s2.count() == 3)
+  }
 }
