@@ -329,6 +329,51 @@ object Analytics {
       |FROM j WHERE change IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- change-log apply (CDC upsert/delete merge) ---------------------------
+
+  /** Apply a change log to materialize current state: latest change per key
+    * wins, delete tombstones erase the key — MERGE INTO / upsert semantics,
+    * the batch core of [[graft.streaming.CdcApply]]. The log is carved
+    * deterministically from orders (every key inserts at seq 1; key%3=0
+    * updates at seq 2 with a bumped price; key%11=0 deletes at seq 3).
+    * Latest-per-key runs through the bounded-heap
+    * [[graft.operators.TopK]] operator (k=1): partial heaps shuffle at most
+    * one row per key per partition, so at 100 TB the merge is bounded by
+    * the key count, never the change volume — a window row_number() over
+    * the same data would sort-shuffle every change row. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), Dsl.dec(col("o_totalprice")).as("p"))
+    val changes = base
+      .select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("p").as("price"))
+      .unionByName(base.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("p") + 10).cast(DecimalType(12, 2)).as("price")))
+      .unionByName(base.filter(col("k") % 11 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast(DecimalType(12, 2)).as("price")))
+    graft.operators.TopK.perKey(changes, Seq("k"), Seq("seq" -> false), 1)
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("op"), Dsl.d(col("price")).as("price"))
+      .orderBy(col("k"))
+  }
+
+  val cdcApplyOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |changes AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, p AS price FROM base
+      |  UNION ALL
+      |  SELECT k, 2, 'U', CAST(p + 10 AS DECIMAL(12,2)) FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'D', NULL FROM base WHERE k % 11 = 0),
+      |latest AS (
+      |  SELECT * FROM changes
+      |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+      |SELECT k, op, CAST(price AS DOUBLE) AS price
+      |FROM latest WHERE op <> 'D'
+      |ORDER BY k""".stripMargin
+
   // ---- array function family, part 2 ----------------------------------------
 
   /** The array functions fn_collection leaves out: zip_with, flatten,
@@ -530,6 +575,7 @@ object Analytics {
     "agg_bitmap_distinct" -> ((aggBitmapDistinct _, Some(aggBitmapDistinctOracle))),
     "evt_funnel" -> ((evtFunnel _, Some(evtFunnelOracle))),
     "cdc_diff" -> ((cdcDiff _, Some(cdcDiffOracle))),
+    "cdc_apply" -> ((cdcApply _, Some(cdcApplyOracle))),
     "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),
     "ded_url" -> ((dedUrl _, Some(dedUrlOracle))),
     "win_mad" -> ((winMad _, Some(winMadOracle))),

@@ -476,6 +476,14 @@ class PlanSpec extends SparkSpec {
       "partial top-k should run before the shuffle:\n" + plan.take(2500))
   }
 
+  test("cdc_apply: change-log merge plans through the bounded-heap operator, not a window") {
+    val plan = executedPlan("cdc_apply")
+    assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+      "latest-per-key must run on the heap operator:\n" + plan.take(2500))
+    assert(!plan.contains("Window"),
+      "the merge must not sort-shuffle every change row through a window:\n" + plan.take(2000))
+  }
+
   test("TopKRewrite: the DISTINCT ON window idiom auto-rewrites to the heap operator") {
     // sort_distinct_on is written as row_number()=1 over a window — the
     // injected optimizer rule should plan it as TopKPerKey with no Window
