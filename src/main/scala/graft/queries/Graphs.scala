@@ -85,7 +85,75 @@ object Graphs {
        |ORDER BY rank_fp DESC, doc_id LIMIT 100""".stripMargin
   }
 
+  /** Triangle counting over a co-supply graph (suppliers sharing an order),
+    * the clustering-coefficient primitive of graph-quality pipelines.
+    *
+    * Scale design (compact-forward / Latapy 2008): every edge is oriented
+    * from its lower-(degree, id) endpoint to the higher one, so wedges are
+    * enumerated only at each triangle's minimum-degree vertex — total wedge
+    * work is bounded by sum over edges of min-degree (the arboricity bound),
+    * not by hub-degree squared. A hub of degree d that would generate d²/2
+    * wedges under id-ordering generates none: its edges all point inward.
+    * Every join is keyed (order key, then src vertex, then the closing
+    * left-semi on the edge pair); pair generation within an order is bounded
+    * by lines-per-order, and the 5%-edge hash sample keeps the graph sparse
+    * at any SF. No driver state, no cartesian.
+    *
+    * Orientation changes wedge generation only — per-node triangle counts
+    * are orientation-invariant, so the oracle's plain u<v<w three-way join
+    * must agree exactly. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    // undirected edge list, stored u < v, deterministically sampled to 5%
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+      .filter(col("w1") < col("w2"))
+    val tris = wedges.join(edges,
+      col("w1") === col("u") && col("w2") === col("v"), "left_semi")
+    tris.select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
+  val trianglesOracle: String =
+    """WITH pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nodes AS (
+      |  SELECT a AS node FROM t
+      |  UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |SELECT node, COUNT(*) AS n_tri FROM nodes
+      |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
-    "graph_pagerank" -> ((pageRank _, Some(pageRankOracle)))
+    "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
+    "graph_triangles" -> ((triangles _, Some(trianglesOracle)))
   )
 }
