@@ -329,6 +329,69 @@ object Analytics {
       |FROM j WHERE change IS NOT NULL
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- ANSI-safe arithmetic (try_* family) ----------------------------------
+
+  /** The `try_*` family (DataFusion's error-free arithmetic surface): NULL on
+    * divide-by-zero, signed-overflow, bad cast, or out-of-bounds access
+    * instead of a runtime error — mandatory at 100 TB, where one poisoned row
+    * in a trillion must not kill a 1000-executor stage. All per-row codegen'd
+    * arithmetic, zero shuffle beyond the final 3-row aggregate. The oracle
+    * restates each NULL-producing condition explicitly (DuckDB's strict
+    * arithmetic would error where Spark's try_* return NULL). */
+  def fnTry(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        // zero denominator on every first line of an order
+        try_divide(Dsl.dec(col("l_extendedprice")),
+          col("l_linenumber") - 1).as("per_extra_line"),
+        // signed long overflow for odd keys
+        try_add(lit(Long.MaxValue), col("l_orderkey") % 2).as("near_max"),
+        try_multiply(lit(Long.MaxValue / 2), col("l_linenumber")).as("half_max_times"),
+        try_to_number(concat(lit("1"), col("l_linenumber")), lit("99")).as("parsed"),
+        try_element_at(array(lit(10L), lit(20L)), col("l_linenumber")).as("elem"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count(col("per_extra_line")).as("n_div_ok"),
+        count(col("near_max")).as("n_add_ok"),
+        count(col("half_max_times")).as("n_mul_ok"),
+        sum(col("parsed")).as("sum_parsed"),
+        count(col("elem")).as("n_elem_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val fnTryOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  COUNT(CASE WHEN l_linenumber > 1
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) / (l_linenumber - 1) END)
+      |    AS n_div_ok,
+      |  COUNT(CASE WHEN l_orderkey % 2 = 0 THEN 1 END) AS n_add_ok,
+      |  COUNT(CASE WHEN l_linenumber <= 2 THEN 1 END) AS n_mul_ok,
+      |  CAST(SUM(CASE WHEN l_linenumber <= 9
+      |    THEN 10 + l_linenumber END) AS BIGINT) AS sum_parsed,
+      |  COUNT(CASE WHEN l_linenumber <= 2 THEN 1 END) AS n_elem_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- mode aggregate --------------------------------------------------------
+
+  /** MODE(): most frequent value per group. Determinism: line numbers have
+    * strictly decreasing frequency (every order has line 1, strictly fewer
+    * have line 2, ...), so the maximum is unique and tie semantics — where
+    * Spark and DuckDB both pick arbitrarily — never engage. Two-phase
+    * hash agg: the value domain (7 line numbers) bounds state, not rows. */
+  def aggMode(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(mode(col("l_linenumber")).as("mode_line"),
+        mode(col("l_linestatus")).as("mode_status"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val aggModeOracle: String =
+    """SELECT l_returnflag,
+      |  mode(l_linenumber) AS mode_line,
+      |  mode(l_linestatus) AS mode_status,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- change-log apply (CDC upsert/delete merge) ---------------------------
 
   /** Apply a change log to materialize current state: latest change per key
@@ -576,6 +639,8 @@ object Analytics {
     "evt_funnel" -> ((evtFunnel _, Some(evtFunnelOracle))),
     "cdc_diff" -> ((cdcDiff _, Some(cdcDiffOracle))),
     "cdc_apply" -> ((cdcApply _, Some(cdcApplyOracle))),
+    "fn_try" -> ((fnTry _, Some(fnTryOracle))),
+    "agg_mode" -> ((aggMode _, Some(aggModeOracle))),
     "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),
     "ded_url" -> ((dedUrl _, Some(dedUrlOracle))),
     "win_mad" -> ((winMad _, Some(winMadOracle))),

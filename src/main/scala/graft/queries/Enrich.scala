@@ -169,6 +169,40 @@ object Enrich {
        |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- VARIANT (open semi-structured type) ----------------------------------
+
+  /** The Spark 4 VARIANT path over the same event payload: `parse_json` into
+    * the binary variant encoding once, then typed `variant_get` extractions.
+    * Against `get_json_object` (fn_json) this is the columnar-at-rest story —
+    * variant values shred to typed subcolumns in parquet, so repeated
+    * extractions don't re-parse text; at 100 TB the parse happens once at
+    * ingest, not once per query. `try_parse_json` proves malformed payloads
+    * degrade to NULL rather than failing the scan. The oracle replays the
+    * extractions with DuckDB's JSON functions — the semantics gate is that
+    * variant extraction equals JSON-text extraction. */
+  def fnVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"),
+        try_parse_json(concat(lit("{"), col("props"))).as("bad"))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k"),
+        variant_get(col("v"), "$.k", "string").as("ks"),
+        col("bad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count(col("ks")).as("n_ks"),
+        count(col("bad")).as("n_bad"))
+      .orderBy(col("event_type"))
+
+  val fnVariantOracle: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  COUNT(json_extract_string(props, '$$.k')) AS n_ks,
+       |  CAST(0 AS BIGINT) AS n_bad
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- cohort retention -----------------------------------------------------
 
   /** Classic cohort retention: users grouped by first-activity date, distinct
@@ -203,6 +237,7 @@ object Enrich {
     "cls_quality" -> ((clsQuality _, Some(clsQualityOracle))),
     "fn_url" -> ((fnUrl _, Some(fnUrlOracle))),
     "fn_json" -> ((fnJson _, Some(fnJsonOracle))),
+    "fn_variant" -> ((fnVariant _, Some(fnVariantOracle))),
     "evt_retention" -> ((evtRetention _, Some(evtRetentionOracle)))
   )
 }
