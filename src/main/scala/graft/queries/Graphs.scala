@@ -152,8 +152,55 @@ object Graphs {
       |SELECT node, COUNT(*) AS n_tri FROM nodes
       |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
 
+  /** Connected components over the same sampled co-supply graph as
+    * [[triangles]], run through the O(log n)-round alternating
+    * large-star/small-star operator ([[graft.operators.Clustering
+    * .connectedComponentsAlternating]]) — the direct gate for the component
+    * operator that `ded_cluster` exercises only via the dedup pipeline.
+    *
+    * Output is one row per component: its label (minimum member id), size,
+    * and the exact sum of member ids — the sum pins MEMBERSHIP, not just
+    * sizes, so two different partitions of the node set cannot collide.
+    * The oracle replays min-label reachability as a DuckDB recursive CTE
+    * (fine at oracle scale; the Spark side is the O(log n) scale path —
+    * per-round cost bounded by the edge count, every step a keyed
+    * shuffle). */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    // same deterministic 5%-sampled co-supply edge list as `triangles`
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    graft.operators.Clustering.connectedComponentsAlternating(edges, "u", "v")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("n_nodes").desc, col("label"))
+  }
+
+  val componentsOracle: String =
+    """WITH RECURSIVE pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |reach(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node),
+      |cc AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+      |SELECT label, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
+      |FROM cc GROUP BY label
+      |ORDER BY n_nodes DESC, label""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
-    "graph_triangles" -> ((triangles _, Some(trianglesOracle)))
+    "graph_triangles" -> ((triangles _, Some(trianglesOracle))),
+    "graph_components" -> ((components _, Some(componentsOracle)))
   )
 }
