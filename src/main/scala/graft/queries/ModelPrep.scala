@@ -287,6 +287,49 @@ object ModelPrep {
        |FROM idx ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---- skip-gram co-occurrence pairs ----------------------------------------
+
+  /** Skip-gram (center, context) co-occurrence counts with window 2 — the
+    * corpus statistic word2vec/GloVe-style embedding training consumes
+    * (arXiv:1301.3781 §3.2; GloVe builds exactly this table before fitting).
+    *
+    * Scale design: no self-join on position — each token row emits its
+    * FORWARD window by slicing the document's own token array
+    * (`slice(t, i+2, 2)`), and the symmetric backward pairs come from a
+    * union with the columns swapped. The generate is per-row (parallel at
+    * 100 TB, zero shuffle), and the only shuffle in the whole job is the
+    * final map-side-combined count aggregation keyed by (w, c) — the same
+    * shape as a word-count. A position self-join keyed by doc_id would
+    * re-shuffle the token stream per document instead; this never does.
+    * Output is capped by the deterministic total order (cnt desc, w, c). */
+  def txtSkipgrams(spark: SparkSession, dir: String): DataFrame = {
+    val fwd = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .select(col("t"), posexplode(col("t")).as(Seq("p0", "w")))
+      // slice is 1-based: token i=p0+1, forward window starts at i+1=p0+2
+      .select(col("w"), explode(slice(col("t"), col("p0") + 2, lit(2))).as("c"))
+    fwd.union(fwd.select(col("c"), col("w")))
+      .groupBy(col("w"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"), col("c"))
+      .limit(200)
+  }
+
+  val txtSkipgramsOracle: String = {
+    val toks = TextFunctions.sql.tokens("text")
+    s"""WITH base AS (SELECT $toks AS t FROM documents WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT t, unnest(generate_series(1, len(t))) AS i
+       |  FROM base WHERE len(t) >= 1),
+       |fwd AS (
+       |  SELECT t[i] AS w, unnest(list_slice(t, i + 1, i + 2)) AS c FROM tok),
+       |pr AS (SELECT w, c FROM fwd UNION ALL SELECT c, w FROM fwd)
+       |SELECT w, c, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM pr GROUP BY w, c
+       |ORDER BY cnt DESC, w, c LIMIT 200""".stripMargin
+  }
+
   // ---- end-to-end model-prep funnel -----------------------------------------
 
   /** The model-prep tier composed: exact-dedup keepers → bigram-LM quality
@@ -346,6 +389,7 @@ object ModelPrep {
     "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle))),
     "ded_spans" -> ((dedSpans _, Some(dedSpansOracle))),
     "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle))),
+    "txt_skipgrams" -> ((txtSkipgrams _, Some(txtSkipgramsOracle))),
     "cur_funnel2" -> ((curFunnel2 _, Some(curFunnel2Oracle)))
   )
 }

@@ -144,6 +144,102 @@ object SourcesDdl {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Small-file compaction (the operational sink path at 100 TB:
+  // streaming/incremental ingest leaves thousands of KB-sized files per
+  // partition; compaction rewrites them to target-sized files so later
+  // scans open hundreds of footers, not millions) ---------------------------
+
+  /** Size-targeted compaction: fragment a table into 64 tiny files (the
+    * shape an incremental writer leaves behind), then rewrite with the file
+    * count derived from measured bytes / a target file size — the same
+    * arithmetic a table-maintenance job (OPTIMIZE/rewriteDataFiles) runs.
+    * The row-preservation proof is the oracle gate (aggregate over the
+    * compacted copy == aggregate over the original); the file-count
+    * reduction is asserted in-plan because file layout is invisible to SQL.
+    * Scale: the rewrite is one round-robin repartition — no keyed shuffle,
+    * no driver materialization; listing is one `listStatus` per directory
+    * (a real deployment lists per-partition and compacts only directories
+    * over the fragment threshold). */
+  def snkCompact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val frag = tmpPath("snk_compact_frag")
+    val out = tmpPath("snk_compact_out")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_returnflag"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val fs = new Path(frag).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) = fs.listStatus(new Path(p)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(frag)
+    val targetBytes = 32L << 20 // 32 MiB target; a deployment makes this config
+    val nOut = math.max(1L, (before.map(_.getLen).sum + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(frag).repartition(nOut)
+      .write.mode("overwrite").parquet(out)
+    val after = dataFiles(out)
+    require(after.size == nOut && after.size < before.size,
+      s"compaction must shrink the file count: ${before.size} -> ${after.size} (target $nOut)")
+    spark.read.parquet(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Dsl.d(sum(Dsl.dec(col("l_quantity")))).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_partkey")).as("max_pk"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val snkCompactOracle: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${Dsl.sql.dsum(Dsl.sql.dec("l_quantity"))} AS sum_qty,
+       |  min(l_orderkey) AS min_ok, max(l_partkey) AS max_pk
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- ANALYZE TABLE / catalog statistics (reference: DataFusion collects
+  // per-file stats at listing time — ListingTable statistics; Spark's analog
+  // is ANALYZE TABLE writing exact rowCount + per-column min/max/nullCount
+  // into the catalog, which the optimizer's size estimates and CBO read) ----
+
+  /** ANALYZE TABLE COMPUTE STATISTICS (table + FOR COLUMNS), then read the
+    * recorded stats back through the catalog API. The gate emits the EXACT
+    * stats fields (rowCount, sizeInBytes>0 check in-plan, column min/max and
+    * nullCount) so the oracle can recompute them from the data itself —
+    * proving ANALYZE measured the table rather than estimating it.
+    * distinctCount is deliberately excluded: Spark stores an HLL estimate
+    * there (exact only at tiny cardinalities), so gating on it would pin an
+    * approximation. At 100 TB ANALYZE is a one-pass agg that unlocks
+    * stats-driven broadcast decisions for every later query on the table. */
+  def ddlAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS graft_stats_supplier")
+    spark.sql(
+      s"CREATE TABLE graft_stats_supplier USING parquet OPTIONS (path '$dir/supplier.parquet')")
+    spark.sql("ANALYZE TABLE graft_stats_supplier COMPUTE STATISTICS")
+    spark.sql(
+      "ANALYZE TABLE graft_stats_supplier COMPUTE STATISTICS FOR COLUMNS s_suppkey, s_nationkey")
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("graft_stats_supplier"))
+    val st = meta.stats.getOrElse(sys.error("ANALYZE left no table stats"))
+    require(st.sizeInBytes > 0, "ANALYZE must record a physical size")
+    val ck = st.colStats("s_suppkey")
+    val cn = st.colStats("s_nationkey")
+    import spark.implicits._
+    Seq((
+      st.rowCount.getOrElse(sys.error("no rowCount")).toLong,
+      ck.min.getOrElse(sys.error("no min")).toLong,
+      ck.max.getOrElse(sys.error("no max")).toLong,
+      ck.nullCount.getOrElse(sys.error("no nullCount")).toLong,
+      cn.min.getOrElse(sys.error("no min")).toLong,
+      cn.max.getOrElse(sys.error("no max")).toLong))
+      .toDF("n_rows", "min_suppkey", "max_suppkey", "null_suppkeys",
+        "min_nationkey", "max_nationkey")
+  }
+
+  val ddlAnalyzeOracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  min(s_suppkey) AS min_suppkey, max(s_suppkey) AS max_suppkey,
+      |  CAST(COUNT(*) FILTER (s_suppkey IS NULL) AS BIGINT) AS null_suppkeys,
+      |  min(s_nationkey) AS min_nationkey, max(s_nationkey) AS max_nationkey
+      |FROM supplier""".stripMargin
+
   // ---- CREATE EXTERNAL TABLE (reference: context.rs:392-459;
   // CreateExternalTableNode, datafusion.proto:171-184) ----------------------
 
@@ -618,6 +714,7 @@ object SourcesDdl {
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
     "snk_partitioned" -> ((snkPartitioned _, Some(snkPartitionedOracle))),
     "snk_bucketed" -> ((snkBucketed _, Some(snkBucketedOracle))),
+    "snk_compact" -> ((snkCompact _, Some(snkCompactOracle))),
     "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),
@@ -625,6 +722,7 @@ object SourcesDdl {
     "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
     "sql_recursive" -> ((sqlRecursive _, Some(sqlRecursiveOracle))),
     "ddl_ctas" -> ((ddlCtas _, Some(ddlCtasOracle))),
+    "ddl_analyze" -> ((ddlAnalyze _, Some(ddlAnalyzeOracle))),
     "ddl_insert" -> ((ddlInsert _, Some(ddlInsertOracle))),
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
     "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
