@@ -73,4 +73,31 @@ object TimeJoins {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** Interval-OVERLAP join via the same fixed-width binning: both interval
+    * sets register in every bin they span (explode), the equi-join runs on
+    * (keys, bin), and the exact overlap predicate
+    * `lStart <= rEnd && rStart <= lEnd` verifies candidates. A pair spanning
+    * several shared bins would surface once per bin, so only the FIRST
+    * overlapping bin — the bin of `greatest(lStart, rStart)` — reports it:
+    * duplicate elimination by arithmetic, not a `distinct` shuffle.
+    * Replaces the nested-loop plan Spark falls back to for
+    * inequality-only joins with a keyed shuffle whose replication factor is
+    * span/binWidth per side. Caller pre-projects non-key column names to be
+    * disjoint. */
+  def overlapJoinBinned(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        lStart: String, lEnd: String,
+                        rStart: String, rEnd: String,
+                        binWidth: Long): DataFrame = {
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.withColumn("_bin",
+        explode(sequence((col(s).cast(LongType) / binWidth).cast(LongType),
+          (col(e).cast(LongType) / binWidth).cast(LongType))))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), keys :+ "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter((greatest(col(lStart), col(rStart)).cast(LongType) / binWidth)
+        .cast(LongType) === col("_bin"))
+      .drop("_bin")
+  }
 }

@@ -268,6 +268,60 @@ object Coverage {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2 family). The
+    * hash-gated output is derived from exact DECIMAL moment sums cast to
+    * DOUBLE with an identical arithmetic tree on both engines (the Dsl
+    * strategy — bit-equal at any partitioning, i.e. at any scale); Spark's
+    * native `regr_slope`/`regr_count` run in the same aggregate and an
+    * in-plan filter asserts they agree (rows vanish → gate fails), so the
+    * built-in regression surface is exercised without hash-pinning its
+    * float-summation order. */
+  def aggRegr(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"), 14, 2)
+    val s = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        d(sum(x)).as("sx"), d(sum(y)).as("sy"),
+        d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"),
+        d(sum(x * y)).as("sxy"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("native_slope"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("native_n"))
+      .withColumn("n", col("n_rows").cast(DoubleType))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+    s.withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r2",
+        ((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+      .filter(abs(col("native_slope") - col("slope")) < 1e-6 &&
+        col("native_n") === col("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val aggRegrOracle: String = {
+    import sql._
+    val x = dec("l_quantity")
+    val y = dec("l_extendedprice", 14, 2)
+    s"""WITH s AS (
+       |  SELECT l_returnflag,
+       |    COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    ${dsum(x)} AS sx, ${dsum(y)} AS sy,
+       |    ${dsum(s"$x * $x")} AS sxx, ${dsum(s"$y * $y")} AS syy,
+       |    ${dsum(s"$x * $y")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n_rows,
+       |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+       |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
+       |  ((n*sxy - sx*sy) * (n*sxy - sx*sy))
+       |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
+       |FROM s ORDER BY l_returnflag""".stripMargin
+  }
+
   /** Statistical moments — engines agree to ~1e-12 relative; rounded to 4
     * decimals for a stable hash. */
   def aggVarstd(spark: SparkSession, dir: String): DataFrame = {
@@ -1392,6 +1446,7 @@ object Coverage {
     "join_cross" -> ((joinCross _, Some(joinCrossOracle))),
     "join_nullsafe" -> ((joinNullsafe _, Some(joinNullsafeOracle))),
     "agg_stats" -> ((aggStats _, Some(aggStatsOracle))),
+    "agg_regr" -> ((aggRegr _, Some(aggRegrOracle))),
     "agg_varstd" -> ((aggVarstd _, Some(aggVarstdOracle))),
     "agg_median" -> ((aggMedian _, Some(aggMedianOracle))),
     "agg_rollup" -> ((aggRollup _, Some(aggRollupOracle))),

@@ -487,6 +487,45 @@ object Pipeline {
       |  AND c.ts_us >= p.w_start AND c.ts_us <= p.w_end
       |ORDER BY c.event_id, p.p_event_id""".stripMargin
 
+  /** Interval-overlap join: purchase attribution windows [ts, ts+1h]
+    * overlapped against click engagement windows [ts, ts+30m] for the same
+    * user — the two-sided generalization of evt_range (where one side is a
+    * point). The oracle states the plain overlap inequality join; the Spark
+    * plan runs [[TimeJoins.overlapJoinBinned]]'s keyed bin join with
+    * arithmetic (not distinct-based) duplicate elimination. */
+  def evtOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeJoins
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000").as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"),
+        col("ts_us").as("p_start"), (col("ts_us") + hourUs).as("p_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"),
+        col("ts_us").as("c_start"), (col("ts_us") + hourUs / 2).as("c_end"))
+    TimeJoins.overlapJoinBinned(purchases, clicks, Seq("user_id"),
+      "p_start", "p_end", "c_start", "c_end", hourUs)
+      .select(col("p_event_id"), col("c_event_id"), col("user_id"),
+        (least(col("p_end"), col("c_end")) - greatest(col("p_start"), col("c_start")))
+          .as("overlap_us"))
+      .orderBy(col("p_event_id"), col("c_event_id"))
+  }
+
+  val evtOverlapOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |p AS (SELECT user_id, event_id AS p_event_id, ts_us AS p_start,
+      |    ts_us + 3600000000 AS p_end FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id AS c_event_id, ts_us AS c_start,
+      |    ts_us + 1800000000 AS c_end FROM e WHERE event_type = 'click')
+      |SELECT p.p_event_id, c.c_event_id, p.user_id,
+      |  least(p.p_end, c.c_end) - greatest(p.p_start, c.c_start) AS overlap_us
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND p.p_start <= c.c_end AND c.c_start <= p.p_end
+      |ORDER BY p.p_event_id, c.c_event_id""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------------
 
   def mmDecode(spark: SparkSession, dir: String): DataFrame =
@@ -687,6 +726,7 @@ object Pipeline {
     "evt_hop" -> ((evtHop _, Some(evtHopOracle))),
     "evt_asof" -> ((evtAsof _, Some(evtAsofOracle))),
     "evt_range" -> ((evtRange _, Some(evtRangeOracle))),
+    "evt_overlap" -> ((evtOverlap _, Some(evtOverlapOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),

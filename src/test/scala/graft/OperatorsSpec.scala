@@ -284,6 +284,22 @@ class OperatorsSpec extends SparkSpec {
     assert(binned.select("pid", "iid").exceptAll(naive.select("pid", "iid")).isEmpty)
   }
 
+  test("overlap join binned equals the naive overlap join, one row per pair") {
+    import spark.implicits._
+    // intervals spanning up to 5 bins (width 8) so multi-bin pairs exercise
+    // the first-overlapping-bin dedup arithmetic; key splits two groups
+    val ls = (0L until 40L).map(i => (i, i % 2, i * 3 % 60, i * 3 % 60 + 37L))
+      .toDF("lid", "k", "ls", "le")
+    val rs = (0L until 30L).map(i => (1000L + i, i % 2, i * 5 % 55, i * 5 % 55 + 11L))
+      .toDF("rid", "k", "rs", "re")
+    val binned = TimeJoins.overlapJoinBinned(ls, rs, Seq("k"), "ls", "le", "rs", "re", 8L)
+    val naive = ls.join(rs.withColumnRenamed("k", "k2"), col("k") === col("k2")
+      && col("ls") <= col("re") && col("rs") <= col("le"))
+    assert(binned.count() == naive.count())
+    assert(binned.groupBy("lid", "rid").count().filter(col("count") > 1).isEmpty)
+    assert(binned.select("lid", "rid").exceptAll(naive.select("lid", "rid")).isEmpty)
+  }
+
   test("edit-distance dedup: near dups pair, hot blocks never join, -1 sentinel filtered") {
     // 70 docs sharing a prefix+length block (over the cap of 64) plus one
     // near-dup pair in a small block. The hot block must contribute ZERO
