@@ -322,6 +322,41 @@ object Coverage {
        |FROM s ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Mergeable HLL distinct sketches (Datasketches HllSketch — the 100 TB
+    * distinct-count path: per-partition sketches merge associatively, so a
+    * global distinct costs one small-payload reduce instead of a full
+    * key shuffle; `hll_union_agg` over the per-group sketches is exactly
+    * the cross-partition merge a 1000-executor rollup performs). The
+    * hash-gated values are the EXACT distinct counts (DuckDB recomputes
+    * them); the sketch estimates run in the same plan and in-plan filters
+    * assert ≤2% relative error per group AND on the unioned global sketch —
+    * a broken sketch path empties the result and fails the gate. */
+  def aggHll(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+    val globalRow = per
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("gest"))
+      .crossJoin(broadcast(
+        Tables.orders(spark, dir).agg(countDistinct(col("o_custkey")).as("n_cust"))))
+      .filter(abs(col("gest") - col("n_cust")) <= col("n_cust") * 0.02)
+      .select(lit("~total").as("o_orderpriority"), col("n_cust"))
+    per
+      .withColumn("est", hll_sketch_estimate(col("sk")))
+      .filter(abs(col("est") - col("n_cust")) <= col("n_cust") * 0.02)
+      .select(col("o_orderpriority"), col("n_cust"))
+      .unionByName(globalRow)
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggHllOracle: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust
+      |FROM orders GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT '~total', COUNT(DISTINCT o_custkey) FROM orders
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Statistical moments — engines agree to ~1e-12 relative; rounded to 4
     * decimals for a stable hash. */
   def aggVarstd(spark: SparkSession, dir: String): DataFrame = {
@@ -1447,6 +1482,7 @@ object Coverage {
     "join_nullsafe" -> ((joinNullsafe _, Some(joinNullsafeOracle))),
     "agg_stats" -> ((aggStats _, Some(aggStatsOracle))),
     "agg_regr" -> ((aggRegr _, Some(aggRegrOracle))),
+    "agg_hll" -> ((aggHll _, Some(aggHllOracle))),
     "agg_varstd" -> ((aggVarstd _, Some(aggVarstdOracle))),
     "agg_median" -> ((aggMedian _, Some(aggMedianOracle))),
     "agg_rollup" -> ((aggRollup _, Some(aggRollupOracle))),

@@ -144,6 +144,82 @@ object SourcesDdl {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- Binary-file source (the multimodal ingest path: Spark's
+  // `binaryFile` format reads a directory of opaque blobs as
+  // (path, modificationTime, length, content) — the scan that feeds the
+  // Multimodal decode tier; at 100 TB it parallelizes per-file with
+  // pushdown on the path/length metadata columns) --------------------------
+
+  /** Round-trip: materialize the first 10 non-null documents as raw .bin
+    * blobs (fixture prep, driver-side by construction — 10 rows), scan them
+    * back through `binaryFile`, and emit (name, byte length, md5 of
+    * content). The oracle recomputes all three from the documents table
+    * itself (text is ascii: byte length == char length), so the gate
+    * value-checks the blob content round-trip without the oracle touching
+    * the filesystem. */
+  def srcBinary(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val p = tmpPath("src_binary")
+    val d = Paths.get(p)
+    if (Files.exists(d))
+      Files.list(d).forEach(f => Files.delete(f))
+    Files.createDirectories(d)
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(10)
+      .collect() // 10-row fixture materialization, not the operator
+      .foreach { r =>
+        Files.write(d.resolve(s"doc_${r.getLong(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    spark.read.format("binaryFile").load(p)
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("fname"))
+  }
+
+  val srcBinaryOracle: String =
+    """SELECT 'doc_' || doc_id || '.bin' AS fname,
+      |  CAST(strlen(text) AS BIGINT) AS length,
+      |  md5(text) AS content_md5
+      |FROM documents
+      |WHERE doc_id IN (
+      |  SELECT doc_id FROM documents WHERE text IS NOT NULL ORDER BY doc_id LIMIT 10)
+      |ORDER BY fname""".stripMargin
+
+  // ---- AQE rebalance on the write path (REBALANCE hint: size-balanced
+  // output partitions without a fixed N — the final-write shape that avoids
+  // both the thousand-small-files and the one-giant-file failure modes of
+  // a hand-picked repartition count) ----------------------------------------
+
+  /** Write lineitem's hot columns through a REBALANCE(l_returnflag) hint —
+    * AQE splits/coalesces the shuffle blocks to target-sized, skew-split
+    * output partitions at runtime — then read back and aggregate; the
+    * oracle recomputes from the original, proving the rebalanced write is
+    * value-neutral. PlanSpec asserts the hint survives to the optimized
+    * plan as RebalancePartitions. */
+  def xchRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmpPath("xch_rebalance")
+    rebalancedFrame(spark, dir).write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), Dsl.d(sum(Dsl.dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The hinted pre-write frame (shared with PlanSpec's guard). */
+  def rebalancedFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .hint("rebalance", col("l_returnflag"))
+
+  val xchRebalanceOracle: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n, ${Dsl.sql.dsum(Dsl.sql.dec("l_quantity"))} AS sum_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   // ---- Small-file compaction (the operational sink path at 100 TB:
   // streaming/incremental ingest leaves thousands of KB-sized files per
   // partition; compaction rewrites them to target-sized files so later
@@ -715,6 +791,8 @@ object SourcesDdl {
     "snk_partitioned" -> ((snkPartitioned _, Some(snkPartitionedOracle))),
     "snk_bucketed" -> ((snkBucketed _, Some(snkBucketedOracle))),
     "snk_compact" -> ((snkCompact _, Some(snkCompactOracle))),
+    "src_binary" -> ((srcBinary _, Some(srcBinaryOracle))),
+    "xch_rebalance" -> ((xchRebalance _, Some(xchRebalanceOracle))),
     "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),

@@ -520,6 +520,30 @@ class PlanSpec extends SparkSpec {
       keeps.select("key", "id").as[(String, Long)].collect().toSet)
   }
 
+  test("evt_overlap: the binned overlap join is keyed, never a nested loop") {
+    val plan = executedPlan("evt_overlap")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "overlap join must run as a (key, bin) equi-join:\n" + plan.take(2000))
+  }
+
+  test("agg_regr: moment sums combine map-side in one aggregate pass") {
+    val plan = executedPlan("agg_regr")
+    assert(plan.contains("partial_sum") || plan.contains("partial_regr"),
+      "all regression moments must partial-aggregate before the shuffle:\n" + plan.take(1500))
+  }
+
+  test("graph_components: every star round is a keyed join, never a cartesian") {
+    val plan = executedPlan("graph_components")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("xch_rebalance: the REBALANCE hint reaches the optimized plan") {
+    val plan = graft.queries.SourcesDdl.rebalancedFrame(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("RebalancePartitions") || plan.contains("rebalance"),
+      "expected a RebalancePartitions node from the hint:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
