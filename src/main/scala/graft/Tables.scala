@@ -27,15 +27,28 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
 
-  /** events with the TIMESTAMP(NANOS) column (read as nanos-long, see
-    * GraftSession) converted to a proper microsecond timestamp `ts`, keeping
-    * the raw nanos in `ts_ns`. Integer DIV avoids double-precision loss on
-    * ~1.7e18 nano values.
+  /** events with both a proper timestamp `ts` and epoch-nanos long `ts_ns`,
+    * whatever physical type the parquet writer used. Generated data has
+    * shipped both ways across rounds: TIMESTAMP(NANOS) (surfaced as
+    * nanos-long via the nanosAsLong conf in GraftSession) and plain
+    * timestamp[us] (surfaced as TIMESTAMP_NTZ). Branching on the scanned
+    * type keeps every downstream ts/ts_ns consumer schema-agnostic; the
+    * NTZ→LTZ cast is wall-clock-preserving under the session's UTC zone,
+    * matching how DuckDB reads the same naive column in the oracles.
+    * Integer DIV avoids double-precision loss on ~1.7e18 nano values.
     */
-  def eventsTs(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts_ns DIV 1000)"))
+  def eventsTs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

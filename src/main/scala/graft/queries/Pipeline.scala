@@ -341,8 +341,8 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val gapUs = 30L * 60 * 1000000
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+    Tables.eventsTs(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
@@ -429,9 +429,9 @@ object Pipeline {
     * JOIN — an independent implementation of the same semantic. */
   def evtAsof(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeJoins
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.eventsTs(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        col("value"), expr("ts DIV 1000").as("ts_us"))
+        col("value"), expr("ts_ns DIV 1000").as("ts_us"))
     val clicks = ev.filter(col("event_type") === "click").drop("event_type")
     val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
       .select(col("user_id"), col("ts_us").as("p_ts_us"),
@@ -461,9 +461,9 @@ object Pipeline {
   def evtRange(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeJoins
     val hourUs = 3600L * 1000000
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.eventsTs(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000").as("ts_us"))
+        expr("ts_ns DIV 1000").as("ts_us"))
     val clicks = ev.filter(col("event_type") === "click").drop("event_type")
     val windows = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user_id"), col("event_id").as("p_event_id"),
@@ -496,9 +496,9 @@ object Pipeline {
   def evtOverlap(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.TimeJoins
     val hourUs = 3600L * 1000000
-    val ev = Tables.events(spark, dir)
+    val ev = Tables.eventsTs(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000").as("ts_us"))
+        expr("ts_ns DIV 1000").as("ts_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_event_id"),
         col("ts_us").as("p_start"), (col("ts_us") + hourUs).as("p_end"))
@@ -668,9 +668,9 @@ object Pipeline {
     * declarative forms must agree row-for-row. */
   def evtStreaks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.events(spark, dir)
+    Tables.eventsTs(spark, dir)
       .filter(col("user_id") < 40)
-      .select(col("user_id"), col("event_id"), col("ts").as("ts_ns"), col("event_type"))
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .mapGroups { (uid, it) =>
