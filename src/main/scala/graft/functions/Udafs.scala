@@ -135,11 +135,98 @@ object Udafs {
     def outputEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
   }
 
+  /** KLL-style quantile-sketch buffer: `levels(i)` holds items of weight
+    * 2^i; `n` is the exact input count; `err` is the accumulated worst-case
+    * rank-error bound (one 2^i per compaction of level i). */
+  case class KLBuf(levels: Seq[Seq[Double]], n: Long, err: Long)
+
+  /** Mergeable quantile sketch in the KLL family (Karnin, Lang, Liberty,
+    * FOCS'16) with DETERMINISTIC compaction: a full level is sorted and the
+    * lower element of each consecutive pair is promoted at doubled weight
+    * (the classic randomized coin-flip is replaced by "keep even ranks" so
+    * results are reproducible given an input order). Each compaction of
+    * level i moves any value's weighted rank by at most 2^i — consecutive
+    * sorted pairs are disjoint, so one query point straddles at most one
+    * pair — and `err` accumulates exactly that bound. An odd element count
+    * leaves the maximum behind unpaired, so total weight always equals `n`.
+    *
+    * Invariant carried to the `agg_kll` gate: for every value v,
+    * |sketch_rank(v) − true_rank(v)| ≤ err, regardless of partitioning or
+    * merge order (partials merge level-wise then re-compact — the standard
+    * mergeable-summaries shape, one tiny buffer per partition, two-phase
+    * aggregate at any scale; state is K·log(n/K) doubles, never the data). */
+  object KllSketch extends Aggregator[Double, KLBuf, KLBuf] {
+    val K = 128
+
+    def zero: KLBuf = KLBuf(Seq(Vector.empty), 0L, 0L)
+
+    private def compact(levels0: Seq[Seq[Double]], err0: Long): (Seq[Seq[Double]], Long) = {
+      val ls = scala.collection.mutable.ArrayBuffer[Vector[Double]](
+        levels0.map(_.toVector): _*)
+      var err = err0
+      var i = 0
+      while (i < ls.length) {
+        if (ls(i).size > K) {
+          val sorted = ls(i).sorted
+          val evenCount = sorted.size - (sorted.size % 2)
+          val promoted = (0 until evenCount by 2).map(sorted(_)).toVector
+          ls(i) = if (sorted.size % 2 == 1) Vector(sorted.last) else Vector.empty
+          if (i + 1 >= ls.length) ls += Vector.empty
+          ls(i + 1) = ls(i + 1) ++ promoted
+          err += 1L << i
+        }
+        i += 1
+      }
+      (ls.toSeq, err)
+    }
+
+    def reduce(b: KLBuf, v: Double): KLBuf = {
+      val l0 = b.levels.head :+ v
+      val levels = l0 +: b.levels.tail
+      if (l0.size > K) {
+        val (ls, e) = compact(levels, b.err)
+        KLBuf(ls, b.n + 1, e)
+      } else KLBuf(levels, b.n + 1, b.err)
+    }
+
+    def merge(a: KLBuf, b: KLBuf): KLBuf = {
+      val depth = a.levels.size max b.levels.size
+      val joined = (0 until depth).map { i =>
+        a.levels.applyOrElse(i, (_: Int) => Seq.empty[Double]) ++
+          b.levels.applyOrElse(i, (_: Int) => Seq.empty[Double])
+      }
+      val (ls, e) = compact(joined, a.err + b.err)
+      KLBuf(ls, a.n + b.n, e)
+    }
+
+    def finish(b: KLBuf): KLBuf = b
+    def bufferEncoder: Encoder[KLBuf] = Encoders.product[KLBuf]
+    def outputEncoder: Encoder[KLBuf] = Encoders.product[KLBuf]
+  }
+
+  /** Smallest sketch item whose cumulative weight reaches rank target `t`
+    * — the quantile-extraction half of [[KllSketch]] (driver/plan side; the
+    * sketch is a single tiny row by the time this runs). */
+  def kllValueAtRank(levels: Seq[Seq[Double]], t: Long): Double = {
+    val items = levels.zipWithIndex
+      .flatMap { case (lvl, i) => lvl.map(v => (v, 1L << i)) }
+      .sortBy(_._1)
+    var cum = 0L
+    var j = 0
+    while (j < items.length) {
+      cum += items(j)._2
+      if (cum >= t) return items(j)._1
+      j += 1
+    }
+    if (items.isEmpty) Double.NaN else items.last._1
+  }
+
   /** Register all graft UDFs/UDAFs into the session (SQL-callable). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("graft_sum_squares", org.apache.spark.sql.functions.udaf(SumSquares))
     spark.udf.register("graft_tax", (p: Double) => p * 1.1)
     spark.udf.register("graft_wpercentile", org.apache.spark.sql.functions.udaf(WeightedPercentile))
     spark.udf.register("graft_heavy_hitters", org.apache.spark.sql.functions.udaf(MisraGries))
+    spark.udf.register("graft_kll", org.apache.spark.sql.functions.udaf(KllSketch))
   }
 }

@@ -437,6 +437,99 @@ object Analytics {
       |FROM latest WHERE op <> 'D'
       |ORDER BY k""".stripMargin
 
+  // ---- SCD Type-2 history build ---------------------------------------------
+
+  /** Slowly-changing-dimension Type 2: the same change log `cdc_apply`
+    * consumes, materialized as full version HISTORY instead of
+    * latest-state — per key, each non-delete change becomes a version row
+    * with [valid_from, valid_to) bounds from the next change's sequence
+    * number and an is_current flag; a delete tombstone closes the last
+    * version without producing one. One keyed window shuffle (k), then a
+    * per-key lead() — at 100 TB the state is one row per change, and the
+    * shuffle is bounded by the change volume exactly once (the standard
+    * warehouse SCD2 build). */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("k"), Dsl.dec(col("o_totalprice")).as("p"))
+    val changes = base
+      .select(col("k"), lit(1L).as("seq"), lit("I").as("op"), col("p").as("price"))
+      .unionByName(base.filter(col("k") % 3 === 0)
+        .select(col("k"), lit(2L).as("seq"), lit("U").as("op"),
+          (col("p") + 10).cast(DecimalType(12, 2)).as("price")))
+      .unionByName(base.filter(col("k") % 11 === 0)
+        .select(col("k"), lit(3L).as("seq"), lit("D").as("op"),
+          lit(null).cast(DecimalType(12, 2)).as("price")))
+    val wk = Window.partitionBy(col("k")).orderBy(col("seq"))
+    changes
+      .select(col("k"), col("op"), col("price"),
+        row_number().over(wk).cast(LongType).as("version"),
+        col("seq").as("valid_from"),
+        lead(col("seq"), 1).over(wk).as("valid_to"))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("version"), Dsl.d(col("price")).as("price"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("k"), col("valid_from"))
+  }
+
+  val cdcScd2Oracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |changes AS (
+      |  SELECT k, CAST(1 AS BIGINT) AS seq, 'I' AS op, p AS price FROM base
+      |  UNION ALL
+      |  SELECT k, 2, 'U', CAST(p + 10 AS DECIMAL(12,2)) FROM base WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 3, 'D', NULL FROM base WHERE k % 11 = 0),
+      |v AS (
+      |  SELECT k, op, price,
+      |    row_number() OVER wk AS version,
+      |    seq AS valid_from,
+      |    lead(seq) OVER wk AS valid_to
+      |  FROM changes WINDOW wk AS (PARTITION BY k ORDER BY seq))
+      |SELECT k, version, CAST(price AS DOUBLE) AS price,
+      |  valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM v WHERE op <> 'D'
+      |ORDER BY k, valid_from""".stripMargin
+
+  // ---- event-sequence pattern matching --------------------------------------
+
+  /** Sequence pattern matching over per-user event histories — the
+    * MATCH_RECOGNIZE idiom re-expressed Spark-first: each user's events
+    * collapse (ordered by time, id-tiebroken) into a compact symbol string
+    * of event-type initials, and patterns become plain regexes counted
+    * with codegen'd regexp_count. `vc*p` finds view→purchase runs with any
+    * number of clicks between; `sc` finds signup-then-click adjacencies.
+    * One keyed shuffle for the collect; the per-user state is
+    * session-sized, and the regex scan is linear per user — at 100 TB this
+    * beats the self-join formulation (one join per pattern step) by
+    * construction. Both engines use non-overlapping leftmost matching and
+    * the patterns are unambiguous, so counts agree exactly. */
+  def evtPattern(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("ts_ns"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))).as("evs"))
+      .select(col("user_id"),
+        concat_ws("", transform(col("evs"), e => e.getField("c"))).as("sq"))
+      .select(col("user_id"),
+        length(col("sq")).cast(LongType).as("n_events"),
+        regexp_count(col("sq"), lit("vc*p")).cast(LongType).as("n_vcp"),
+        regexp_count(col("sq"), lit("sc")).cast(LongType).as("n_sc"))
+      .orderBy(col("user_id"))
+
+  val evtPatternOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, left(event_type, 1) AS c, ts, event_id FROM events),
+      |s AS (
+      |  SELECT user_id, string_agg(c, '' ORDER BY ts, event_id) AS sq
+      |  FROM e GROUP BY user_id)
+      |SELECT user_id,
+      |  CAST(length(sq) AS BIGINT) AS n_events,
+      |  CAST(len(regexp_extract_all(sq, 'vc*p')) AS BIGINT) AS n_vcp,
+      |  CAST(len(regexp_extract_all(sq, 'sc')) AS BIGINT) AS n_sc
+      |FROM s ORDER BY user_id""".stripMargin
+
   // ---- array function family, part 2 ----------------------------------------
 
   /** The array functions fn_collection leaves out: zip_with, flatten,
@@ -639,6 +732,8 @@ object Analytics {
     "evt_funnel" -> ((evtFunnel _, Some(evtFunnelOracle))),
     "cdc_diff" -> ((cdcDiff _, Some(cdcDiffOracle))),
     "cdc_apply" -> ((cdcApply _, Some(cdcApplyOracle))),
+    "cdc_scd2" -> ((cdcScd2 _, Some(cdcScd2Oracle))),
+    "evt_pattern" -> ((evtPattern _, Some(evtPatternOracle))),
     "fn_try" -> ((fnTry _, Some(fnTryOracle))),
     "agg_mode" -> ((aggMode _, Some(aggModeOracle))),
     "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),

@@ -813,6 +813,45 @@ object Coverage {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-interval RANGE frames (the "events in the trailing hour" idiom —
+    * DataFusion window frames with RANGE offsets): the frame bound is a
+    * VALUE offset on the microsecond ordering key, not a row count, so
+    * peers and gaps are handled by value arithmetic. One keyed shuffle on
+    * user_id; at corpus scale this is the standard rolling-window feature
+    * build (trailing count/sum + leading count per event). */
+  def winTrange(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val tenMinUs = 600L * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val trailing = w.rangeBetween(-hourUs, 0)
+    val leading = w.rangeBetween(0, tenMinUs)
+    Tables.eventsTs(spark, dir)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns DIV 1000").as("ts_us"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        count(lit(1)).over(trailing).as("n_1h"),
+        d(sum(dec(col("value"))).over(trailing)).as("sum_1h"),
+        count(lit(1)).over(leading).as("n_next10m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val winTrangeOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |  FROM events WHERE user_id < 40)
+      |SELECT user_id, event_id, ts_us,
+      |  CAST(COUNT(*) OVER wt AS BIGINT) AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wt AS DOUBLE) AS sum_1h,
+      |  CAST(COUNT(*) OVER wl AS BIGINT) AS n_next10m
+      |FROM e
+      |WINDOW
+      |  wt AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+      |  wl AS (PARTITION BY user_id ORDER BY ts_us
+      |         RANGE BETWEEN CURRENT ROW AND 600000000 FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---- §2.4 greatest-per-group without a self-join -------------------------
 
   /** MAX_BY / MIN_BY — greatest-n-per-group in ONE aggregation pass instead
@@ -1500,6 +1539,7 @@ object Coverage {
     "win_dist" -> ((winDist _, Some(winDistOracle))),
     "win_groups" -> ((winGroups _, Some(winGroupsOracle))),
     "win_ignulls" -> ((winIgnulls _, Some(winIgnullsOracle))),
+    "win_trange" -> ((winTrange _, Some(winTrangeOracle))),
     "sort_nulls_offset" -> ((sortNullsOffset _, Some(sortNullsOffsetOracle))),
     "set_union_all" -> ((setUnionAll _, Some(setUnionAllOracle))),
     "set_union" -> ((setUnion _, Some(setUnionOracle))),

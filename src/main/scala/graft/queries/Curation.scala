@@ -766,8 +766,94 @@ object Curation {
       |ORDER BY samp_key DESC, doc_id
       |LIMIT 50""".stripMargin
 
+  // ---- mergeable quantile sketch --------------------------------------------
+
+  /** The [[graft.functions.Udafs.KllSketch]] quantile sketch over the
+    * events value column, validated in-plan the way `txt_heavyhitters`
+    * validates Misra-Gries: the per-quantile estimates themselves are
+    * partition-order-dependent (any mergeable sketch's are), but the KLL
+    * rank-error INVARIANT is not — for target rank t = ceil(q·n), the
+    * extracted estimate v must satisfy count(x ≤ v) ≥ t − err and
+    * count(x < v) ≤ t − 1 + err, where err is the sketch's own accumulated
+    * compaction bound. Capacity 128 sits far below the event count, so
+    * compactions (and the bound) are genuinely exercised. The output
+    * (q, n, kll_ok) is deterministic; the oracle states every row checks
+    * out. One pass for the sketch + one for the rank counts against the
+    * broadcast 5-row quantile frame — both scale-free in state. */
+  def aggKll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Udafs
+    val kll = udaf(Udafs.KllSketch)
+    val kllAt = udf(Udafs.kllValueAtRank _)
+    val vals = Tables.events(spark, dir)
+      .select(col("value")).filter(col("value").isNotNull)
+    val sk = vals.agg(kll(col("value")).as("sk"))
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val qframe = sk
+      .select(col("sk"), explode(array(qs.map(lit): _*)).as("q"))
+      .select(col("q"), col("sk.n").as("n"), col("sk.err").as("err"),
+        greatest(lit(1L), ceil(col("q") * col("sk.n")).cast(LongType)).as("t"),
+        col("sk.levels").as("levels"))
+      .withColumn("est", kllAt(col("levels"), col("t")))
+      .drop("levels")
+    vals.crossJoin(broadcast(qframe))
+      .groupBy(col("q"), col("n"), col("err"), col("t"), col("est"))
+      .agg(count(when(col("value") <= col("est"), 1)).as("n_le"),
+        count(when(col("value") < col("est"), 1)).as("n_lt"))
+      .select(col("q"), col("n"),
+        (col("n_le") >= col("t") - col("err") &&
+          col("n_lt") <= col("t") - 1 + col("err")).as("kll_ok"))
+      .orderBy(col("q"))
+  }
+
+  val aggKllOracle: String =
+    """SELECT CAST(q AS DOUBLE) AS q,
+      |  (SELECT COUNT(value) FROM events) AS n,
+      |  true AS kll_ok
+      |FROM (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) t(q)
+      |ORDER BY q""".stripMargin
+
+  // ---- winnowing fingerprints ------------------------------------------------
+
+  /** Winnowed-fingerprint near-dup pairs ([[graft.operators.Winnow]],
+    * Schleimer et al. SIGMOD'03): k=4-token grams hashed, window of w=5,
+    * min hash per window, docs sharing ≥2 surviving fingerprints paired
+    * through the inverted index with a df≤50 stop-fingerprint cap. The
+    * oracle replays the exact same selection from list primitives —
+    * md5 over identical normalized grams, list_min over the same windows —
+    * so the gate checks the algorithm, not a shared implementation. */
+  def dedWinnow(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnow.pairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedWinnowOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim($norm), '\\s+') AS t FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(t) - 3 AS ng,
+       |    list_transform(generate_series(1, len(t) - 3),
+       |      i -> md5(array_to_string(t[i:i+3], ' '))) AS hs
+       |  FROM t WHERE len(t) >= 4),
+       |f AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(1, ng - 4)),
+       |    i -> list_min(hs[i:least(i+4, ng)])))) AS fp
+       |  FROM g),
+       |keep AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 50),
+       |ff AS (SELECT f.doc_id, f.fp FROM f JOIN keep USING (fp)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_shared FROM p
+       |WHERE n_shared >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
+    "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
+    "ded_winnow" -> ((dedWinnow _, Some(dedWinnowOracle))),
     "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
     "txt_pii" -> ((txtPii _, Some(txtPiiOracle))),
     "smp_stratified" -> ((smpStratified _, Some(smpStratifiedOracle))),

@@ -164,6 +164,38 @@ class FunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("kll sketch: rank-error invariant holds under any partitioning, err is real") {
+    import spark.implicits._
+    Udafs.register(spark)
+    // adversarial-ish input: interleaved ramps, duplicates, negatives
+    val n = 20000
+    val data = (0 until n).map(i => ((i * 7919) % n).toDouble - 1000.0)
+    for (parts <- Seq(1, 13)) {
+      val df = data.toDF("v").repartition(parts)
+      val sk = df.agg(expr("graft_kll(v)").as("sk")).selectExpr(
+        "sk.levels AS levels", "sk.n AS n", "sk.err AS err").collect().head
+      val levels = sk.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("levels")
+        .map(_.toSeq).toSeq
+      val total = sk.getAs[Long]("n")
+      val err = sk.getAs[Long]("err")
+      assert(total === n.toLong)
+      // compaction preserves total weight exactly
+      val weight = levels.zipWithIndex.map { case (l, i) => l.size.toLong << i }.sum
+      assert(weight === n.toLong)
+      // capacity 128 over 20k values must have compacted (bound > 0)
+      assert(err > 0 && err < n / 4, s"err=$err out of useful range")
+      val sorted = data.sorted
+      for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+        val t = math.max(1L, math.ceil(q * total).toLong)
+        val est = Udafs.kllValueAtRank(levels, t)
+        val nLe = sorted.count(_ <= est).toLong
+        val nLt = sorted.count(_ < est).toLong
+        assert(nLe >= t - err && nLt <= t - 1 + err,
+          s"q=$q parts=$parts est=$est t=$t err=$err nLe=$nLe nLt=$nLt")
+      }
+    }
+  }
+
   test("similar_to translation: wildcards, alternation, class, escape, anchoring") {
     import graft.functions.RegexFunctions.similarToRegex
     assert(similarToRegex("abc") == "^abc$")

@@ -348,6 +348,41 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("nope") && e.getMessage.contains("key"))
   }
 
+  test("winnowing: shared-run guarantee, short-doc fallback, df cap") {
+    import spark.implicits._
+    val k = 4; val w = 5
+    // doc 1 and 2 share a run of w+k-1 = 8 tokens -> guaranteed >=1 shared fp
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"unique one two three $shared"),
+      (2L, s"$shared other closing words here"),
+      (3L, "tiny doc four tokens"),          // exactly k tokens -> 1 gram -> 1 fp
+      (4L, "too short"),                     // < k tokens -> dropped
+      (5L, s"unique one two three $shared")  // identical to 1 -> identical fps
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+    assert(!fps.contains(4L), "sub-k docs produce no fingerprints")
+    assert(fps(3L).size === 1, "short docs fall back to one whole-doc fingerprint")
+    assert(fps(1L) === fps(5L), "identical docs fingerprint identically")
+    assert((fps(1L) & fps(2L)).nonEmpty, "w+k-1 shared tokens guarantee a shared fp")
+    // the guarantee survives partitioning (windows are per-doc)
+    val fpsMany = Winnow.fingerprints(docs.repartition(7), "doc_id", "text", k, w)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+    assert(fpsMany === fps)
+    // pairs: 1-2 and 1-5 and 2-5 candidates exist at minShared=1;
+    // a df cap of 2 keeps the fp shared by exactly {1,2,5} out
+    val pairs = Winnow.pairs(docs, "doc_id", "text", k, w, dfCap = 50, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 5L)) && pairs.contains((1L, 2L)))
+    val capped = Winnow.pairs(docs, "doc_id", "text", k, w, dfCap = 2, minShared = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!capped.contains((1L, 2L)),
+      "fingerprints above the df cap must not generate pairs")
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
