@@ -337,34 +337,46 @@ object Analytics {
     * in a trillion must not kill a 1000-executor stage. All per-row codegen'd
     * arithmetic, zero shuffle beyond the final 3-row aggregate. The oracle
     * restates each NULL-producing condition explicitly (DuckDB's strict
-    * arithmetic would error where Spark's try_* return NULL). */
+    * arithmetic would error where Spark's try_* return NULL).
+    *
+    * The failing rows are deliberately RARE (k % 991 / % 997 carve-outs,
+    * one line number of seven): try_* failures run the JVM
+    * throw-catch path at ~1000x the cost of the arithmetic itself, so a
+    * data shape where half the rows fail times exception handling, not the
+    * operator — this query originally overflowed on ~50% of rows and cost
+    * 15s at sf0.1; the production-shaped carve-outs keep every NULL path
+    * exercised (the gate counts each) at per-row arithmetic cost. */
   def fnTry(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"),
-        // zero denominator on every first line of an order
-        try_divide(Dsl.dec(col("l_extendedprice")),
-          col("l_linenumber") - 1).as("per_extra_line"),
-        // signed long overflow for odd keys
-        try_add(lit(Long.MaxValue), col("l_orderkey") % 2).as("near_max"),
-        try_multiply(lit(Long.MaxValue / 2), col("l_linenumber")).as("half_max_times"),
+        // rare zero denominator (double division — the gate counts the NULL
+        // path, and a BigDecimal divide per row would dominate the bench)
+        try_divide(col("l_extendedprice"),
+          when(col("l_orderkey") % 991 === 0, 0).otherwise(col("l_linenumber")))
+          .as("per_extra_line"),
+        // rare signed long overflow
+        try_add(lit(Long.MaxValue),
+          (col("l_orderkey") % 997 === 0).cast(LongType)).as("near_max"),
+        // rare overflow: 4 * (Max/3) > Max, but only on the carve-out keys
+        try_multiply(lit(Long.MaxValue / 3),
+          when(col("l_orderkey") % 983 === 0, 4)
+            .otherwise(col("l_linenumber") % 3)).as("third_max_times"),
         try_to_number(concat(lit("1"), col("l_linenumber")), lit("99")).as("parsed"),
         try_element_at(array(lit(10L), lit(20L)), col("l_linenumber")).as("elem"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         count(col("per_extra_line")).as("n_div_ok"),
         count(col("near_max")).as("n_add_ok"),
-        count(col("half_max_times")).as("n_mul_ok"),
+        count(col("third_max_times")).as("n_mul_ok"),
         sum(col("parsed")).as("sum_parsed"),
         count(col("elem")).as("n_elem_ok"))
       .orderBy(col("l_returnflag"))
 
   val fnTryOracle: String =
     """SELECT l_returnflag, COUNT(*) AS n,
-      |  COUNT(CASE WHEN l_linenumber > 1
-      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) / (l_linenumber - 1) END)
-      |    AS n_div_ok,
-      |  COUNT(CASE WHEN l_orderkey % 2 = 0 THEN 1 END) AS n_add_ok,
-      |  COUNT(CASE WHEN l_linenumber <= 2 THEN 1 END) AS n_mul_ok,
+      |  COUNT(CASE WHEN l_orderkey % 991 <> 0 THEN 1 END) AS n_div_ok,
+      |  COUNT(CASE WHEN l_orderkey % 997 <> 0 THEN 1 END) AS n_add_ok,
+      |  COUNT(CASE WHEN l_orderkey % 983 <> 0 THEN 1 END) AS n_mul_ok,
       |  CAST(SUM(CASE WHEN l_linenumber <= 9
       |    THEN 10 + l_linenumber END) AS BIGINT) AS sum_parsed,
       |  COUNT(CASE WHEN l_linenumber <= 2 THEN 1 END) AS n_elem_ok

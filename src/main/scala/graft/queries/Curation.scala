@@ -812,6 +812,69 @@ object Curation {
       |FROM (VALUES (0.05), (0.25), (0.5), (0.75), (0.95)) t(q)
       |ORDER BY q""".stripMargin
 
+  // ---- count-min sketch -------------------------------------------------------
+
+  /** Count-Min sketch (Cormode & Muthukrishnan '05) over the token stream —
+    * the second mergeable-sketch family, and unlike KLL/Misra-Gries it is
+    * MERGE-ORDER-INDEPENDENT (cells are plain sums), so the whole sketch is
+    * hash-exact against an oracle that replays it: d=3 portable hash rows ×
+    * w=64 cells, each term occurrence incrementing one cell per row, and
+    * est(term) = min over rows of its cell — never an undercount, collisions
+    * only inflate. The Spark shape IS the scale shape: the cell table is a
+    * map-side-combined groupBy bounded at d·w = 192 rows total regardless
+    * of corpus size, then a broadcast join back onto the distinct terms.
+    * Width 64 sits far below the vocabulary, so collisions (and the gate's
+    * bite) are real. */
+  def aggCms(spark: SparkSession, dir: String): DataFrame = {
+    val d = 3
+    val w = 64
+    val terms = Tables.documents(spark, dir)
+      .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+      .select(explode(col("t")).as("term"))
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    // one (row j, cell) hit per occurrence; the agg collapses map-side
+    val cells = terms
+      .select(col("term"), explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("j"),
+        (TextFunctions.hash64(concat_ws(":", col("j"), col("term"))) % w).as("cell"))
+      .groupBy(col("j"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val keyed = exact
+      .select(col("term"), col("true_cnt"),
+        explode(array((0 until d).map(lit): _*)).as("j"))
+      .select(col("term"), col("true_cnt"), col("j"),
+        (TextFunctions.hash64(concat_ws(":", col("j"), col("term"))) % w).as("cell"))
+    keyed.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy(col("term"), col("true_cnt"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("term"), col("true_cnt"), col("est"),
+        (col("est") >= col("true_cnt")).as("never_undercounts"))
+      .orderBy(col("term"))
+  }
+
+  val aggCmsOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    def h(expr: String) = s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+    s"""WITH t AS (
+       |  SELECT string_split_regex(trim($norm), '\\s+') AS t FROM documents),
+       |terms AS (SELECT unnest(t) AS term FROM t),
+       |exact AS (SELECT term, COUNT(*) AS true_cnt FROM terms GROUP BY 1),
+       |keyed AS (
+       |  SELECT term, true_cnt, j,
+       |    ${h("j || ':' || term")} % 64 AS cell
+       |  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+       |cells AS (
+       |  SELECT j, cell, SUM(true_cnt) AS cnt
+       |  FROM keyed GROUP BY 1, 2),
+       |est AS (
+       |  SELECT k.term, k.true_cnt, MIN(c.cnt) AS est
+       |  FROM keyed k JOIN cells c ON k.j = c.j AND k.cell = c.cell
+       |  GROUP BY 1, 2)
+       |SELECT term, true_cnt, CAST(est AS BIGINT) AS est,
+       |  est >= true_cnt AS never_undercounts
+       |FROM est ORDER BY term""".stripMargin
+  }
+
   // ---- winnowing fingerprints ------------------------------------------------
 
   /** Winnowed-fingerprint near-dup pairs ([[graft.operators.Winnow]],
@@ -853,6 +916,7 @@ object Curation {
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
+    "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "ded_winnow" -> ((dedWinnow _, Some(dedWinnowOracle))),
     "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
     "txt_pii" -> ((txtPii _, Some(txtPiiOracle))),

@@ -198,9 +198,66 @@ object Graphs {
       |FROM cc GROUP BY label
       |ORDER BY n_nodes DESC, label""".stripMargin
 
+  /** Bounded multi-source BFS: exact hop distance (≤ [[BfsHops]]) from the
+    * source set (node % 10 == 0) over the same sampled co-supply graph as
+    * [[components]]. Each unrolled round is one relaxation:
+    * dist' = min(dist, min over in-edges of neighbor dist + 1) — an
+    * edges ⋈ frontier keyed join plus a min-agg, i.e. two keyed shuffles
+    * per hop and nothing driver-side (the Pregel lowering of BFS). Hop
+    * counts are integers, so results are hash-exact at any partitioning.
+    * The oracle replays reachability as a depth-bounded recursive CTE with
+    * set semantics (each (node, dist) pair derived once). */
+  private val BfsHops = 4
+
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val nodes = und.select(col("a").as("node")).distinct()
+    val d0 = nodes.select(col("node"),
+      when(col("node") % 10 === 0, 0L).as("dist"))
+
+    def relax(d: DataFrame): DataFrame = {
+      val cand = und
+        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + 1).as("cand"))
+      d.join(cand, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+    }
+    Iterator.iterate(d0)(relax).drop(BfsHops).next()
+      .filter(col("dist").isNotNull)
+      .orderBy(col("node"))
+  }
+
+  val bfsOracle: String =
+    """WITH RECURSIVE pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+      |nodes AS (SELECT DISTINCT a AS node FROM e),
+      |reach(node, dist) AS (
+      |  SELECT node, 0 FROM nodes WHERE node % 10 = 0
+      |  UNION
+      |  SELECT e.b, r.dist + 1 FROM reach r JOIN e ON e.a = r.node
+      |  WHERE r.dist < 4),
+      |bfs AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+      |SELECT node, CAST(dist AS BIGINT) AS dist FROM bfs
+      |ORDER BY node""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),
-    "graph_components" -> ((components _, Some(componentsOracle)))
+    "graph_components" -> ((components _, Some(componentsOracle))),
+    "graph_bfs" -> ((bfs _, Some(bfsOracle)))
   )
 }

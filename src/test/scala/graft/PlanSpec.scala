@@ -544,6 +544,46 @@ class PlanSpec extends SparkSpec {
       "expected a RebalancePartitions node from the hint:\n" + plan.take(1500))
   }
 
+  test("ded_winnow: both fingerprint windows share one doc-keyed sort") {
+    val fps = graft.operators.Winnow.fingerprints(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text")
+    val plan = fps.queryExecution.executedPlan.toString
+    // lead() gram assembly and the ROWS-frame min must reuse a single
+    // (doc_id, idx) sort — a second Sort means the windows didn't align
+    val sorts = plan.linesIterator.count(_.contains("Sort ["))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"fingerprint selection should cost one window shuffle (+distinct), got $exchanges:\n" +
+        plan.take(1500))
+    assert(sorts <= 1, s"expected the two windows to share one sort, got $sorts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("agg_cms: the cell table broadcasts back onto the terms, never the reverse") {
+    val plan = executedPlan("agg_cms")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the 192-row cell table must broadcast")
+    assert(plan.contains("partial_count"),
+      "cell counts must combine map-side (the sketch is the scale path)")
+  }
+
+  test("cdc_scd2: history build is a single keyed window, no self-join") {
+    val plan = executedPlan("cdc_scd2")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin")
+      && !plan.contains("BroadcastHashJoin"),
+      "SCD2 must come from lead()/row_number() over one window, not a join:\n" +
+        plan.take(1500))
+    assert(plan.contains("Window"), "expected a Window operator")
+  }
+
+  test("evt_pattern: one keyed collect, no join per pattern step") {
+    val plan = executedPlan("evt_pattern")
+    assert(!plan.contains("Join"), "pattern counting must not lower to self-joins")
+    assert(plan.contains("partial_collect_list") || plan.contains("objHashAggregate")
+      || plan.contains("ObjectHashAggregate"),
+      "per-user sequences should aggregate in one keyed pass:\n" + plan.take(1500))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
