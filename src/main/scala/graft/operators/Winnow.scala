@@ -29,27 +29,35 @@ object Winnow {
     * fingerprint (the minimum over all their hashes — the truncated first
     * window), matching the oracle's `greatest(1, ng-w+1)` window count. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 4, w: Int = 5): DataFrame = {
+                   k: Int = 4, w: Int = 5): DataFrame =
+    fingerprintRows(docs, idCol, textCol, k, w, Seq.empty)
+
+  /** [[fingerprints]] with extra per-doc columns carried through the
+    * pipeline (constant per doc_id, e.g. a duplicate-group size) — avoids a
+    * join back onto the doc table afterward. */
+  private def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int, extra: Seq[String]): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val gram = concat_ws(" ",
       col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byDoc)): _*)
+    val ex = extra.map(col)
     docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("t"))
+      .select(col(idCol).as("doc_id") +:
+        TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("t") +: ex: _*)
       .filter(size(col("t")) >= k)
-      .select(col("doc_id"), size(col("t")).as("n"),
-        posexplode(col("t")).as(Seq("idx", "tok")))
+      .select(col("doc_id") +: size(col("t")).as("n") +: ex :+
+        posexplode(col("t")).as(Seq("idx", "tok")): _*)
       // assemble the k-gram from the next k-1 tokens; trailing rows whose
       // gram would be short (concat_ws skips the lead() nulls) are cut
       .withColumn("gram", gram)
       .filter(col("idx") <= col("n") - k)
-      .select(col("doc_id"), col("idx"), (col("n") - (k - 1)).as("ng"),
-        md5(col("gram")).as("h"))
+      .select(col("doc_id") +: col("idx") +: (col("n") - (k - 1)).as("ng") +:
+        md5(col("gram")).as("h") +: ex: _*)
       .withColumn("wmin", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
       .filter(col("idx") <= greatest(lit(0), col("ng") - w))
-      .groupBy(col("doc_id"), col("wmin"))
+      .groupBy(col("doc_id") +: col("wmin") +: ex: _*)
       .agg(count(lit(1)).as("_cnt"))
-      .select(col("doc_id"), col("wmin").as("fp"))
+      .select(col("doc_id") +: col("wmin").as("fp") +: ex: _*)
   }
 
   /** Candidate near-dup pairs: docs sharing ≥ `minShared` winnowed
@@ -58,21 +66,50 @@ object Winnow {
     * are dropped first — the stop-shingle pattern: a boilerplate fingerprint
     * shared corpus-wide would make its join bucket quadratic at 100 TB,
     * and it carries no discriminating signal. shuffle_hash because the
-    * fingerprint keys are high-cardinality and near-uniform. */
+    * fingerprint keys are high-cardinality and near-uniform.
+    *
+    * Exact duplicates collapse FIRST (the round-4 tier the other dedup
+    * families use, [[Dedup.collapseExact]]): identical text winnows to the
+    * identical fingerprint set, so selection runs once per distinct
+    * content; fingerprint document-frequency is weighted by group size (the
+    * cap still measures the full corpus); intra-group pairs share exactly
+    * the group's surviving fingerprints and cross-group pairs expand from
+    * representative pairs — member-level output, provably unchanged. The
+    * sf1→sf10 ramp (100x content duplication) was trending superlinear on
+    * the member-level path; post-collapse the selection cost follows
+    * distinct content while the Θ(d²) pair OUTPUT remains the query's own
+    * semantics. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             k: Int = 4, w: Int = 5, dfCap: Int = 50,
             minShared: Long = 2L): DataFrame = {
-    val fps = fingerprints(docs, idCol, textCol, k, w)
+    val (reps, memb) = Dedup.collapseExact(docs, idCol, textCol)
+    val fps = fingerprintRows(reps, "doc_id", "text", k, w, Seq("csize"))
     val keep = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("df"))
+      .agg(sum(col("csize")).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("fp"))
     val kept = fps.join(keep, Seq("fp")).hint("shuffle_hash")
-    kept.select(col("fp"), col("doc_id").as("doc_a"))
-      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    val repPairs = kept.select(col("fp"), col("doc_id").as("rep_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("rep_b")), Seq("fp"))
+      .filter(col("rep_a") < col("rep_b"))
+      .groupBy(col("rep_a"), col("rep_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    val cross = repPairs
+      .join(memb.select(col("rep_id").as("rep_a"), col("member_id").as("m_a")),
+        Seq("rep_a"))
+      .join(memb.select(col("rep_id").as("rep_b"), col("member_id").as("m_b")),
+        Seq("rep_b"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("n_shared"))
+    // identical docs share ALL the group's surviving fingerprints
+    val intra = kept.groupBy(col("doc_id").as("rep_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(memb.select(col("rep_id"), col("member_id").as("m_a")), Seq("rep_id"))
+      .join(memb.select(col("rep_id"), col("member_id").as("m_b")), Seq("rep_id"))
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), col("n_shared"))
+    cross.unionByName(intra)
   }
 }

@@ -826,25 +826,30 @@ object Curation {
     * Width 64 sits far below the vocabulary, so collisions (and the gate's
     * bite) are real. */
   def aggCms(spark: SparkSession, dir: String): DataFrame = {
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
     val d = 3
     val w = 64
+    // one md5 per occurrence; the d row-hashes derive from it by the
+    // multiply-mod family (portable — the same trick minhashSignatures
+    // uses). Hashing per occurrence is the honest stream shape: CM exists
+    // precisely for keyspaces too hot to aggregate exactly first.
+    def cellCol(j: Int): Column =
+      ((lit(MinhashA(j)) * col("h") + lit(MinhashB(j))) % MinhashP) % w
+    def withCells(df: DataFrame): DataFrame = df
+      .withColumn("h", TextFunctions.hash64(col("term")) % MinhashP)
+      .select(df.columns.map(col) :+
+        explode(array((0 until d).map(j =>
+          struct(lit(j).as("j"), cellCol(j).as("cell"))): _*)).as("jc"): _*)
+      .withColumn("j", col("jc.j")).withColumn("cell", col("jc.cell"))
+      .drop("jc")
     val terms = Tables.documents(spark, dir)
       .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
       .select(explode(col("t")).as("term"))
     val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
-    // one (row j, cell) hit per occurrence; the agg collapses map-side
-    val cells = terms
-      .select(col("term"), explode(array((0 until d).map(lit): _*)).as("j"))
-      .select(col("j"),
-        (TextFunctions.hash64(concat_ws(":", col("j"), col("term"))) % w).as("cell"))
+    val cells = withCells(terms)
       .groupBy(col("j"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
-    val keyed = exact
-      .select(col("term"), col("true_cnt"),
-        explode(array((0 until d).map(lit): _*)).as("j"))
-      .select(col("term"), col("true_cnt"), col("j"),
-        (TextFunctions.hash64(concat_ws(":", col("j"), col("term"))) % w).as("cell"))
-    keyed.join(broadcast(cells), Seq("j", "cell"))
+    withCells(exact).join(broadcast(cells), Seq("j", "cell"))
       .groupBy(col("term"), col("true_cnt"))
       .agg(min(col("cnt")).as("est"))
       .select(col("term"), col("true_cnt"), col("est"),
@@ -853,15 +858,18 @@ object Curation {
   }
 
   val aggCmsOracle: String = {
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
     val norm = TextFunctions.sql.normalize("text")
-    def h(expr: String) = s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+    val a = MinhashA.take(3).mkString("[", ", ", "]")
+    val b = MinhashB.take(3).mkString("[", ", ", "]")
+    val h = s"(('0x' || substr(md5(term), 1, 15))::BIGINT) % $MinhashP"
     s"""WITH t AS (
        |  SELECT string_split_regex(trim($norm), '\\s+') AS t FROM documents),
        |terms AS (SELECT unnest(t) AS term FROM t),
        |exact AS (SELECT term, COUNT(*) AS true_cnt FROM terms GROUP BY 1),
        |keyed AS (
        |  SELECT term, true_cnt, j,
-       |    ${h("j || ':' || term")} % 64 AS cell
+       |    (($a[j+1] * ($h) + $b[j+1]) % $MinhashP) % 64 AS cell
        |  FROM exact CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
        |cells AS (
        |  SELECT j, cell, SUM(true_cnt) AS cnt

@@ -454,6 +454,62 @@ object Pipeline {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.p_ts_us
       |ORDER BY c.event_id""".stripMargin
 
+  /** NEAREST as-of join: each click matched to the temporally closest
+    * purchase in either direction (ties → the earlier purchase). Spark
+    * lacks this (DuckDB's ASOF is backward-only too), but it composes from
+    * two runs of the carry-forward [[graft.operators.TimeJoins.asofJoin]]:
+    * the backward pass finds the latest purchase ≤ t, the forward pass is
+    * the same operator on NEGATED timestamps (carry-forward over -t ≡
+    * carry-backward over t), and a per-row comparison picks the closer —
+    * still no join node anywhere near the event volume, two keyed window
+    * shuffles plus one keyed self-merge on the click ids. The oracle
+    * states nearest-neighbor directly (rank by |Δt|, then earlier ts). */
+  def evtAsofNear(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeJoins
+    val ev = Tables.eventsTs(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns DIV 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+      .select(col("user_id"), col("ts_us").as("p_ts_us"),
+        col("event_id").as("p_event_id"))
+    val back = TimeJoins.asofJoin(clicks, purchases, "user_id", "ts_us", "p_ts_us",
+      Seq("p_ts_us", "p_event_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_p_ts_us").as("b_ts"), col("asof_p_event_id").as("b_id"))
+    val clicksN = clicks.withColumn("n_ts", -col("ts_us"))
+    val purchasesN = purchases
+      .select(col("user_id"), (-col("p_ts_us")).as("np_ts"),
+        col("p_ts_us"), col("p_event_id"))
+    val fwd = TimeJoins.asofJoin(clicksN, purchasesN, "user_id", "n_ts", "np_ts",
+      Seq("p_ts_us", "p_event_id"))
+      .select(col("event_id"),
+        col("asof_p_ts_us").as("f_ts"), col("asof_p_event_id").as("f_id"))
+    val pickBack = col("f_ts").isNull ||
+      (col("b_ts").isNotNull && col("ts_us") - col("b_ts") <= col("f_ts") - col("ts_us"))
+    back.join(fwd, Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(pickBack, col("b_ts")).otherwise(col("f_ts")).as("near_ts"),
+        when(pickBack, col("b_id")).otherwise(col("f_id")).as("near_id"))
+      .withColumn("dt_us", col("near_ts") - col("ts_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val evtAsofNearOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |c AS (SELECT user_id, event_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_us AS p_ts, event_id AS p_id
+      |      FROM e WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT c.user_id, c.event_id, c.ts_us, p.p_ts, p.p_id
+      |  FROM c LEFT JOIN p USING (user_id)
+      |  QUALIFY row_number() OVER (PARTITION BY c.user_id, c.event_id
+      |    ORDER BY abs(p.p_ts - c.ts_us), p.p_ts) = 1)
+      |SELECT user_id, event_id, ts_us, p_ts AS near_ts, p_id AS near_id,
+      |  p_ts - ts_us AS dt_us
+      |FROM j ORDER BY user_id, event_id""".stripMargin
+
   /** Point-in-interval range join via binning: clicks falling within one
     * hour after a purchase by the same user. The oracle states the plain
     * inequality join; the Spark plan replaces the nested-loop fallback
@@ -725,6 +781,7 @@ object Pipeline {
     "evt_session_window" -> ((evtSessionWindow _, Some(evtSessionWindowOracle))),
     "evt_hop" -> ((evtHop _, Some(evtHopOracle))),
     "evt_asof" -> ((evtAsof _, Some(evtAsofOracle))),
+    "evt_asof_near" -> ((evtAsofNear _, Some(evtAsofNearOracle))),
     "evt_range" -> ((evtRange _, Some(evtRangeOracle))),
     "evt_overlap" -> ((evtOverlap _, Some(evtOverlapOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
