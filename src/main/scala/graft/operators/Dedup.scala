@@ -253,6 +253,80 @@ object Dedup {
       .unionByName(intraPairs(intraScores, memb, "jaccard"))
   }
 
+  /** Prefix-filtered shingle-set similarity join — the AllPairs/PPJoin
+    * family (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07). Candidate
+    * pairs are generated only from each set's PREFIX under a global rarity
+    * order (document frequency ascending, then shingle), length
+    * |A| − ⌈t·|A|⌉ + 1: any pair with Jaccard ≥ t must overlap by
+    * ≥ ⌈t·max(|A|,|B|)⌉ elements, and two sets overlapping that much cannot
+    * have disjoint prefixes (the prefix-filtering lemma). Where
+    * [[ngramJaccardPairs]] indexes EVERY surviving shingle and needs an
+    * explicit stop-shingle df cap, the prefix index holds only each doc's
+    * rarest shingles — the hot elements that would blow up an
+    * inverted-index bucket are exactly the ones the prefix excludes, so no
+    * cap parameter exists to tune. (The residual adversarial case — docs
+    * whose sets have a single element, where prefix = whole set — is
+    * inherent to the algorithm family and bounded by the length filter.)
+    *
+    * Stages, all keyed shuffles: df agg on shingle → per-doc rank window
+    * (bounded by doc length) → prefix self-join on shingle (shuffle_hash:
+    * high-cardinality near-uniform keys) → candidate-pair verification by
+    * re-joining the per-doc shingle arrays (a projection of the scan, never
+    * shuffled wide) and computing exact |A∩B| with a codegen'd
+    * array_intersect. A length filter (min ≥ t·max, implied by J ≥ t)
+    * prunes candidates before verification. Exact-duplicate collapse
+    * (the round-4 tier) runs first, so all of this costs per distinct
+    * content; intra-group pairs are Jaccard 1.0 by construction. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5, shingleK: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    // tokens staged separately (see shinglesFromTokens: inlining the split
+    // into the interpreted lambda would re-run it per sequence position)
+    val arrs = reps
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("t"), shingleK).as("toks"))
+    val toks = arrs.select(col("doc_id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
+    // rep-level df: any consistent global order is lossless (rarity-first
+    // only shrinks buckets); weighting by csize would also be correct but
+    // adds a join for no candidate-set change
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, Seq("tok")).hint("shuffle_hash")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+    val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"), col("n").as("na"))
+      .hint("shuffle_hash")
+      .join(prefix.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb")),
+        Seq("tok"))
+      .filter(col("rep_a") < col("rep_b"))
+      .filter(least(col("na"), col("nb")).cast(DoubleType) >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("rep_a"), col("rep_b"))
+      .distinct()
+    val repPairs = cand
+      .join(arrs.select(col("doc_id").as("rep_a"), col("toks").as("ta")), Seq("rep_a"))
+      .join(arrs.select(col("doc_id").as("rep_b"), col("toks").as("tb")), Seq("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("inter"),
+        size(col("ta")).as("na"), size(col("tb")).as("nb"))
+      .select(col("rep_a"), col("rep_b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // identical text ⇒ identical token set ⇒ Jaccard exactly 1.0 ≥ t; null
+    // texts are singleton groups (tokens(null) is null, so they never meet
+    // in the uncollapsed join either)
+    val intra = reps.filter(col("csize") > 1 && col("text").isNotNull)
+      .select(col("doc_id").as("rep_id"))
+      .withColumn("jaccard", lit(1.0))
+    expandPairs(repPairs, memb, "jaccard")
+      .unionByName(intraPairs(intra, memb, "jaccard"))
+  }
+
   /** SimHash: 64-bit signature where bit b is set iff the majority of token
     * hashes have bit b set (hash64 is 60-bit, so bits 60+ stay clear and the
     * sign bit never sets). Explode-then-aggregate formulation: the md5-based

@@ -733,9 +733,95 @@ object Analytics {
       |  GROUP BY 1)
       |ORDER BY n DESC, gram LIMIT 50""".stripMargin
 
+  // ---- time-series linear interpolation --------------------------------------
+
+  /** Missing-value linear interpolation on an hourly spine — the resampling
+    * step between [[evtGapfill]]'s zero-fill (counts) and model-ready
+    * continuous series: absent bins get y = y₀ + (y₁−y₀)·(t−t₀)/(t₁−t₀)
+    * from the nearest observed neighbors on each side. The deterministic
+    * event sample (event_id % 7 = 0) makes the series genuinely sparse so
+    * interpolation does real work; per-bin observation is MAX (selection,
+    * not summation — bit-exact across engines), and the interpolation
+    * arithmetic is written with the identical operation order on both
+    * sides, so IEEE correctly-rounded ops make doubles hash-exact.
+    *
+    * Shuffle shape: one keyed agg (bins), one per-series spine explode
+    * (bounded by hours × series — trivial beside the event volume at any
+    * scale), then BOTH carry directions from a single keyed sort: the
+    * backward last_value and forward first_value frames share one
+    * WindowExec ordering (asc), so the plan pays one sort, not two.
+    * Leading/trailing edges (no neighbor on one side) stay null — the
+    * honest contract; extrapolation is a different operator. */
+  def evtInterp(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.eventsTs(spark, dir)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_type"), expr("ts_ns DIV 3600000000000").as("hr"), col("value"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(max(col("value")).as("y_obs"))
+    val spine = obs.groupBy(col("event_type"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    // obs_hr is pre-projected and all four window expressions sit in ONE
+    // select over bare attributes, so CollapseWindow fuses them into a
+    // single Window operator (one sort); interleaved withColumns would
+    // split it into three
+    spine.join(obs, Seq("event_type", "hr"), "left")
+      .withColumn("obs_hr", when(col("y_obs").isNotNull, col("hr")))
+      .select(col("event_type"), col("hr"), col("y_obs"),
+        last(col("y_obs"), ignoreNulls = true).over(back).as("py"),
+        last(col("obs_hr"), ignoreNulls = true).over(back).as("pt"),
+        first(col("y_obs"), ignoreNulls = true).over(fwd).as("ny"),
+        first(col("obs_hr"), ignoreNulls = true).over(fwd).as("nt"))
+      .select(col("event_type"), col("hr"), col("y_obs"),
+        when(col("y_obs").isNotNull, col("y_obs"))
+          .otherwise(col("py") + (col("ny") - col("py")) *
+            ((col("hr") - col("pt")).cast(DoubleType) /
+              (col("nt") - col("pt")).cast(DoubleType)))
+          .as("y_interp"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val evtInterpOracle: String =
+    """WITH obs AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    MAX(value) AS y_obs
+      |  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2),
+      |span AS (SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM obs GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM span),
+      |j AS (
+      |  SELECT s.event_type, s.hr, obs.y_obs
+      |  FROM spine s LEFT JOIN obs ON s.event_type = obs.event_type AND s.hr = obs.hr),
+      |c AS (
+      |  SELECT event_type, hr, y_obs,
+      |    last_value(y_obs IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+      |    last_value(CASE WHEN y_obs IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    first_value(y_obs IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+      |    first_value(CASE WHEN y_obs IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+      |      PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM j)
+      |SELECT event_type, hr, y_obs,
+      |  CASE WHEN y_obs IS NOT NULL THEN y_obs
+      |       ELSE py + (ny - py) * (CAST(hr - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+      |  END AS y_interp
+      |FROM c
+      |ORDER BY event_type, hr""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
+    "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
     "evt_ewma" -> ((evtEwma _, Some(evtEwmaOracle))),
     "agg_histogram" -> ((aggHistogram _, Some(aggHistogramOracle))),
     "src_range" -> ((srcRange _, Some(srcRangeOracle))),

@@ -883,6 +883,133 @@ object Curation {
        |FROM est ORDER BY term""".stripMargin
   }
 
+  // ---- KMV theta sketch (distinct counting with set operations) --------------
+
+  /** K-minimum-values distinct sketch with theta-style set operations
+    * (Bar-Yossef et al. RANDOM'02; Beyer et al. SIGMOD'07 — the KMV/theta
+    * family Ballista exposes only as APPROX_DISTINCT's HLL). Unlike HLL,
+    * the KMV state (the K smallest distinct md5-derived hashes) supports
+    * union AND intersection estimates, and — because the K minima of a
+    * deterministic hash are themselves deterministic — the whole sketch
+    * replays exactly in the oracle: a full hash gate, like `agg_cms`, not
+    * an invariant gate.
+    *
+    * Scale shape: one distinct on (segment, hash) — the only shuffle that
+    * sees the stream — then the K minima per segment through the
+    * [[graft.operators.TopK]] bounded-heap operator (map-side partial
+    * heaps, at most K rows per segment per partition cross the wire; no
+    * Window, no global sort). Set ops run on sketch STATE (≤ 2K rows),
+    * never on the stream: union sketch = K smallest of the two K-min
+    * sets; intersection via the union sketch's in-both fraction
+    * (est ∩ = ρ · est ∪). Estimator: exact count when a sketch holds the
+    * whole set (n < K), else (K−1)·2^60 / h_(K) — hash64 is uniform on
+    * [0, 2^60). The exact distinct counts ride along per measure, so the
+    * output exposes estimate vs truth side by side. */
+  def aggTheta(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val scale = (k - 1).toDouble * math.pow(2, 60) // 63·2^60, exact double
+    val dh = Tables.events(spark, dir)
+      .select(col("event_type"),
+        TextFunctions.hash64(col("user_id").cast(StringType)).as("h"))
+      .distinct()
+    val kmin = graft.operators.TopK.perKey(dh, Seq("event_type"), Seq("h" -> true), k)
+    def est(nSk: Column, kth: Column): Column =
+      when(nSk < k, nSk.cast(DoubleType))
+        .otherwise(lit(scale) / kth.cast(DoubleType))
+    val segEst = kmin.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      .select(concat(lit("seg:"), col("event_type")).as("measure"),
+        est(col("n_sk"), col("kth")).as("est"))
+    val segExact = dh.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .select(concat(lit("seg:"), col("event_type")).as("measure"),
+        col("exact_distinct"))
+    // union/intersection of the click and purchase sketches, on state only
+    val cp = kmin.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("h"))
+      .agg(max(when(col("event_type") === "click", 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("in_b"))
+    val uk = graft.operators.TopK.perKey(
+      cp.withColumn("g", lit(1)), Seq("g"), Seq("h" -> true), k)
+    val uStats = uk.agg(count(lit(1)).as("n_u"), max(col("h")).as("kth"),
+      sum((col("in_a") * col("in_b")).cast(LongType)).as("n_both"))
+    val unionRow = uStats.select(lit("union:click+purchase").as("measure"),
+      est(col("n_u"), col("kth")).as("est"))
+    val interRow = uStats.select(lit("inter:click+purchase").as("measure"),
+      when(col("n_u") < k, col("n_both").cast(DoubleType))
+        .otherwise(col("n_both").cast(DoubleType) * (lit(scale) / col("kth").cast(DoubleType)) / k)
+        .as("est"))
+    val eu = dh.filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("event_type")).as("ns"))
+    val unionExact = eu.agg(count(lit(1)).as("exact_distinct"))
+      .select(lit("union:click+purchase").as("measure"), col("exact_distinct"))
+    val interExact = eu.filter(col("ns") === 2)
+      .agg(count(lit(1)).as("exact_distinct"))
+      .select(lit("inter:click+purchase").as("measure"), col("exact_distinct"))
+    segEst.unionByName(unionRow).unionByName(interRow)
+      .join(segExact.unionByName(unionExact).unionByName(interExact), Seq("measure"))
+      .orderBy(col("measure"))
+  }
+
+  val aggThetaOracle: String = {
+    val h = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT)"
+    s"""WITH dh AS (SELECT DISTINCT event_type, $h AS h FROM events),
+       |kmin AS (
+       |  SELECT event_type, h FROM (
+       |    SELECT event_type, h,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |    FROM dh) WHERE rn <= 64),
+       |seg AS (SELECT event_type, COUNT(*) AS n_sk, MAX(h) AS kth
+       |        FROM kmin GROUP BY 1),
+       |seg_est AS (
+       |  SELECT 'seg:' || event_type AS measure,
+       |    CASE WHEN n_sk < 64 THEN CAST(n_sk AS DOUBLE)
+       |         ELSE 63 * POW(2, 60) / CAST(kth AS DOUBLE) END AS est
+       |  FROM seg),
+       |seg_exact AS (
+       |  SELECT 'seg:' || event_type AS measure, COUNT(*) AS exact_distinct
+       |  FROM dh GROUP BY 1),
+       |cp AS (
+       |  SELECT h,
+       |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+       |  FROM kmin WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+       |uk AS (
+       |  SELECT h, in_a, in_b FROM (
+       |    SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM cp)
+       |  WHERE rn <= 64),
+       |ustats AS (
+       |  SELECT COUNT(*) AS n_u, MAX(h) AS kth,
+       |    CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+       |  FROM uk),
+       |eu AS (
+       |  SELECT h, COUNT(DISTINCT event_type) AS ns
+       |  FROM dh WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+       |est_rows AS (
+       |  SELECT measure, est FROM seg_est
+       |  UNION ALL
+       |  SELECT 'union:click+purchase',
+       |    CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+       |         ELSE 63 * POW(2, 60) / CAST(kth AS DOUBLE) END
+       |  FROM ustats
+       |  UNION ALL
+       |  SELECT 'inter:click+purchase',
+       |    CASE WHEN n_u < 64 THEN CAST(n_both AS DOUBLE)
+       |         ELSE CAST(n_both AS DOUBLE)
+       |              * (63 * POW(2, 60) / CAST(kth AS DOUBLE)) / 64 END
+       |  FROM ustats),
+       |exact_rows AS (
+       |  SELECT measure, exact_distinct FROM seg_exact
+       |  UNION ALL
+       |  SELECT 'union:click+purchase', COUNT(*) FROM eu
+       |  UNION ALL
+       |  SELECT 'inter:click+purchase', COUNT(*) FILTER (WHERE ns = 2) FROM eu)
+       |SELECT e.measure, e.est, x.exact_distinct
+       |FROM est_rows e JOIN exact_rows x ON e.measure = x.measure
+       |ORDER BY e.measure""".stripMargin
+  }
+
   // ---- winnowing fingerprints ------------------------------------------------
 
   /** Winnowed-fingerprint near-dup pairs ([[graft.operators.Winnow]],
@@ -925,6 +1052,7 @@ object Curation {
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
+    "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),
     "ded_winnow" -> ((dedWinnow _, Some(dedWinnowOracle))),
     "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
     "txt_pii" -> ((txtPii _, Some(txtPiiOracle))),

@@ -254,10 +254,79 @@ object Graphs {
       |SELECT node, CAST(dist AS BIGINT) AS dist FROM bfs
       |ORDER BY node""".stripMargin
 
+  /** Deterministic synchronous label propagation (community detection;
+    * Raghavan et al. 2007, made order-independent): [[LpaRounds]] unrolled
+    * rounds over the sampled co-supply graph, where each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * minimum label — a pure function of the previous round, so results are
+    * identical at any partitioning (the async/random-order variant of the
+    * paper is NOT reproducible; this is the standard Pregel determinization).
+    *
+    * Per round: one keyed join (neighbor labels onto edges) + two keyed
+    * aggs (vote count per (node, label), then argmax-by-(count, min label)
+    * via a single `max(struct(cnt, -label))` — no window, no sort). Every
+    * node in the edge list has ≥1 neighbor, so no keep-own-label branch is
+    * needed. Output pins community MEMBERSHIP (size + member-id sum per
+    * label), as [[components]] does. */
+  private val LpaRounds = 3
+
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+
+    def step(lab: DataFrame): DataFrame =
+      und.join(lab.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("b").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+
+    val l0 = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    Iterator.iterate(l0)(step).drop(LpaRounds).next()
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("n_nodes").desc, col("label"))
+  }
+
+  val lpaOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""v$i AS (
+         |  SELECT e.b AS node, l.label, COUNT(*) AS cnt
+         |  FROM e JOIN l${i - 1} l ON l.node = e.a GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+       |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+       |$rounds
+       |SELECT label, COUNT(*) AS n_nodes, CAST(SUM(node) AS BIGINT) AS node_sum
+       |FROM l$LpaRounds GROUP BY label
+       |ORDER BY n_nodes DESC, label""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),
     "graph_components" -> ((components _, Some(componentsOracle))),
-    "graph_bfs" -> ((bfs _, Some(bfsOracle)))
+    "graph_bfs" -> ((bfs _, Some(bfsOracle))),
+    "graph_lpa" -> ((lpa _, Some(lpaOracle)))
   )
 }

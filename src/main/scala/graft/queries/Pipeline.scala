@@ -84,6 +84,35 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Prefix-filtered set-similarity join ([[Dedup.prefixJaccardPairs]] —
+    * the AllPairs/PPJoin candidate scheme, on 2-shingle sets). The oracle
+    * computes exact shingle-set Jaccard over ALL pairs from the full
+    * inverted index, so the gate proves the prefix filter is lossless:
+    * every pair ≥ t must survive candidate generation or the hash
+    * differs. */
+  def dedPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedPrefixOracle: String = {
+    val sh = TextFunctions.sql.shingles("text", 2)
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $sh AS toks FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+       |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t0),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def dedSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -768,6 +797,7 @@ object Pipeline {
     "ded_exact" -> ((dedExact _, Some(dedExactOracle))),
     "ded_minhash" -> ((dedMinhash _, Some(dedMinhashOracle))),
     "ded_ngram" -> ((dedNgram _, Some(dedNgramOracle))),
+    "ded_prefix" -> ((dedPrefix _, Some(dedPrefixOracle))),
     "ded_simhash" -> ((dedSimhash _, Some(dedSimhashOracle))),
     "ded_embed" -> ((dedEmbed _, Some(dedEmbedOracle))),
     "sim_topk" -> ((simTopk _, Some(simTopkOracle))),

@@ -383,6 +383,58 @@ class OperatorsSpec extends SparkSpec {
       "fingerprints above the df cap must not generate pairs")
   }
 
+  test("prefix-filtered jaccard join is lossless vs brute force and honors collapse") {
+    // 6 docs: a 2-copy exact group, a near dup, and unrelated docs; brute
+    // force = all-pairs jaccard over the same 2-shingle sets
+    val d = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // exact dup of 1
+      (3L, "a b c d e f g x"), // near dup (shares 6 of 8 bigrams)
+      (4L, "p q r s t u v w"),
+      (5L, "z z z z z z z z"),
+      (6L, "m n"))).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute force over every unordered pair
+    import graft.functions.TextFunctions
+    val sets = d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), 2).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === want.keySet,
+      s"prefix filter must be lossless: got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (k, j) => assert(got(k) === j, s"jaccard mismatch at $k") }
+    assert(got((1L, 2L)) === 1.0, "exact dups score exactly 1.0 via the collapse tier")
+    // partition invariance (prefix ranks are per-doc windows; df is global)
+    val many = Dedup.prefixJaccardPairs(d.repartition(7), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(many === got)
+  }
+
+  test("KMV minima are partition-invariant and the estimator is within the sketch bound") {
+    // 1000 distinct values through the same md5-derived hash the query uses
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.types.StringType
+    val n = 1000
+    val vals = spark.range(n.toLong).select(col("id").cast(StringType).as("v"))
+    def kmin(parts: Int) = graft.operators.TopK.perKey(
+      vals.repartition(parts).select(lit(1).as("g"), TextFunctions.hash64(col("v")).as("h")).distinct(),
+      Seq("g"), Seq("h" -> true), 64)
+      .collect().map(_.getAs[Long]("h")).sorted.toSeq
+    val one = kmin(1)
+    assert(one.length === 64)
+    assert(kmin(13) === one, "K-minima must not depend on partitioning")
+    val est = 63.0 * math.pow(2, 60) / one.last
+    // 3-sigma KMV bound: sigma ~ D / sqrt(K-2)
+    assert(math.abs(est - n) < 3.0 * n / math.sqrt(62),
+      s"KMV estimate $est outside 3-sigma of $n")
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -584,6 +584,38 @@ class PlanSpec extends SparkSpec {
       "per-user sequences should aggregate in one keyed pass:\n" + plan.take(1500))
   }
 
+  test("ded_prefix: prefix self-join keyed, never cartesian; verification is array-local") {
+    val plan = executedPlan("ded_prefix")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "prefix candidate join must stay keyed:\n" + plan.take(2000))
+  }
+
+  test("agg_theta: K-minima route through the bounded-heap operator, no window on the stream") {
+    val plan = executedPlan("agg_theta")
+    assert(plan.contains("TopKPerKey"),
+      "sketch minima must use the bounded-heap operator:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "no rank window may touch the distinct stream:\n" + plan.take(2000))
+  }
+
+  test("graph_lpa: vote argmax is a keyed aggregate, no window and no cartesian") {
+    val plan = executedPlan("graph_lpa")
+    assert(!plan.contains("Window"),
+      "per-round argmax must be max(struct), not a rank window:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(2000))
+    assert(plan.contains("partial_"), "vote counts must partial-aggregate map-side")
+  }
+
+  test("evt_interp: both carry directions share one keyed sort") {
+    // backward last_value and forward first_value frames use the same
+    // (event_type, hr asc) ordering — one WindowExec, and the only Sorts
+    // are that window's and the presentation orderBy
+    val plan = executedPlan("evt_interp")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 1, s"expected one Window operator, got $windows:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
