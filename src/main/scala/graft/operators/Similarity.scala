@@ -327,6 +327,76 @@ object Similarity {
     cents
   }
 
+  /** Product quantization (Jégou et al. TPAMI 2011): the embedding is split
+    * into `nSub` contiguous subvectors and each is quantized independently
+    * against a per-subspace codebook of `k` codewords, so an N-vector
+    * corpus stores nSub·log2(k) bits per vector and ANN distance tables
+    * become nSub table lookups — the at-rest format IVF-PQ indexes use.
+    * Completes the quantization tier: `emb_quantize` is per-dimension
+    * scalar quantization; this is the vector-codebook form.
+    *
+    * Training is deterministic so the oracle can replay it exactly
+    * (the [[kmeansCells]] contract): codebooks seed from the k smallest
+    * vec_ids' subvectors, then one Lloyd refinement — assignment by
+    * squared-L2 argmin (pure +,−,× on doubles in a fixed left-fold order:
+    * bit-exact cross-engine with NO rounding, unlike cosine's libm sqrt),
+    * tie → min code via one `min(struct(d, code))` aggregate (no window),
+    * and means recomputed with vec_id-ordered running window sums (the
+    * emb_centroid pattern). Scale shape per round: the codebook
+    * (nSub·k rows) broadcasts; assignment is one keyed agg over
+    * corpus×k rows per subspace; the mean update shuffles on
+    * (subspace, code, dim) — nothing driver-side, no cartesian.
+    *
+    * Returns one row per (vec_id, m): the chosen code and its squared-L2
+    * reconstruction error contribution. */
+  def productQuantize(corpus: DataFrame, nSub: Int = 4, dimPerSub: Int = 16,
+                      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val subs = corpus.select(col("vec_id"),
+      explode(array((0 until nSub).map { m =>
+        struct(lit(m).as("m"),
+          transform(slice(col("embedding"), m * dimPerSub + 1, dimPerSub),
+            v => v.cast(DoubleType)).as("sub"))
+      }: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+    val cb0 = subs.filter(col("vec_id") < k)
+      .select(col("m"), col("vec_id").as("code"), col("sub").as("cent"))
+
+    // argmin via min(struct): min distance, tie → min code — one keyed agg,
+    // no rank window; `first(sub)` is deterministic because every row in
+    // the (vec, m) group carries the identical subvector
+    def assign(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sub"),
+          struct(sqDist(col("sub"), col("cent")).as("d"), col("code")).as("dc"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("dc")).as("best"), first(col("sub")).as("sub"))
+        .select(col("vec_id"), col("m"), col("best.code").as("code"),
+          col("best.d").as("d"), col("sub"))
+
+    val ex = assign(cb0)
+      .select(col("m"), col("code"), col("vec_id"),
+        posexplode(col("sub")).as(Seq("pos", "v")))
+    val cw = Window.partitionBy(col("m"), col("code"), col("pos"))
+      .orderBy(col("vec_id"))
+    val comp = ex
+      .withColumn("run", sum(col("v")).over(
+        cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(cw))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("m"), col("code"), col("pos"))))
+      .filter(col("rn") === col("n"))
+      .select(col("m"), col("code"), col("pos"), (col("run") / col("n")).as("comp"))
+    val cb1 = comp.groupBy(col("m"), col("code"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("pc"))
+      .select(col("m"), col("code"),
+        transform(col("pc"), s => s.getField("comp")).as("cent"))
+    assign(cb1).select(col("vec_id"), col("m"), col("code"), col("d"))
+  }
+
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join
     * within bucket, verify cosine ≥ threshold.
     *

@@ -836,6 +836,45 @@ object Coverage {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Running DISTINCT count as a window — a frame neither Spark nor DuckDB
+    * supports natively (`COUNT(DISTINCT) OVER` is rejected), and the naive
+    * rewrite (per-row set state) is O(n²) memory. The scalable form: mark
+    * each user's FIRST hour with a keyed min-agg, count first-appearances
+    * per hour, and take a running sum over the hour spine — distinct-ness
+    * becomes an integer cumsum, exact at any partitioning. Two keyed
+    * shuffles (user-first agg, hour agg) + one keyed window; nothing holds
+    * per-row distinct state. */
+  def winRdistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), expr("ts_ns DIV 3600000000000").as("hr"),
+        col("user_id"))
+    val firstSeen = e.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("hr")).as("fh"))
+    val news = firstSeen.groupBy(col("event_type"), col("fh").as("hr"))
+      .agg(count(lit(1)).as("n_new"))
+    val hours = e.select(col("event_type"), col("hr")).distinct()
+    hours.join(news, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"),
+        sum(coalesce(col("n_new"), lit(0L)))
+          .over(Window.partitionBy(col("event_type")).orderBy(col("hr")))
+          .cast(LongType).as("run_distinct_users"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  val winRdistinctOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |    user_id
+      |  FROM events),
+      |fs AS (SELECT event_type, user_id, MIN(hr) AS fh FROM e GROUP BY 1, 2),
+      |news AS (SELECT event_type, fh AS hr, COUNT(*) AS n_new FROM fs GROUP BY 1, 2),
+      |hours AS (SELECT DISTINCT event_type, hr FROM e)
+      |SELECT h.event_type, h.hr,
+      |  CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+      |    PARTITION BY h.event_type ORDER BY h.hr) AS BIGINT) AS run_distinct_users
+      |FROM hours h LEFT JOIN news n ON h.event_type = n.event_type AND h.hr = n.hr
+      |ORDER BY h.event_type, h.hr""".stripMargin
+
   val winTrangeOracle: String =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
@@ -1540,6 +1579,7 @@ object Coverage {
     "win_groups" -> ((winGroups _, Some(winGroupsOracle))),
     "win_ignulls" -> ((winIgnulls _, Some(winIgnullsOracle))),
     "win_trange" -> ((winTrange _, Some(winTrangeOracle))),
+    "win_rdistinct" -> ((winRdistinct _, Some(winRdistinctOracle))),
     "sort_nulls_offset" -> ((sortNullsOffset _, Some(sortNullsOffsetOracle))),
     "set_union_all" -> ((setUnionAll _, Some(setUnionAllOracle))),
     "set_union" -> ((setUnion _, Some(setUnionOracle))),

@@ -383,6 +383,78 @@ object ModelPrep {
        |ORDER BY d.lang""".stripMargin
   }
 
+  // ---- product quantization --------------------------------------------------
+
+  /** PQ codes + reconstruction error per vector
+    * ([[Similarity.productQuantize]]: 4 subspaces × 16 dims, 8 codewords,
+    * deterministic seeding + one Lloyd round). The per-vector error is the
+    * sum of the four subspace errors added in fixed column order (each
+    * subspace value is isolated with a sum over 3 exact zeros first), so
+    * doubles stay bit-exact; codes are integers. The oracle replays
+    * seeding, assignment, the ordered-fold mean update, and reassignment
+    * from DuckDB list primitives. */
+  def embPq(spark: SparkSession, dir: String): DataFrame = {
+    val pq = Similarity.productQuantize(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+    val codes = (0 until 4).map(m =>
+      sum(when(col("m") === m, col("code")).otherwise(0L)).as(s"code$m"))
+    val errs = (0 until 4).map(m =>
+      sum(when(col("m") === m, col("d")).otherwise(0.0)).as(s"e$m"))
+    pq.groupBy(col("vec_id"))
+      .agg((codes ++ errs).head, (codes ++ errs).tail: _*)
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+        (col("e0") + col("e1") + col("e2") + col("e3")).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embPqOracle: String = {
+    def dist(a: String, c: String) =
+      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16),
+         |      i -> ($a[i] - $c[i]) * ($a[i] - $c[i]))), (x, y) -> x + y)""".stripMargin
+    s"""WITH sub AS (
+       |  SELECT vec_id, m,
+       |    list_transform(embedding[m*16+1 : m*16+16], v -> CAST(v AS DOUBLE)) AS sub
+       |  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) ms),
+       |cb0 AS (SELECT m, vec_id AS code, sub AS cent FROM sub WHERE vec_id < 8),
+       |d1 AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    ${dist("s.sub", "c.cent")} AS d
+       |  FROM sub s JOIN cb0 c ON s.m = c.m),
+       |a1 AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |    FROM d1) WHERE rn = 1),
+       |ex AS (
+       |  SELECT a.m, a.code, s.vec_id, t.i AS pos, s.sub[t.i] AS v
+       |  FROM a1 a
+       |  JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 16)) AS i) t),
+       |comp AS (
+       |  SELECT m, code, pos,
+       |    list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)), (x, y) -> x + y)
+       |      / COUNT(*) AS comp
+       |  FROM ex GROUP BY m, code, pos),
+       |cb1 AS (SELECT m, code, list(comp ORDER BY pos) AS cent FROM comp GROUP BY m, code),
+       |d2 AS (
+       |  SELECT s.vec_id, s.m, c.code,
+       |    ${dist("s.sub", "c.cent")} AS d
+       |  FROM sub s JOIN cb1 c ON s.m = c.m),
+       |a2 AS (
+       |  SELECT vec_id, m, code, d FROM (
+       |    SELECT vec_id, m, code, d,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+       |    FROM d2) WHERE rn = 1)
+       |SELECT vec_id,
+       |  CAST(SUM(CASE WHEN m = 0 THEN code ELSE 0 END) AS BIGINT) AS code0,
+       |  CAST(SUM(CASE WHEN m = 1 THEN code ELSE 0 END) AS BIGINT) AS code1,
+       |  CAST(SUM(CASE WHEN m = 2 THEN code ELSE 0 END) AS BIGINT) AS code2,
+       |  CAST(SUM(CASE WHEN m = 3 THEN code ELSE 0 END) AS BIGINT) AS code3,
+       |  (SUM(CASE WHEN m = 0 THEN d ELSE 0 END) + SUM(CASE WHEN m = 1 THEN d ELSE 0 END)
+       |   + SUM(CASE WHEN m = 2 THEN d ELSE 0 END) + SUM(CASE WHEN m = 3 THEN d ELSE 0 END)) AS err
+       |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
     "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
@@ -390,6 +462,7 @@ object ModelPrep {
     "ded_spans" -> ((dedSpans _, Some(dedSpansOracle))),
     "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle))),
     "txt_skipgrams" -> ((txtSkipgrams _, Some(txtSkipgramsOracle))),
-    "cur_funnel2" -> ((curFunnel2 _, Some(curFunnel2Oracle)))
+    "cur_funnel2" -> ((curFunnel2 _, Some(curFunnel2Oracle))),
+    "emb_pq" -> ((embPq _, Some(embPqOracle)))
   )
 }

@@ -430,6 +430,45 @@ object SourcesDdl {
       |GROUP BY n_orders
       |ORDER BY n_orders""".stripMargin
 
+  /** CACHE TABLE — the Spark-native analog of the reference's data-cache
+    * layer (reference: ballista/core/src/cache_layer/mod.rs:26-35,
+    * `ballista.data_cache.enabled` config.rs:40-41, which interposes a
+    * memory/disk file cache over the object store). Spark caches at the
+    * relation level instead: `CACHE TABLE` pins the deserialized columnar
+    * batches in executor storage memory, and every later plan that
+    * references the view reads `InMemoryTableScan` instead of re-scanning
+    * parquet — same goal (skip repeated cold reads), different altitude.
+    * The query aggregates the cached view TWICE (two branches of a union)
+    * so the second branch demonstrably reuses the cache; results are
+    * integer-exact. UNCACHE runs first so reruns are deterministic. */
+  def ddlCache(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+    spark.sql(
+      """CACHE TABLE graft_cached_orders AS
+        |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders""".stripMargin)
+    spark.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM graft_cached_orders GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'ALL' AS o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        |FROM graft_cached_orders
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val ddlCacheOracle: String =
+    """WITH c AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM c GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT 'ALL' AS o_orderstatus, COUNT(*) AS n_orders,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+      |FROM c
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** INSERT INTO — both VALUES and SELECT forms (reference: DataFusion
     * `DmlStatement::Insert`): append-only writes into a catalog table.
     * Each INSERT is one atomic parquet commit; at scale the INSERT ...
@@ -800,6 +839,7 @@ object SourcesDdl {
     "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
     "sql_recursive" -> ((sqlRecursive _, Some(sqlRecursiveOracle))),
     "ddl_ctas" -> ((ddlCtas _, Some(ddlCtasOracle))),
+    "ddl_cache" -> ((ddlCache _, Some(ddlCacheOracle))),
     "ddl_analyze" -> ((ddlAnalyze _, Some(ddlAnalyzeOracle))),
     "ddl_insert" -> ((ddlInsert _, Some(ddlInsertOracle))),
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),

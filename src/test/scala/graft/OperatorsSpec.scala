@@ -435,6 +435,46 @@ class OperatorsSpec extends SparkSpec {
       s"KMV estimate $est outside 3-sigma of $n")
   }
 
+  test("product quantization: Lloyd round never increases error; partition-invariant") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.sql.Row
+    // 60 deterministic 8-dim vectors, 2 subspaces x 4 dims, 4 codewords
+    val rows = (0 until 60).map { i =>
+      Row(i.toLong, Array.tabulate(8)(j => ((i * 7 + j * 3) % 13 - 6) / 6.0f))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding", ArrayType(FloatType))))
+    val vecs = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val pq = Similarity.productQuantize(vecs, nSub = 2, dimPerSub = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.length === 120, "one row per (vector, subspace)")
+    assert(pq.forall { case (_, _, code, _) => code >= 0 && code < 4 })
+    assert(pq.forall { case (_, _, _, d) => d >= 0.0 })
+    // seeds quantize to themselves in the seeded round; after one Lloyd
+    // round their error can grow only if the refit moved the codeword —
+    // total error across the corpus must not increase (Lloyd monotonicity)
+    val total = pq.map(_._4).sum
+    val seeded = {
+      val subs = (0 until 60).flatMap { i =>
+        val v = Array.tabulate(8)(j => (((i * 7 + j * 3) % 13 - 6) / 6.0f).toDouble)
+        Seq((i, 0, v.slice(0, 4)), (i, 1, v.slice(4, 8)))
+      }
+      val seeds = subs.filter(_._1 < 4)
+      subs.map { case (_, m, v) =>
+        seeds.filter(_._2 == m).map { case (_, _, c) =>
+          c.zip(v).map { case (x, y) => (y - x) * (y - x) }.sum
+        }.min
+      }.sum
+    }
+    assert(total <= seeded + 1e-9,
+      s"Lloyd refinement must not increase total error: $total vs seeded $seeded")
+    val many = Similarity.productQuantize(vecs.repartition(7), 2, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(many.sortBy(t => (t._1, t._2)) === pq.sortBy(t => (t._1, t._2)),
+      "PQ must be partitioning-invariant")
+  }
+
   test("multimodal decode produces deterministic metadata from bytes") {
     val meta = Multimodal.decodeDocuments(spark, docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -616,6 +616,32 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected one Window operator, got $windows:\n" + plan.take(2000))
   }
 
+  test("emb_pq: codebooks broadcast, assignment is a keyed agg, no cartesian") {
+    val plan = executedPlan("emb_pq")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "nSub*k codebook rows must broadcast, never shuffle the corpus:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ddl_cache: second read hits the in-memory relation, not the parquet scan") {
+    val df = SparkEntry.queries("ddl_cache")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // both union branches must read "Scan In-memory table"; the FileScan
+    // inside InMemoryRelation's description is the cache's DEFINITION, not
+    // an executed scan
+    val scans = "Scan In-memory table".r.findAllIn(plan).length
+    assert(scans >= 2,
+      s"both branches must read from storage memory, got $scans:\n" + plan.take(2000))
+  }
+
+  test("win_rdistinct: running distinct is first-seen aggs + cumsum, no distinct window state") {
+    val plan = executedPlan("win_rdistinct")
+    assert(plan.contains("partial_"), "first-seen aggs must partial-aggregate map-side")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 1, s"expected one cumsum Window, got $windows:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
