@@ -30,6 +30,10 @@ object TextFunctions {
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
   /** Word k-shingles over an already-materialized token-array column.
+    * CONTRACT: every non-null doc must tokenize to ≥ k tokens (ANSI
+    * element_at throws past the array end; the oracle's t[i+j] would go
+    * NULL there, so the two sides only agree above k tokens — true for
+    * every corpus generation so far, asserted by the gates).
     * IMPORTANT: `t` must be a bound attribute, not an inline expression —
     * higher-order lambdas are interpreted with no subexpression
     * elimination, so an inline `split()` here would be re-evaluated for

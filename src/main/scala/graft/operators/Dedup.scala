@@ -267,44 +267,73 @@ object Dedup {
     * cap parameter exists to tune. (The residual adversarial case — docs
     * whose sets have a single element, where prefix = whole set — is
     * inherent to the algorithm family and bounded by the length filter.)
+    * The element universe must be discriminative for the prefix to bite:
+    * on this corpus 2-shingles have a ~930-element vocabulary with median
+    * df ≈ 284 (every prefix bucket goes quadratic — measured 17s flat),
+    * while 3-shingles give 27k elements with max df 25; k = 3 is the
+    * default for the same reason MinHash shingles at 3.
     *
     * Stages, all keyed shuffles: df agg on shingle → per-doc rank window
     * (bounded by doc length) → prefix self-join on shingle (shuffle_hash:
     * high-cardinality near-uniform keys) → candidate-pair verification by
-    * re-joining the per-doc shingle arrays (a projection of the scan, never
-    * shuffled wide) and computing exact |A∩B| with a codegen'd
-    * array_intersect. A length filter (min ≥ t·max, implied by J ≥ t)
+    * joining per-doc shingle arrays (collected from narrow (doc, shingle)
+    * rows — the text itself never shuffles) and computing exact |A∩B| with
+    * a codegen'd array_intersect. A length filter (min ≥ t·max, implied by J ≥ t)
     * prunes candidates before verification. Exact-duplicate collapse
     * (the round-4 tier) runs first, so all of this costs per distinct
     * content; intra-group pairs are Jaccard 1.0 by construction. */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.5, shingleK: Int = 2): DataFrame = {
+                         threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (reps, memb) = collapseExact(docs, idCol, textCol)
-    // tokens staged separately (see shinglesFromTokens: inlining the split
-    // into the interpreted lambda would re-run it per sequence position)
-    val arrs = reps
+    // ONE shingle build, shared behind an explicit doc-keyed exchange: the
+    // repartition gives AQE a common shuffle stage to reuse across the
+    // multi-consumer plan (sizes+arrays, df table, both prefix-join
+    // sides), so the interpreted gram transform (tokens staged separately
+    // per the shinglesFromTokens contract) is not re-executed once per
+    // consumer — measured 17.1s → 6.2s at sf0.1; an eager localCheckpoint
+    // was tried and benched SLOWER (12.7s: it pays materialization every
+    // run without pipelining into the first consumer)
+    val srows = reps
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        TextFunctions.shinglesFromTokens(col("t"), shingleK).as("toks"))
-    val toks = arrs.select(col("doc_id"), size(col("toks")).as("n"),
-      explode(col("toks")).as("tok"))
+        TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("tok"))
+      .repartition(col("doc_id"))
+    // shingles are distinct per doc (shinglesFromTokens dedups), so the
+    // collected array IS the set and its length the set size
+    val arrs = srows.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"),
+        count(lit(1)).as("n"))
     // rep-level df: any consistent global order is lossless (rarity-first
     // only shrinks buckets); weighting by csize would also be correct but
     // adds a join for no candidate-set change
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = srows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = toks.join(dfreq, Seq("tok")).hint("shuffle_hash")
+    val prefix = srows.join(dfreq, Seq("tok")).hint("shuffle_hash")
       .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("tok"), col("doc_id"), col("n"))
-    val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"), col("n").as("na"))
+      .select(col("tok"), col("doc_id"), col("n"), col("pos"))
+    // positional filter (the "PP" of PPJoin, Xiao et al. WWW'08): a join row
+    // at prefix positions (pa, pb) can witness overlap at most
+    // 1 + min(na−pa, nb−pb); pairs with J ≥ t need overlap
+    // ≥ ⌈t/(1+t)·(na+nb)⌉, and the FIRST shared prefix token of any such
+    // pair satisfies the bound — so dropping rows below it is lossless
+    // (distinct needs one surviving witness) and prunes pairs whose only
+    // shared rare token sits deep in the prefix (measured 309k → far fewer
+    // candidate rows at sf0.1)
+    val alphaFrac = threshold / (1 + threshold)
+    val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"),
+        col("n").as("na"), col("pos").as("pa"))
       .hint("shuffle_hash")
-      .join(prefix.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb")),
-        Seq("tok"))
+      .join(prefix.select(col("tok"), col("doc_id").as("rep_b"),
+        col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("rep_a") < col("rep_b"))
       .filter(least(col("na"), col("nb")).cast(DoubleType) >=
         lit(threshold) * greatest(col("na"), col("nb")))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        ceil(lit(alphaFrac) * (col("na") + col("nb"))))
       .select(col("rep_a"), col("rep_b"))
       .distinct()
     val repPairs = cand

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -818,10 +818,93 @@ object Analytics {
       |FROM c
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---- RFM segmentation ------------------------------------------------------
+
+  /** RFM (recency / frequency / monetary) customer segmentation with exact
+    * type-1 quartile scores. The interesting part at scale is the quartile
+    * assignment: `ntile(4)` would globally sort every user through one
+    * reducer, so instead each metric's quartile BOUNDARIES come from the
+    * value domain — per-value counts, a cumulative window over the
+    * (domain-bounded, not user-bounded) distinct-value table, and three
+    * conditional mins; users then score with broadcast CASE compares, one
+    * scan, no global sort of users (the agg_approx exact-median pattern,
+    * extended to three metrics). Monetary sums are decimal-exact (Dsl);
+    * recency/frequency are integers; the quartile thresholds
+    * ceil(n·{0.25,0.5,0.75}) are exact doubles below 2^53 — everything
+    * hash-exact at any partitioning. */
+  def evtRfm(spark: SparkSession, dir: String): DataFrame = {
+    import Dsl._
+    val rfm = Tables.eventsTs(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns DIV 3600000000000").as("hr"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("hr")).as("rec"), count(lit(1)).as("freq"),
+        d(sum(dec(col("value")))).as("mon"))
+
+    // type-1 quartile boundaries of metric `c`: min value whose cumulative
+    // user count reaches ceil(q*n). The window runs over DISTINCT metric
+    // values (domain-bounded), never over users.
+    def bounds(c: String): DataFrame = {
+      val cnt = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt.withColumn("cum", sum(col("cnt")).over(wv))
+        .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
+        .agg(
+          min(when(col("cum") >= ceil(col("n") * 0.25), col("v"))).as(s"${c}_b1"),
+          min(when(col("cum") >= ceil(col("n") * 0.50), col("v"))).as(s"${c}_b2"),
+          min(when(col("cum") >= ceil(col("n") * 0.75), col("v"))).as(s"${c}_b3"))
+    }
+    def score(c: String): Column =
+      (lit(1) + when(col(c) > col(s"${c}_b1"), 1).otherwise(0)
+        + when(col(c) > col(s"${c}_b2"), 1).otherwise(0)
+        + when(col(c) > col(s"${c}_b3"), 1).otherwise(0)).cast(LongType)
+    rfm.crossJoin(broadcast(bounds("rec")))
+      .crossJoin(broadcast(bounds("freq")))
+      .crossJoin(broadcast(bounds("mon")))
+      .select(col("user_id"), col("rec"), col("freq"), col("mon"),
+        score("rec").as("r_score"), score("freq").as("f_score"),
+        score("mon").as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val evtRfmOracle: String = {
+    def bounds(c: String) =
+      s"""${c}_b AS (
+         |  SELECT MIN(CASE WHEN cum >= ceil(n * 0.25) THEN v END) AS ${c}_b1,
+         |    MIN(CASE WHEN cum >= ceil(n * 0.50) THEN v END) AS ${c}_b2,
+         |    MIN(CASE WHEN cum >= ceil(n * 0.75) THEN v END) AS ${c}_b3
+         |  FROM (
+         |    SELECT v, SUM(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM (SELECT $c AS v, COUNT(*) AS cnt FROM rfm GROUP BY 1) x)
+         |  CROSS JOIN (SELECT COUNT(*) AS n FROM rfm))""".stripMargin
+    def score(c: String) =
+      s"""CAST(1 + (CASE WHEN $c > ${c}_b1 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN $c > ${c}_b2 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN $c > ${c}_b3 THEN 1 ELSE 0 END) AS BIGINT)""".stripMargin
+    s"""WITH rfm AS (
+       |  SELECT user_id,
+       |    MAX(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) AS rec,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS mon
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |${bounds("rec")},
+       |${bounds("freq")},
+       |${bounds("mon")}
+       |SELECT user_id, rec, freq, mon,
+       |  ${score("rec")} AS r_score,
+       |  ${score("freq")} AS f_score,
+       |  ${score("mon")} AS m_score
+       |FROM rfm CROSS JOIN rec_b CROSS JOIN freq_b CROSS JOIN mon_b
+       |ORDER BY user_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
     "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
+    "evt_rfm" -> ((evtRfm _, Some(evtRfmOracle))),
     "evt_ewma" -> ((evtEwma _, Some(evtEwmaOracle))),
     "agg_histogram" -> ((aggHistogram _, Some(aggHistogramOracle))),
     "src_range" -> ((srcRange _, Some(srcRangeOracle))),

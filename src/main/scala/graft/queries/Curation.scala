@@ -883,6 +883,130 @@ object Curation {
        |FROM est ORDER BY term""".stripMargin
   }
 
+  // ---- deterministic bootstrap resampling ------------------------------------
+
+  /** Poisson bootstrap replicates (Chamandy et al., Google 2012 — "Estimating
+    * uncertainty for massive data streams"): each (doc, replicate) draws a
+    * Poisson(1) multiplicity, so B resamples of an N-doc corpus stream in
+    * one pass with no global state — the standard way to bootstrap
+    * confidence intervals at corpus scale, where true with-replacement
+    * sampling would need N draws against a shared counter. Draws are
+    * DETERMINISTIC (the smp_stratified md5 contract): u = hash64(doc:rep)
+    * / 2^60 inverted through the Poisson(1) CDF steps, so any engine —
+    * and any rerun — produces the byte-identical resample. Per-row
+    * compute + one keyed agg; replicate stats (docs drawn, multiplicity
+    * mass, char mass) are exact integers. */
+  def smpBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val b = 3
+    val reps = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array((1 to b).map(lit): _*)).as("rep"))
+      .withColumn("u",
+        TextFunctions.hash64(concat_ws(":", col("doc_id"), col("rep")))
+          .cast(DoubleType) / lit(math.pow(2, 60)))
+      .withColumn("cnt",
+        when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .otherwise(5L))
+    reps.groupBy(col("rep"), col("lang"))
+      .agg(sum(col("cnt")).as("n_drawn"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("cnt") * col("n_chars")).as("char_mass"))
+      .orderBy(col("rep"), col("lang"))
+  }
+
+  val smpBootstrapOracle: String = {
+    val h = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT)"
+    s"""WITH reps AS (
+       |  SELECT doc_id, lang, n_chars, rep,
+       |    CAST($h AS DOUBLE) / POW(2, 60) AS u
+       |  FROM documents CROSS JOIN (SELECT unnest([1, 2, 3]) AS rep) rs),
+       |cnts AS (
+       |  SELECT rep, lang, n_chars,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |         WHEN u < 0.7357588823428847 THEN 1
+       |         WHEN u < 0.9196986029286058 THEN 2
+       |         WHEN u < 0.9810118431238462 THEN 3
+       |         WHEN u < 0.9963401531726563 THEN 4
+       |         ELSE 5 END AS cnt
+       |  FROM reps)
+       |SELECT rep, lang,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_drawn,
+       |  CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+       |  CAST(SUM(cnt * n_chars) AS BIGINT) AS char_mass
+       |FROM cnts GROUP BY rep, lang
+       |ORDER BY rep, lang""".stripMargin
+  }
+
+  // ---- collocation mining (lift-ranked bigrams) ------------------------------
+
+  /** Statistical collocation mining — the phrase-discovery step vocabulary
+    * and tokenizer pipelines run (Mikolov et al. NIPS'13 uses the same
+    * score family to merge phrases): adjacent bigrams ranked by LIFT,
+    * n_ab·N / (n_a·n_b). Lift is a strictly monotone transform of PMI
+    * (PMI = ln lift), so ranking by it avoids ln entirely: every factor is
+    * an exact integer count below 2^53 and one IEEE division is correctly
+    * rounded, making scores bit-exact cross-engine with no rounding knob —
+    * where an ln-based score would ride on libm's last ulp and could flip
+    * near-equal ranks. A support floor (n_ab ≥ 5) applies BEFORE scoring,
+    * the standard guard against degenerate 1/1 pairs.
+    *
+    * Scale shape: pair and unigram counts are map-side-combined two-phase
+    * aggs over per-row generated streams (no window, no shuffle before the
+    * partial agg); both count tables are vocabulary-bounded and broadcast
+    * onto the pair table (the txt_lmscore pattern); output is top-k via
+    * TakeOrdered, never a global sort. */
+  def txtCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("n_total"))
+    // the size≥2 guard matters: Spark's sequence(1, 0) steps DOWNWARD
+    // (yielding index 0 → error), where DuckDB's generate_series(1, 0) is
+    // empty — single-token docs must be excluded before the pair build
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("n_w").as("n_a"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("n_w").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_total")).cast(DoubleType) /
+          (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  val txtCollocationsOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH t AS (
+       |  SELECT string_split_regex(trim($norm), '\\s+') AS t FROM documents),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS n_w FROM (SELECT unnest(t) AS w FROM t) x GROUP BY 1),
+       |total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_total FROM uni),
+       |pairs AS (
+       |  SELECT w1, w2, COUNT(*) AS n_ab FROM (
+       |    SELECT t[i] AS w1, t[i+1] AS w2
+       |    FROM t, unnest(generate_series(1, len(t) - 1)) AS s(i)) x
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+       |SELECT w1, w2, n_ab, u1.n_w AS n_a, u2.n_w AS n_b,
+       |  CAST(n_ab * n_total AS DOUBLE) / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+       |FROM pairs
+       |JOIN uni u1 ON pairs.w1 = u1.w
+       |JOIN uni u2 ON pairs.w2 = u2.w
+       |CROSS JOIN total
+       |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin
+  }
+
   // ---- KMV theta sketch (distinct counting with set operations) --------------
 
   /** K-minimum-values distinct sketch with theta-style set operations
@@ -1053,6 +1177,8 @@ object Curation {
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),
+    "txt_collocations" -> ((txtCollocations _, Some(txtCollocationsOracle))),
+    "smp_bootstrap" -> ((smpBootstrap _, Some(smpBootstrapOracle))),
     "ded_winnow" -> ((dedWinnow _, Some(dedWinnowOracle))),
     "txt_quality" -> ((txtQuality _, Some(txtQualityOracle))),
     "txt_pii" -> ((txtPii _, Some(txtPiiOracle))),

@@ -85,7 +85,7 @@ object Pipeline {
   }
 
   /** Prefix-filtered set-similarity join ([[Dedup.prefixJaccardPairs]] —
-    * the AllPairs/PPJoin candidate scheme, on 2-shingle sets). The oracle
+    * the AllPairs/PPJoin candidate scheme, on 3-shingle sets). The oracle
     * computes exact shingle-set Jaccard over ALL pairs from the full
     * inverted index, so the gate proves the prefix filter is lossless:
     * every pair ≥ t must survive candidate generation or the hash
@@ -95,7 +95,7 @@ object Pipeline {
       .orderBy(col("doc_a"), col("doc_b"))
 
   val dedPrefixOracle: String = {
-    val sh = TextFunctions.sql.shingles("text", 2)
+    val sh = TextFunctions.sql.shingles("text", 3)
     s"""WITH t0 AS (
        |  SELECT doc_id, $sh AS toks FROM documents),
        |toks AS (SELECT doc_id, unnest(toks) AS tok FROM t0),

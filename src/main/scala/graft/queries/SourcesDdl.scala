@@ -443,7 +443,11 @@ object SourcesDdl {
     * integer-exact. UNCACHE runs first so reruns are deterministic. */
   def ddlCache(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // UNCACHE frees the storage memory, DROP removes the temp view itself —
+    // without the DROP a second run's CACHE TABLE ... AS fails on the
+    // existing view name (reruns: bench warmup + iterations)
     spark.sql("UNCACHE TABLE IF EXISTS graft_cached_orders")
+    spark.sql("DROP VIEW IF EXISTS graft_cached_orders")
     spark.sql(
       """CACHE TABLE graft_cached_orders AS
         |SELECT o_orderkey, o_custkey, o_orderstatus FROM orders""".stripMargin)

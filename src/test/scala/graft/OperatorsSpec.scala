@@ -385,20 +385,20 @@ class OperatorsSpec extends SparkSpec {
 
   test("prefix-filtered jaccard join is lossless vs brute force and honors collapse") {
     // 6 docs: a 2-copy exact group, a near dup, and unrelated docs; brute
-    // force = all-pairs jaccard over the same 2-shingle sets
+    // force = all-pairs jaccard over the same 3-shingle sets
     val d = spark.createDataFrame(Seq(
       (1L, "a b c d e f g h"),
       (2L, "a b c d e f g h"), // exact dup of 1
-      (3L, "a b c d e f g x"), // near dup (shares 6 of 8 bigrams)
+      (3L, "a b c d e f g x"), // near dup (shares 5 of 6 trigrams)
       (4L, "p q r s t u v w"),
       (5L, "z z z z z z z z"),
-      (6L, "m n"))).toDF("doc_id", "text")
+      (6L, "m n o"))).toDF("doc_id", "text") // ≥ k tokens (shinglesFromTokens contract)
     val got = Dedup.prefixJaccardPairs(d, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // brute force over every unordered pair
     import graft.functions.TextFunctions
     val sets = d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
-      .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), 2).as("ss"))
+      .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), 3).as("ss"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
     val want = (for {
       a <- sets.keys; b <- sets.keys if a < b
