@@ -350,11 +350,22 @@ object Similarity {
     * Returns one row per (vec_id, m): the chosen code and its squared-L2
     * reconstruction error contribution. */
   def productQuantize(corpus: DataFrame, nSub: Int = 4, dimPerSub: Int = 16,
-                      k: Int = 8): DataFrame = {
+                      k: Int = 8): DataFrame =
+    productQuantizeModel(corpus, nSub, dimPerSub, k)._1
+
+  /** Squared L2 between two double arrays, folded left in index order —
+    * pure +,−,× so bit-exact cross-engine with no rounding. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** [[productQuantize]] plus the trained model: returns
+    * (codes(vec_id, m, code, d), codebook(m, code, cent)) so consumers
+    * like [[ivfPqTopK]] can run asymmetric-distance lookups against the
+    * same deterministic codebook the codes were assigned with. */
+  def productQuantizeModel(corpus: DataFrame, nSub: Int = 4, dimPerSub: Int = 16,
+                           k: Int = 8): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
     val subs = corpus.select(col("vec_id"),
       explode(array((0 until nSub).map { m =>
         struct(lit(m).as("m"),
@@ -394,7 +405,53 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("pos"), col("comp")))).as("pc"))
       .select(col("m"), col("code"),
         transform(col("pc"), s => s.getField("comp")).as("cent"))
-    assign(cb1).select(col("vec_id"), col("m"), col("code"), col("d"))
+    (assign(cb1).select(col("vec_id"), col("m"), col("code"), col("d")), cb1)
+  }
+
+  /** IVF-PQ asymmetric-distance search (Jégou et al. TPAMI 2011 §IV) — the
+    * production ANN composition this tier has been building toward: probe
+    * the query's nearest IVF cell ([[ivfTopK]]'s deterministic seed cells),
+    * then rank ONLY that cell's members by approximate distance computed
+    * against their PQ codes — the corpus vectors themselves are never
+    * touched at query time, exactly the at-rest layout of a 100 TB ANN
+    * index (cell-partitioned parquet of (vec_id, codes), codebook + query
+    * subvectors broadcast). ADC(q, x) = Σ_m ‖q_m − cent(m, code_m(x))‖²:
+    * per-subspace squared-L2 in fixed fold order, per-vector total added in
+    * fixed column order (the emb_pq bit-exactness contract), ties → min
+    * corpus id. Top-k per query runs through the bounded-heap
+    * [[graft.operators.TopK]] operator — no rank window over candidates. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, nCells: Int = 8,
+                nSub: Int = 4, dimPerSub: Int = 16, kCodes: Int = 8,
+                k: Int = 5): DataFrame = {
+    val cents = seedCentroids(corpus, nCells)
+    val probes = nearestCells(withNorm(queries, "query_id", "q_vec"),
+      "query_id", "q_vec", 1, cents).select(col("cell_id"), col("query_id"))
+    val assigned = ivfAssign(corpus, nCells)
+      .select(col("cell_id"), col("corpus_id"))
+    val (codes, cb) = productQuantizeModel(corpus, nSub, dimPerSub, kCodes)
+    val qsubs = queries.select(col("vec_id").as("query_id"),
+      explode(array((0 until nSub).map { m =>
+        struct(lit(m).as("m"),
+          transform(slice(col("embedding"), m * dimPerSub + 1, dimPerSub),
+            v => v.cast(DoubleType)).as("qsub"))
+      }: _*)).as("s"))
+      .select(col("query_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
+    val perM = probes.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .join(codes.select(col("vec_id").as("corpus_id"), col("m"), col("code")),
+        Seq("corpus_id"))
+      .join(broadcast(cb), Seq("m", "code"))
+      .join(broadcast(qsubs), Seq("query_id", "m"))
+      .select(col("query_id"), col("corpus_id"), col("m"),
+        sqDist(col("qsub"), col("cent")).as("dm"))
+    val adds = (0 until nSub).map(m =>
+      sum(when(col("m") === m, col("dm")).otherwise(0.0)).as(s"d$m"))
+    val adc = perM.groupBy(col("query_id"), col("corpus_id"))
+      .agg(adds.head, adds.tail: _*)
+      .select(col("query_id"), col("corpus_id"),
+        (0 until nSub).map(m => col(s"d$m")).reduce(_ + _).as("adc"))
+    TopK.perKey(adc, Seq("query_id"), Seq("adc" -> true, "corpus_id" -> true), k)
+      .orderBy(col("query_id"), col("adc"), col("corpus_id"))
   }
 
   /** LSH-bucketed near-neighbor pairs: bucket on hyperplane signs, join

@@ -818,6 +818,47 @@ object Analytics {
       |FROM c
       |ORDER BY event_type, hr""".stripMargin
 
+  // ---- event-sequence Markov transitions -------------------------------------
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral-model fit (and the generator behind synthetic-session
+    * tooling). Transitions are (prev_type → type) pairs from each user's
+    * time-ordered stream via one keyed lag window; probabilities are exact
+    * rationals n_ij / n_i· emitted as one correctly-rounded IEEE division
+    * (bit-exact cross-engine, no rounding knob — the txt_collocations
+    * argument). Ties in event ordering are broken by event_id, so the
+    * sequence — and therefore the matrix — is deterministic under any
+    * partitioning. One window shuffle keyed by user + one pair agg. */
+  def evtMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    val trans = Tables.eventsTs(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("n_row"))
+    trans.join(broadcast(rowTotals), Seq("prev_type"))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_row").cast(DoubleType)).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val evtMarkovOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_type
+      |  FROM events),
+      |trans AS (
+      |  SELECT prev_type, event_type, COUNT(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT prev_type, SUM(n) AS n_row FROM trans GROUP BY 1)
+      |SELECT t.prev_type, t.event_type, t.n,
+      |  CAST(t.n AS DOUBLE) / CAST(r.n_row AS DOUBLE) AS p
+      |FROM trans t JOIN rt r ON t.prev_type = r.prev_type
+      |ORDER BY t.prev_type, t.event_type""".stripMargin
+
   // ---- RFM segmentation ------------------------------------------------------
 
   /** RFM (recency / frequency / monetary) customer segmentation with exact
@@ -905,6 +946,7 @@ object Analytics {
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
     "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
     "evt_rfm" -> ((evtRfm _, Some(evtRfmOracle))),
+    "evt_markov" -> ((evtMarkov _, Some(evtMarkovOracle))),
     "evt_ewma" -> ((evtEwma _, Some(evtEwmaOracle))),
     "agg_histogram" -> ((aggHistogram _, Some(aggHistogramOracle))),
     "src_range" -> ((srcRange _, Some(srcRangeOracle))),

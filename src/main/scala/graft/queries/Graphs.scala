@@ -393,12 +393,81 @@ object Graphs {
        |GROUP BY a ORDER BY a""".stripMargin
   }
 
+  /** Jaccard link prediction (Liben-Nowell & Kleinberg CIKM'03): score
+    * non-adjacent node pairs at distance 2 by neighbor-set overlap,
+    * cn / (deg u + deg v − cn) — the "suggest an edge" primitive of graph
+    * curation. Wedge enumeration is the scale hazard (Σ deg² at hubs), so
+    * wedge MIDDLES are degree-capped at [[LinkpredCap]] — the stop-shingle
+    * pattern: a hub of degree d would contribute d² candidate pairs while
+    * adding little signal; endpoint degrees in the score stay uncapped.
+    * (Inert on this corpus — max sampled degree is far below the cap — but
+    * load-bearing at 100 TB; the oracle replays the cap.) Keyed joins
+    * throughout; existing edges drop via left-anti on the (u < v) edge
+    * list; scores are exact-integer rationals in one IEEE division; output
+    * is TakeOrdered top-50 with full (score, u, v) tie determinism. */
+  private val LinkpredCap = 64L
+
+  def linkpred(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val w1 = und.join(deg.filter(col("deg") <= LinkpredCap).select(col("a")), Seq("a"))
+    val cand = w1.select(col("a"), col("b").as("u"))
+      .join(w1.select(col("a"), col("b").as("v")), Seq("a"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast(DoubleType) /
+          (col("du") + col("dv") - col("cn")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(50)
+  }
+
+  val linkpredOracle: String =
+    s"""WITH pe AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e0 AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+       |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+       |deg AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
+       |w AS (
+       |  SELECT e.a, e.b FROM e
+       |  JOIN (SELECT a FROM deg WHERE deg <= $LinkpredCap) m ON e.a = m.a),
+       |cand AS (
+       |  SELECT x.b AS u, y.b AS v, COUNT(*) AS cn
+       |  FROM w x JOIN w y ON x.a = y.a AND x.b < y.b
+       |  GROUP BY 1, 2),
+       |fresh AS (
+       |  SELECT c.u, c.v, c.cn FROM cand c
+       |  LEFT JOIN e0 ON e0.u = c.u AND e0.v = c.v
+       |  WHERE e0.u IS NULL)
+       |SELECT f.u, f.v, f.cn,
+       |  CAST(f.cn AS DOUBLE) / CAST(du.deg + dv.deg - f.cn AS DOUBLE) AS jaccard
+       |FROM fresh f
+       |JOIN deg du ON du.a = f.u
+       |JOIN deg dv ON dv.a = f.v
+       |ORDER BY jaccard DESC, f.u, f.v LIMIT 50""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),
     "graph_components" -> ((components _, Some(componentsOracle))),
     "graph_bfs" -> ((bfs _, Some(bfsOracle))),
     "graph_lpa" -> ((lpa _, Some(lpaOracle))),
-    "graph_kcore" -> ((kcore _, Some(kcoreOracle)))
+    "graph_kcore" -> ((kcore _, Some(kcoreOracle))),
+    "graph_linkpred" -> ((linkpred _, Some(linkpredOracle)))
   )
 }

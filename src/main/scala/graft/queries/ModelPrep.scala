@@ -407,11 +407,17 @@ object ModelPrep {
       .orderBy(col("vec_id"))
   }
 
-  val embPqOracle: String = {
-    def dist(a: String, c: String) =
-      s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16),
-         |      i -> ($a[i] - $c[i]) * ($a[i] - $c[i]))), (x, y) -> x + y)""".stripMargin
-    s"""WITH sub AS (
+  /** DuckDB fragment for per-subspace squared L2 in fixed fold order. */
+  private def pqDist(a: String, c: String) =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, 16),
+       |      i -> ($a[i] - $c[i]) * ($a[i] - $c[i]))), (x, y) -> x + y)""".stripMargin
+
+  /** PQ training/assignment CTE chain (sub … a2), shared by the emb_pq and
+    * sim_ivfpq oracles: seeds, first assignment, ordered-fold mean update,
+    * refined codebook `cb1`, final codes `a2(vec_id, m, code, d)`. */
+  private[queries] val pqCtes: String = {
+    def dist(a: String, c: String) = pqDist(a, c)
+    s"""sub AS (
        |  SELECT vec_id, m,
        |    list_transform(embedding[m*16+1 : m*16+16], v -> CAST(v AS DOUBLE)) AS sub
        |  FROM embeddings CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) ms),
@@ -444,7 +450,11 @@ object ModelPrep {
        |  SELECT vec_id, m, code, d FROM (
        |    SELECT vec_id, m, code, d,
        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
-       |    FROM d2) WHERE rn = 1)
+       |    FROM d2) WHERE rn = 1)""".stripMargin
+  }
+
+  val embPqOracle: String =
+    s"""WITH $pqCtes
        |SELECT vec_id,
        |  CAST(SUM(CASE WHEN m = 0 THEN code ELSE 0 END) AS BIGINT) AS code0,
        |  CAST(SUM(CASE WHEN m = 1 THEN code ELSE 0 END) AS BIGINT) AS code1,
@@ -453,6 +463,59 @@ object ModelPrep {
        |  (SUM(CASE WHEN m = 0 THEN d ELSE 0 END) + SUM(CASE WHEN m = 1 THEN d ELSE 0 END)
        |   + SUM(CASE WHEN m = 2 THEN d ELSE 0 END) + SUM(CASE WHEN m = 3 THEN d ELSE 0 END)) AS err
        |FROM a2 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- IVF-PQ asymmetric-distance search -------------------------------------
+
+  /** The full production ANN read path ([[Similarity.ivfPqTopK]]): IVF cell
+    * probe → PQ-code candidates → asymmetric distance against the broadcast
+    * codebook → bounded-heap top-k. The oracle replays cells (sim_ivf's
+    * chain), PQ training (the shared [[pqCtes]]), the ADC lookup, and the
+    * ranking — end to end from DuckDB list primitives. */
+  def simIvfpq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.ivfPqTopK(e.filter(col("vec_id").isin(0, 1, 2)), e)
+      .orderBy(col("query_id"), col("adc"), col("corpus_id"))
+  }
+
+  val simIvfpqOracle: String = {
+    val cos = Pipeline.sqlCosine _
+    s"""WITH $pqCtes,
+       |cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY round(${cos("c.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings c CROSS JOIN cent ct) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cos("q.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id IN (0, 1, 2)) t
+       |  WHERE rn = 1),
+       |perm AS (
+       |  SELECT p.query_id, a.vec_id AS corpus_id, s.m,
+       |    ${pqDist("s.sub", "cb.cent")} AS dm
+       |  FROM probe p
+       |  JOIN asg a ON p.cell_id = a.cell_id AND a.vec_id <> p.query_id
+       |  JOIN a2 ON a2.vec_id = a.vec_id
+       |  JOIN cb1 cb ON cb.m = a2.m AND cb.code = a2.code
+       |  JOIN sub s ON s.vec_id = p.query_id AND s.m = a2.m),
+       |adc AS (
+       |  SELECT query_id, corpus_id,
+       |    (SUM(CASE WHEN m = 0 THEN dm ELSE 0 END)
+       |     + SUM(CASE WHEN m = 1 THEN dm ELSE 0 END)
+       |     + SUM(CASE WHEN m = 2 THEN dm ELSE 0 END)
+       |     + SUM(CASE WHEN m = 3 THEN dm ELSE 0 END)) AS adc
+       |  FROM perm GROUP BY query_id, corpus_id)
+       |SELECT query_id, corpus_id, adc FROM (
+       |  SELECT query_id, corpus_id, adc,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adc, corpus_id) AS rn
+       |  FROM adc) t
+       |WHERE rn <= 5
+       |ORDER BY query_id, adc, corpus_id""".stripMargin
   }
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
@@ -463,6 +526,7 @@ object ModelPrep {
     "txt_chunks" -> ((txtChunks _, Some(txtChunksOracle))),
     "txt_skipgrams" -> ((txtSkipgrams _, Some(txtSkipgramsOracle))),
     "cur_funnel2" -> ((curFunnel2 _, Some(curFunnel2Oracle))),
-    "emb_pq" -> ((embPq _, Some(embPqOracle)))
+    "emb_pq" -> ((embPq _, Some(embPqOracle))),
+    "sim_ivfpq" -> ((simIvfpq _, Some(simIvfpqOracle)))
   )
 }

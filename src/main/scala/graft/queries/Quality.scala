@@ -260,9 +260,108 @@ object Quality {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---- distribution drift ----------------------------------------------------
+
+  /** Distribution-drift detection between dataset versions — the monitoring
+    * check ingest pipelines run before promoting a new batch. Baseline =
+    * even event ids, candidate = odd (a deterministic stand-in for
+    * version N vs N+1). Each event_type's `value` distribution is binned
+    * into 10 fixed-width buckets over the BASELINE's [min, max] (clamped,
+    * so outliers land in the edge bins), and drift is scored with the
+    * chi-square statistic Σ (o − e)² / e with add-one smoothing — chosen
+    * over PSI/KL precisely because it needs NO logarithm: every term is
+    * +,−,×,÷ on exact counts, so scores are bit-exact cross-engine (the
+    * txt_collocations lift argument again). The 10 per-bin terms are
+    * isolated into columns and added in fixed order (the emb_pq summation
+    * contract). One pass for per-bin counts (partial-agg), one broadcast
+    * of the 5-row baseline stats; nothing sorts or collects. */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    val stats = e.filter(col("event_id") % 2 === 0)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), (col("event_id") % 2).as("side"),
+        least(lit(9L), greatest(lit(0L),
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10))))
+          .as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("base_n"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("cur_n"))
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("base_n")).as("nb"), sum(col("cur_n")).as("nc"))
+    val terms = counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("bin"),
+        // e = smoothed baseline count rescaled to the candidate's mass;
+        // identical operation order on both sides keeps doubles bit-exact
+        ((col("cur_n") + 1).cast(DoubleType) -
+          ((col("base_n") + 1).cast(DoubleType) *
+            ((col("nc") + 10).cast(DoubleType) / (col("nb") + 10).cast(DoubleType))))
+          .as("diff"),
+        ((col("base_n") + 1).cast(DoubleType) *
+          ((col("nc") + 10).cast(DoubleType) / (col("nb") + 10).cast(DoubleType)))
+          .as("exp"))
+    val binCols = (0L until 10L).map(b =>
+      sum(when(col("bin") === b, col("diff") * col("diff") / col("exp"))
+        .otherwise(0.0)).as(s"t$b"))
+    terms.groupBy(col("event_type"))
+      .agg(binCols.head, binCols.tail: _*)
+      .select(col("event_type"),
+        (0 until 10).map(b => col(s"t$b")).reduce(_ + _).as("chi2"))
+      .select(col("event_type"), col("chi2"),
+        (col("chi2") > 21.67).as("drifted")) // chi2_{0.99, df=9}
+      .orderBy(col("event_type"))
+  }
+
+  val dqDriftOracle: String =
+    """WITH e AS (SELECT event_type, event_id, value FROM events),
+      |stats AS (
+      |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      |  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+      |binned AS (
+      |  SELECT e.event_type, e.event_id % 2 AS side,
+      |    least(9, greatest(0, CAST(floor((e.value - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT))) AS bin
+      |  FROM e JOIN stats s ON e.event_type = s.event_type),
+      |counts AS (
+      |  SELECT event_type, bin,
+      |    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS base_n,
+      |    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cur_n
+      |  FROM binned GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT event_type, SUM(base_n) AS nb, SUM(cur_n) AS nc
+      |  FROM counts GROUP BY 1),
+      |terms AS (
+      |  SELECT c.event_type, c.bin,
+      |    (CAST(c.cur_n + 1 AS DOUBLE)
+      |      - (CAST(c.base_n + 1 AS DOUBLE)
+      |         * (CAST(t.nc + 10 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE)))) AS diff,
+      |    (CAST(c.base_n + 1 AS DOUBLE)
+      |      * (CAST(t.nc + 10 AS DOUBLE) / CAST(t.nb + 10 AS DOUBLE))) AS exp
+      |  FROM counts c JOIN totals t ON c.event_type = t.event_type),
+      |agg AS (
+      |  SELECT event_type,
+      |    SUM(CASE WHEN bin = 0 THEN diff * diff / exp ELSE 0 END) AS t0,
+      |    SUM(CASE WHEN bin = 1 THEN diff * diff / exp ELSE 0 END) AS t1,
+      |    SUM(CASE WHEN bin = 2 THEN diff * diff / exp ELSE 0 END) AS t2,
+      |    SUM(CASE WHEN bin = 3 THEN diff * diff / exp ELSE 0 END) AS t3,
+      |    SUM(CASE WHEN bin = 4 THEN diff * diff / exp ELSE 0 END) AS t4,
+      |    SUM(CASE WHEN bin = 5 THEN diff * diff / exp ELSE 0 END) AS t5,
+      |    SUM(CASE WHEN bin = 6 THEN diff * diff / exp ELSE 0 END) AS t6,
+      |    SUM(CASE WHEN bin = 7 THEN diff * diff / exp ELSE 0 END) AS t7,
+      |    SUM(CASE WHEN bin = 8 THEN diff * diff / exp ELSE 0 END) AS t8,
+      |    SUM(CASE WHEN bin = 9 THEN diff * diff / exp ELSE 0 END) AS t9
+      |  FROM terms GROUP BY 1)
+      |SELECT event_type,
+      |  (((((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7) + t8) + t9) AS chi2,
+      |  (((((((((t0 + t1) + t2) + t3) + t4) + t5) + t6) + t7) + t8) + t9) > 21.67 AS drifted
+      |FROM agg
+      |ORDER BY event_type""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
     "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),
+    "dq_drift" -> ((dqDrift _, Some(dqDriftOracle))),
     "smp_split" -> ((smpSplit _, Some(smpSplitOracle))),
     "cls_zorder" -> ((clsZorder _, Some(clsZorderOracle))),
     "topk_group" -> ((topkGroup _, Some(topkGroupOracle)))

@@ -642,6 +642,51 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected one cumsum Window, got $windows:\n" + plan.take(2000))
   }
 
+  test("graph_kcore: peel rounds are keyed aggs + semi-joins, never cartesian or window") {
+    val plan = executedPlan("graph_kcore")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"),
+      plan.take(2000))
+  }
+
+  test("txt_collocations: count tables broadcast; top-k is TakeOrdered, not a global sort") {
+    val plan = executedPlan("txt_collocations")
+    assert(plan.contains("BroadcastHashJoin"),
+      "vocabulary-bounded count tables must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-30 must be a bounded heap, not a global sort:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "pair counts must partial-aggregate map-side")
+  }
+
+  test("evt_rfm: quartile bounds broadcast; users never globally sorted (no ntile)") {
+    val plan = executedPlan("evt_rfm")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "1-row bounds must broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("ntile"), "scoring must not rank users globally")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("smp_bootstrap: per-row draws + one keyed agg, no join, no window") {
+    val plan = executedPlan("smp_bootstrap")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("partial_"), "replicate stats must partial-aggregate map-side")
+  }
+
+  test("sim_ivfpq: top-k via bounded heaps; codebook and query subs broadcast") {
+    val plan = executedPlan("sim_ivfpq")
+    assert(plan.contains("TopKPerKey"),
+      "per-query top-k must use the bounded-heap operator:\n" + plan.take(2000))
+    assert(plan.contains("BroadcastExchange"),
+      "codebook/query-subvector joins must broadcast:\n" + plan.take(2000))
+  }
+
+  test("dq_drift: bin counts partial-aggregate; stats broadcast; no sort-merge join") {
+    val plan = executedPlan("dq_drift")
+    assert(plan.contains("partial_"), "bin counts must partial-aggregate map-side")
+    assert(plan.contains("BroadcastHashJoin"),
+      "baseline stats must broadcast onto the stream:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
