@@ -941,8 +941,74 @@ object Analytics {
        |ORDER BY user_id""".stripMargin
   }
 
+  // ---- rolling z-score anomaly screen ---------------------------------------
+
+  /** Trailing window size (rows, current row excluded). */
+  private val AnomW = 24
+  /** Minimum history rows before a point can be flagged. */
+  private val AnomMinN = 8
+  /** Flag threshold in sigmas. */
+  private val AnomK = 3
+
+  /** Rolling z-score anomaly detection without a single float op: flags
+    * events whose value deviates more than [[AnomK]]σ from the trailing
+    * [[AnomW]]-row mean of the same user's history (current row excluded).
+    *
+    * The z-test is algebraically cleared of both the division and the
+    * square root — |x−μ| > kσ  ⇔  (n·x − s)² > k²·(n·q − s²) with
+    * s = Σx, q = Σx² over the window — so the whole screen runs in exact
+    * DECIMAL arithmetic (the [[Dsl]] strategy): hash-identical across
+    * engines and invariant under partitioning/scale. Intermediates are
+    * re-cast to the small decimals their value bounds allow (|n·x−s| ≤
+    * n·max(x)), keeping every product inside DECIMAL(38).
+    *
+    * One keyed Window (user_id, ordered ts/event_id) computes n, s, q in a
+    * single sort — no self-join, no global pass. */
+  def evtAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-AnomW, -1)
+    val x = Dsl.dec(col("value"))
+    val scored = Tables.eventsTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        count(lit(1)).over(w).as("n"),
+        sum(x).over(w).as("s"),
+        sum((x * x).cast(DecimalType(18, 4))).over(w).as("q"))
+    val n4 = col("n").cast(DecimalType(4, 0))
+    val diff = (n4 * Dsl.dec(col("value")) - col("s")).cast(DecimalType(14, 2))
+    val s12 = col("s").cast(DecimalType(14, 2))
+    val q18 = col("q").cast(DecimalType(20, 4))
+    scored
+      .filter(col("n") >= AnomMinN &&
+        diff * diff > (n4 * q18 - s12 * s12).cast(DecimalType(30, 4)) * lit(AnomK * AnomK))
+      .select(col("event_id"), col("user_id"), col("value"), col("n"))
+      .orderBy(col("event_id"))
+  }
+
+  val evtAnomalyOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, ts, value,
+       |    CAST(value AS DECIMAL(12,2)) AS x
+       |  FROM events),
+       |w AS (
+       |  SELECT event_id, user_id, value,
+       |    COUNT(*) OVER win AS n,
+       |    CAST(SUM(x) OVER win AS DECIMAL(14,2)) AS s,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(18,4))) OVER win AS DECIMAL(20,4)) AS q
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+       |                 ROWS BETWEEN $AnomW PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n
+       |FROM w
+       |WHERE n >= $AnomMinN AND
+       |  (CAST(n AS DECIMAL(4,0)) * CAST(value AS DECIMAL(12,2)) - s)
+       |    * (CAST(n AS DECIMAL(4,0)) * CAST(value AS DECIMAL(12,2)) - s)
+       |  > (CAST(n AS DECIMAL(4,0)) * q - s * s) * ${AnomK * AnomK}
+       |ORDER BY event_id""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
+    "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
     "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
     "evt_rfm" -> ((evtRfm _, Some(evtRfmOracle))),

@@ -461,8 +461,77 @@ object Graphs {
        |JOIN deg dv ON dv.a = f.v
        |ORDER BY jaccard DESC, f.u, f.v LIMIT 50""".stripMargin
 
+  /** Bounded-round weighted shortest paths (Bellman-Ford, [[SsspRounds]]
+    * relaxations) from the multi-source set (node % 10 == 0) over the
+    * sampled co-supply graph, with deterministic integer edge weights
+    * w(u,v) = (u*7 + v*13) % 20 + 1 assigned on the canonical u<v
+    * orientation (so both directions agree). After R rounds d(v) is exactly
+    * the min-weight path using ≤ R edges — the Bellman-Ford invariant — so
+    * the oracle can replay it as a hop-bounded recursive CTE with set
+    * semantics and a final MIN.
+    *
+    * Scale shape: per round one edges ⋈ settled-frontier keyed join plus a
+    * min-agg and a left-join merge (the Pregel lowering; same plan family as
+    * [[bfs]] but carrying weighted distances). Integer arithmetic end to
+    * end ⇒ hash-exact at any partitioning. Reference analog: Ballista has
+    * no graph tier; this extends the engine the way GraphFrames extends
+    * Spark (SURVEY §2 beyond-reference operators). */
+  private val SsspRounds = 4
+
+  def sssp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+      .select(col("u"), col("v"),
+        ((col("u") * 7 + col("v") * 13) % 20 + 1).as("w"))
+    val und = edges.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b"), col("w")))
+    val nodes = und.select(col("a").as("node")).distinct()
+    val d0 = nodes.select(col("node"),
+      when(col("node") % 10 === 0, 0L).as("dist"))
+
+    def relax(d: DataFrame): DataFrame = {
+      val cand = und
+        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      d.join(cand, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+    }
+    Iterator.iterate(d0)(relax).drop(SsspRounds).next()
+      .filter(col("dist").isNotNull)
+      .orderBy(col("node"))
+  }
+
+  val ssspOracle: String =
+    s"""WITH RECURSIVE pe AS (
+       |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+       |  GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT u, v, (u * 7 + v * 13) % 20 + 1 AS w
+       |  FROM pe WHERE (u * 31 + v) % 20 = 0),
+       |e AS (SELECT u AS a, v AS b, w FROM e0
+       |      UNION ALL SELECT v, u, w FROM e0),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |reach(node, dist, hops) AS (
+       |  SELECT node, CAST(0 AS BIGINT), 0 FROM nodes WHERE node % 10 = 0
+       |  UNION
+       |  SELECT e.b, r.dist + e.w, r.hops + 1
+       |  FROM reach r JOIN e ON e.a = r.node
+       |  WHERE r.hops < $SsspRounds),
+       |sp AS (SELECT node, MIN(dist) AS dist FROM reach GROUP BY node)
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM sp
+       |ORDER BY node""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
+    "graph_sssp" -> ((sssp _, Some(ssspOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),
     "graph_components" -> ((components _, Some(componentsOracle))),
     "graph_bfs" -> ((bfs _, Some(bfsOracle))),

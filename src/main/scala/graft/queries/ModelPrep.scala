@@ -518,8 +518,60 @@ object ModelPrep {
        |ORDER BY query_id, adc, corpus_id""".stripMargin
   }
 
+  // ---- feature hashing (the hashing trick) ----------------------------------
+
+  /** Hashed feature dimensions. */
+  private val FhDims = 16
+
+  /** Hashing-trick featurizer (Weinberger et al. ICML'09): every token is
+    * hashed to one of [[FhDims]] buckets with an md5-derived sign, and each
+    * document becomes a dense signed-count vector — the classic fixed-width
+    * text featurization for linear classifiers at corpus scale (no
+    * vocabulary build, no dictionary broadcast, collisions unbiased by the
+    * ±1 sign). Counts are exact integers, so the gate is hash-exact.
+    *
+    * Scale shape: one explode + one map-side-combinable groupBy(doc_id)
+    * carrying [[FhDims]] conditional integer sums — a single keyed shuffle
+    * whose width is fixed at FhDims regardless of vocabulary; nothing is
+    * broadcast and no per-term state exists outside the agg. */
+  def embFeathash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val h = TextFunctions.hash64(col("term"))
+    val dims = (0 until FhDims).map(i =>
+      sum(when(col("b") === i, col("sgn")).otherwise(0L)).as(f"f$i%02d"))
+    toks.select(col("doc_id"), (h % FhDims).as("b"),
+        when(h % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"))
+      .agg(dims.head, dims.tail: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val embFeathashOracle: String = {
+    val dims = (0 until FhDims).map(i =>
+      f"CAST(COALESCE(SUM(sgn) FILTER (WHERE b = $i), 0) AS BIGINT) AS f$i%02d")
+      .mkString(",\n       |  ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, ${TextFunctions.sql.hash64("term")} AS h
+       |  FROM t WHERE length(term) > 0),
+       |b AS (
+       |  SELECT doc_id, h % $FhDims AS b,
+       |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |  FROM f)
+       |SELECT doc_id,
+       |  $dims
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
+    "emb_feathash" -> ((embFeathash _, Some(embFeathashOracle))),
     "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
     "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle))),
     "ded_spans" -> ((dedSpans _, Some(dedSpansOracle))),

@@ -687,6 +687,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("evt_anomaly: one keyed Window over one sort; no join anywhere") {
+    val plan = executedPlan("evt_anomaly")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 1, s"n/s/q must share one Window, got $windows:\n" + plan.take(2000))
+    assert(!plan.contains("Join"), "the screen is pure window arithmetic:\n" + plan.take(2000))
+  }
+
+  test("emb_feathash: one map-side-combined keyed agg; no join, no window") {
+    val plan = executedPlan("emb_feathash")
+    assert(plan.contains("partial_"), "dim sums must partial-aggregate map-side")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+  }
+
+  test("graph_sssp: relaxation rounds are keyed joins + min-aggs, never cartesian") {
+    val plan = executedPlan("graph_sssp")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    assert(plan.contains("partial_min"), "relaxations must partial-aggregate map-side")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
