@@ -362,6 +362,71 @@ object Dedup {
     * token hash is computed exactly once per token, and the 64 per-bit
     * counts are codegen'd sum aggregates in a single shuffle keyed by doc —
     * linear scaling, no interpreted higher-order loops. */
+  /** Prefix-filtered containment-similarity join: directional near-dup pairs
+    * (doc_a, doc_b) with C(A,B) = |S_A ∩ S_B| / |S_A| ≥ tNum/tDen over
+    * 3-shingle sets — the doc-inside-doc detector (quotations, boilerplate
+    * wrappers, partial crawls) that symmetric Jaccard misses because a small
+    * doc inside a big one has tiny union-normalized similarity.
+    *
+    * Candidate scheme: the contained side joins only its
+    * n − ⌈t·n⌉ + 1 globally-rarest shingles (pigeonhole: a pair missing all
+    * of them has overlap ≤ ⌈t·n⌉ − 1 < t·n — lossless); the container side
+    * must keep its full inverted index (containment places no upper bound
+    * on |B|), plus the necessary size filter |B| ≥ t·|A|. The threshold is
+    * carried as the exact rational tNum/tDen end to end — ⌈t·n⌉ is integer
+    * arithmetic and the accept test is i·tDen ≥ n·tNum — so no
+    * float-boundary row can diverge from the oracle's all-pairs replay.
+    * Exact-duplicate content collapses first ([[collapseExact]]); rep-level
+    * pairs expand to directional member pairs, and intra-group pairs are
+    * containment exactly 1 in both directions. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       tNum: Int = 4, tDen: Int = 5, shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    val srows = reps
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
+      .select(col("doc_id"), explode(col("ss")).as("tok"))
+      .repartition(col("doc_id"))
+    val arrs = srows.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+    val dfreq = srows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val ranked = srows.join(dfreq, Seq("tok")).hint("shuffle_hash")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefixA = ranked
+      .filter(col("pos") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("tok"), col("doc_id").as("rep_a"), col("n").as("na"))
+    val cand = prefixA.hint("shuffle_hash")
+      .join(ranked.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb")),
+        Seq("tok"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .filter(col("nb") * tDen >= col("na") * tNum)
+      .select(col("rep_a"), col("rep_b"))
+      .distinct()
+    val repPairs = cand
+      .join(arrs.select(col("doc_id").as("rep_a"), col("toks").as("ta")), Seq("rep_a"))
+      .join(arrs.select(col("doc_id").as("rep_b"), col("toks").as("tb")), Seq("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("i"), size(col("ta")).as("na"))
+      .filter(col("i") * tDen >= col("na") * tNum)
+      .select(col("rep_a"), col("rep_b"),
+        (col("i").cast(DoubleType) / col("na").cast(DoubleType)).as("containment"))
+    val expanded = repPairs
+      .join(memb.select(col("rep_id").as("rep_a"), col("member_id").as("doc_a")), Seq("rep_a"))
+      .join(memb.select(col("rep_id").as("rep_b"), col("member_id").as("doc_b")), Seq("rep_b"))
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    val intra = reps.filter(col("csize") > 1 && col("text").isNotNull)
+      .select(col("doc_id").as("rep_id"))
+      .join(memb.select(col("rep_id"), col("member_id").as("doc_a")), Seq("rep_id"))
+      .join(memb.select(col("rep_id"), col("member_id").as("doc_b")), Seq("rep_id"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
+    expanded.unionByName(intra)
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))

@@ -1172,8 +1172,92 @@ object Curation {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- DSIR-style importance-weighted data selection ------------------------
+
+  /** Hashed-feature buckets. */
+  private val DsirK = 32
+  /** Docs kept (top weights). */
+  private val DsirTop = 100
+
+  /** Importance-weighted data selection (the DSIR recipe, Xie et al.
+    * NeurIPS'23): score every document by how target-like its hashed
+    * bag-of-words features are, where the target distribution is estimated
+    * from the English sub-corpus and the source from the whole corpus.
+    * Per bucket b, the smoothed rate ratio r_b = ((n_t+1)(N_s+K)) /
+    * ((n_s+1)(N_t+K)) is ONE IEEE division of two exact-integer products
+    * (bit-exact, no logarithm — the linearized-score variant); a document
+    * scores Σ_b c_b·r_b, folded in bucket order on both engines
+    * (aggregate over the sorted struct array vs list_reduce over
+    * list(... ORDER BY b)), so the double sum is bit-identical.
+    *
+    * Scale shape: bucket count tables are K rows total — computed with one
+    * map-side-combined agg over the token stream and broadcast back; per-doc
+    * scoring is one keyed (doc_id, b) agg plus one keyed doc agg; selection
+    * is TakeOrdered top-[[DsirTop]], never a global sort. Nothing driver-side.
+    * Integer products stay below 2^53 up to ~10^8 corpus tokens per the
+    * docstring bound (N_s·n_t ≤ N_s²); beyond that, rescale to per-million
+    * counts before the ratio. */
+  def curDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (TextFunctions.hash64(col("tok")) % DsirK).as("b"))
+    val counts = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_t"))
+    val tot = counts.agg(sum(col("n_s")).as("ns"), sum(col("n_t")).as("nt"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (((col("n_t") + 1) * (col("ns") + DsirK)).cast(DoubleType) /
+          ((col("n_s") + 1) * (col("nt") + DsirK)).cast(DoubleType)).as("r"))
+    toks.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(rates), Seq("b"))
+      .select(col("doc_id"), col("lang"),
+        struct(col("b"), (col("c").cast(DoubleType) * col("r")).as("term")).as("bt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(aggregate(array_sort(collect_list(col("bt"))), lit(0.0),
+        (acc, x) => acc + x.getField("term")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(DsirTop)
+  }
+
+  val curDsirOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val h64 = TextFunctions.sql.hash64("tok")
+    s"""WITH u AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split_regex(trim($norm), '\\s+')) AS tok
+       |  FROM documents),
+       |t AS (SELECT doc_id, lang, $h64 % $DsirK AS b FROM u),
+       |c AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_s,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       |  FROM t GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(SUM(n_s) AS BIGINT) AS ns, CAST(SUM(n_t) AS BIGINT) AS nt
+       |  FROM c),
+       |r AS (
+       |  SELECT b, CAST((n_t + 1) * (ns + $DsirK) AS DOUBLE) /
+       |            CAST((n_s + 1) * (nt + $DsirK) AS DOUBLE) AS r
+       |  FROM c CROSS JOIN tot),
+       |db AS (
+       |  SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM t GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list(CAST(c AS DOUBLE) * r.r ORDER BY db.b)), (a, x) -> a + x)
+       |      AS dsir_score
+       |  FROM db JOIN r ON db.b = r.b GROUP BY 1, 2)
+       |SELECT doc_id, lang, dsir_score FROM s
+       |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTop""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
+    "cur_dsir" -> ((curDsir _, Some(curDsirOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),

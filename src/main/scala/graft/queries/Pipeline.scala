@@ -113,6 +113,33 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Directional containment near-dup join ([[Dedup.containmentPairs]],
+    * C(A,B) = |S_A∩S_B|/|S_A| ≥ 4/5 on 3-shingle sets). The oracle computes
+    * exact containment over ALL ordered pairs from the full inverted index,
+    * so the gate proves the contained-side rarity-prefix filter lossless;
+    * the integer-rational accept test (i·5 ≥ n·4 on both sides) leaves no
+    * float boundary to disagree on. */
+  def dedContain(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedContainOracle: String = {
+    val sh = TextFunctions.sql.shingles("text", 3)
+    s"""WITH t0 AS (
+       |  SELECT doc_id, $sh AS toks FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+       |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t0),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS i
+       |  FROM toks x JOIN toks y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |WHERE i * 5 >= sa.n * 4
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def dedSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -798,6 +825,7 @@ object Pipeline {
     "ded_minhash" -> ((dedMinhash _, Some(dedMinhashOracle))),
     "ded_ngram" -> ((dedNgram _, Some(dedNgramOracle))),
     "ded_prefix" -> ((dedPrefix _, Some(dedPrefixOracle))),
+    "ded_contain" -> ((dedContain _, Some(dedContainOracle))),
     "ded_simhash" -> ((dedSimhash _, Some(dedSimhashOracle))),
     "ded_embed" -> ((dedEmbed _, Some(dedEmbedOracle))),
     "sim_topk" -> ((simTopk _, Some(simTopkOracle))),

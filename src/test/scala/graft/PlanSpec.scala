@@ -707,6 +707,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_min"), "relaxations must partial-aggregate map-side")
   }
 
+  test("cur_dsir: K-row rate table broadcasts; selection is TakeOrdered, not a global sort") {
+    val plan = executedPlan("cur_dsir")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 32-row bucket-rate table must broadcast onto the doc stream:\n" + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must be a bounded heap:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "bucket counts must partial-aggregate map-side")
+  }
+
+  test("ded_contain: prefix join keyed, never cartesian; verification is array-local") {
+    val plan = executedPlan("ded_contain")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin"),
+      "the inverted-index self-join must be the hinted shuffle-hash join:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
