@@ -1006,9 +1006,72 @@ object Analytics {
        |  > (CAST(n AS DECIMAL(4,0)) * q - s * s) * ${AnomK * AnomK}
        |ORDER BY event_id""".stripMargin
 
+  // ---- CUSUM change-point detection -----------------------------------------
+
+  /** Flagged rows (largest upward cumulative drifts) kept. */
+  private val CusumTop = 50
+
+  /** CUSUM change-point detection (Page 1954) per event_type series.
+    * The textbook recurrence S_i = max(0, S_{i-1} + d_i) is sequential,
+    * but it has the closed form S_i = P_i − min_{j≤i} P_j with P the
+    * prefix sum of deviations — so the whole detector is two stacked
+    * window functions over ONE keyed sort (running sum, then running min
+    * of it), fully parallel and partitioning-invariant.
+    *
+    * Deviations are mean-centered without any division: d_i = n·x_i − T
+    * (n, T the per-type count/sum) is the per-type-mean-centered value
+    * scaled by n, exact in DECIMAL; the 5-row type-stats table broadcasts
+    * back. Output is the [[CusumTop]] rows with the largest drift
+    * statistic via TakeOrdered — exact decimal ranking, no threshold
+    * tuning, never a global materialized sort. */
+  def evtCusum(spark: SparkSession, dir: String): DataFrame = {
+    val x = Dsl.dec(col("value"))
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"), x.as("x"))
+    val stats = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast(DecimalType(16, 2)).as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val scored = e.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        (col("n").cast(DecimalType(10, 0)) * col("x") - col("t"))
+          .cast(DecimalType(26, 2)).as("d"))
+      .withColumn("p", sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("s", col("p") - min(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    scored.select(col("event_id"), col("event_type"), col("s").cast(DoubleType).as("cusum"))
+      .orderBy(col("cusum").desc, col("event_id"))
+      .limit(CusumTop)
+  }
+
+  val evtCusumOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type, ts, CAST(value AS DECIMAL(12,2)) AS x
+       |  FROM events),
+       |stats AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS DECIMAL(16,2)) AS t
+       |  FROM e GROUP BY event_type),
+       |d AS (
+       |  SELECT e.event_id, e.event_type, e.ts,
+       |    CAST(CAST(s.n AS DECIMAL(10,0)) * e.x - s.t AS DECIMAL(26,2)) AS d
+       |  FROM e JOIN stats s ON e.event_type = s.event_type),
+       |p AS (
+       |  SELECT event_id, event_type, ts, SUM(d) OVER win AS p
+       |  FROM d
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s AS (
+       |  SELECT event_id, event_type, p - MIN(p) OVER win2 AS s
+       |  FROM p
+       |  WINDOW win2 AS (PARTITION BY event_type ORDER BY ts, event_id
+       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_id, event_type, CAST(s AS DOUBLE) AS cusum
+       |FROM s
+       |ORDER BY cusum DESC, event_id LIMIT $CusumTop""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
+    "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
     "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
     "evt_rfm" -> ((evtRfm _, Some(evtRfmOracle))),

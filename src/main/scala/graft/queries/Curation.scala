@@ -1255,9 +1255,59 @@ object Curation {
        |ORDER BY dsir_score DESC, doc_id LIMIT $DsirTop""".stripMargin
   }
 
+  // ---- lexical-diversity quality score --------------------------------------
+
+  /** Lexical diversity / repetitiveness score per document: Gini-Simpson
+    * index 1 − Σ(c_i/n)² over token frequencies, computed as the exact
+    * rational (n² − Σc_i²)/n² — deliberately log-free (unlike Shannon
+    * entropy, whose libm ln is not reproducible across engines), so the
+    * score is exact integer arithmetic plus ONE IEEE division: bit-exact
+    * and partitioning-invariant. Low diversity ⇔ heavy token repetition,
+    * the Gopher-style repetition filter signal. Also emits the top-term
+    * mass max(c)/n (the other standard repetition screen).
+    *
+    * Scale shape: one (doc, term) keyed agg then one doc keyed agg, both
+    * map-side combinable; no broadcast, no window, no sort beyond the
+    * final presentation ORDER BY. */
+  def txtDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val termCounts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    termCounts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("c2"),
+        max(col("c")).as("cmax"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        ((col("n") * col("n") - col("c2")).cast(DoubleType) /
+          (col("n") * col("n")).cast(DoubleType)).as("gini_diversity"),
+        (col("cmax").cast(DoubleType) / col("n").cast(DoubleType)).as("top_term_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtDiversityOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(trim($norm), '\\s+')) AS tok
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM u GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(c * c) AS BIGINT) AS c2, CAST(MAX(c) AS BIGINT) AS cmax
+       |  FROM tc GROUP BY doc_id)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST(n * n - c2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini_diversity,
+       |  CAST(cmax AS DOUBLE) / CAST(n AS DOUBLE) AS top_term_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "cur_dsir" -> ((curDsir _, Some(curDsirOracle))),
+    "txt_diversity" -> ((txtDiversity _, Some(txtDiversityOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),

@@ -358,7 +358,73 @@ object Quality {
       |FROM agg
       |ORDER BY event_type""".stripMargin
 
+  // ---- Welch's unequal-variance t-test --------------------------------------
+
+  /** Per-segment mean-shift significance: Welch's t statistic for each
+    * event_type's value distribution against the rest of the stream — the
+    * A/B-test primitive run after every pipeline change.
+    *
+    * Determinism: n/Σx/Σx² are exact integers/decimals (one
+    * map-side-combined pass; the 1-row grand total broadcasts back, rest =
+    * total − segment is exact decimal subtraction). Only then does the
+    * statistic move to doubles, through a FIXED operation sequence —
+    * decimal→double casts and IEEE ÷, ×, √ are all correctly rounded, so
+    * both engines produce bit-identical t values with no epsilon anywhere.
+    * No global sort; 5-row output. */
+  def aggTtest(spark: SparkSession, dir: String): DataFrame = {
+    val x = Dsl.dec(col("value"))
+    val seg = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), x.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"),
+        sum(col("x")).cast(DecimalType(16, 2)).as("s1"),
+        sum((col("x") * col("x")).cast(DecimalType(20, 4)))
+          .cast(DecimalType(22, 4)).as("q1"))
+    val tot = seg.agg(sum(col("n1")).as("nt"),
+      sum(col("s1")).cast(DecimalType(18, 2)).as("st"),
+      sum(col("q1")).cast(DecimalType(24, 4)).as("qt"))
+    val d = DoubleType
+    val withRest = seg.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"),
+        col("n1").cast(d).as("n1d"), col("s1").cast(d).as("s1d"), col("q1").cast(d).as("q1d"),
+        (col("nt") - col("n1")).cast(d).as("n2d"),
+        (col("st") - col("s1")).cast(d).as("s2d"),
+        (col("qt") - col("q1")).cast(d).as("q2d"))
+    withRest.select(col("event_type"), col("n1").as("n"),
+        ((col("s1d") / col("n1d") - col("s2d") / col("n2d")) /
+          sqrt(((col("q1d") - (col("s1d") * col("s1d")) / col("n1d")) / (col("n1d") - 1)) / col("n1d") +
+               ((col("q2d") - (col("s2d") * col("s2d")) / col("n2d")) / (col("n2d") - 1)) / col("n2d")))
+          .as("t_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggTtestOracle: String =
+    """WITH seg AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+      |    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(16,2)) AS s1,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+      |      AS DECIMAL(20,4))) AS DECIMAL(22,4)) AS q1
+      |  FROM events GROUP BY event_type),
+      |tot AS (
+      |  SELECT CAST(SUM(n1) AS BIGINT) AS nt,
+      |    CAST(SUM(s1) AS DECIMAL(18,2)) AS st,
+      |    CAST(SUM(q1) AS DECIMAL(24,4)) AS qt
+      |  FROM seg),
+      |w AS (
+      |  SELECT event_type, n1,
+      |    CAST(n1 AS DOUBLE) AS n1d, CAST(s1 AS DOUBLE) AS s1d, CAST(q1 AS DOUBLE) AS q1d,
+      |    CAST(nt - n1 AS DOUBLE) AS n2d,
+      |    CAST(st - s1 AS DOUBLE) AS s2d,
+      |    CAST(qt - q1 AS DOUBLE) AS q2d
+      |  FROM seg CROSS JOIN tot)
+      |SELECT event_type, n1 AS n,
+      |  ((s1d / n1d - s2d / n2d) /
+      |   sqrt(((q1d - (s1d * s1d) / n1d) / (n1d - 1)) / n1d +
+      |        ((q2d - (s2d * s2d) / n2d) / (n2d - 1)) / n2d)) AS t_stat
+      |FROM w ORDER BY event_type""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
     "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),
     "dq_drift" -> ((dqDrift _, Some(dqDriftOracle))),

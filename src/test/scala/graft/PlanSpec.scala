@@ -724,6 +724,28 @@ class PlanSpec extends SparkSpec {
       "the inverted-index self-join must be the hinted shuffle-hash join:\n" + plan.take(2000))
   }
 
+  test("evt_cusum: type stats broadcast; both windows share one keyed sort") {
+    val plan = executedPlan("evt_cusum")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row type-stats table must broadcast:\n" + plan.take(2000))
+    val sorts = "Window".r.findAllIn(plan).length
+    assert(sorts == 2, s"expected stacked prefix-sum + running-min windows, got $sorts")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "drift top-k must be a bounded heap:\n" + plan.take(2000))
+  }
+
+  test("txt_diversity: two map-side-combined keyed aggs; no join, no window") {
+    val plan = executedPlan("txt_diversity")
+    assert(plan.contains("partial_"), "term counts must partial-aggregate map-side")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+  }
+
+  test("agg_ttest: one stats pass; grand total broadcasts; no sort-merge join") {
+    val plan = executedPlan("agg_ttest")
+    assert(plan.contains("partial_"), "moment sums must partial-aggregate map-side")
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
