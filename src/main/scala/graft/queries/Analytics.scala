@@ -1068,10 +1068,70 @@ object Analytics {
        |FROM s
        |ORDER BY cusum DESC, event_id LIMIT $CusumTop""".stripMargin
 
+  // ---- multi-touch marketing attribution ------------------------------------
+
+  /** Attribution lookback window (seconds). */
+  private val AttribWin = 604800L
+  /** Assignment rows kept (deterministic presentation cap). */
+  private val AttribTop = 1000
+
+  /** Linear multi-touch attribution: every purchase distributes one unit of
+    * credit equally over the same user's view/click touches in the trailing
+    * 7-day window — the assignment table (conversion, touch, credit) a
+    * marketing pipeline joins spend against.
+    *
+    * The touch⋈conversion range join is the [[graft.operators.TimeJoins]]
+    * binned keyed shuffle (touches as degenerate intervals, window-width
+    * bins ⇒ ≤2 bins per conversion, arithmetic dedup) — never Spark's
+    * nested-loop fallback for inequality joins. Touch counts per conversion
+    * come from one keyed window; credit 1/k is a single IEEE division of
+    * exact integers ⇒ bit-exact. */
+  def evtAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 1000000000").as("t"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("t").as("tt"), col("t").as("tt2"))
+    val convs = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        (col("t") - AttribWin).as("ws"), (col("t") - 1L).as("we"))
+    val pairs = graft.operators.TimeJoins.overlapJoinBinned(
+      touches, convs, Seq("user_id"), "tt", "tt2", "ws", "we", AttribWin)
+    val w = Window.partitionBy(col("conv_id"))
+    pairs.withColumn("k", count(lit(1)).over(w))
+      .select(col("conv_id"), col("touch_id"), col("touch_type"),
+        (lit(1.0) / col("k").cast(DoubleType)).as("credit"))
+      .orderBy(col("conv_id"), col("touch_id"))
+      .limit(AttribTop)
+  }
+
+  val evtAttribOracle: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t
+       |  FROM events),
+       |touches AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS touch_type, t AS tt
+       |  FROM e WHERE event_type IN ('view', 'click')),
+       |convs AS (
+       |  SELECT user_id, event_id AS conv_id, t - $AttribWin AS ws, t - 1 AS we
+       |  FROM e WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT c.conv_id, t.touch_id, t.touch_type,
+       |    COUNT(*) OVER (PARTITION BY c.conv_id) AS k
+       |  FROM touches t JOIN convs c
+       |    ON t.user_id = c.user_id AND t.tt >= c.ws AND t.tt <= c.we)
+       |SELECT conv_id, touch_id, touch_type,
+       |  CAST(1.0 AS DOUBLE) / CAST(k AS DOUBLE) AS credit
+       |FROM pairs
+       |ORDER BY conv_id, touch_id LIMIT $AttribTop""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),
+    "evt_attrib" -> ((evtAttrib _, Some(evtAttribOracle))),
     "evt_gapfill" -> ((evtGapfill _, Some(evtGapfillOracle))),
     "evt_interp" -> ((evtInterp _, Some(evtInterpOracle))),
     "evt_rfm" -> ((evtRfm _, Some(evtRfmOracle))),

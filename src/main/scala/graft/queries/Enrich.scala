@@ -232,9 +232,65 @@ object Enrich {
        |WHERE date_diff('day', c.cohort_d, e.d) <= 7
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- classifier calibration table -----------------------------------------
+
+  private val CalBins = 10
+
+  /** Calibration/reliability table for the quality classifier: margins from
+    * [[clsQuality]] bucketed into [[CalBins]] fixed bins over [−1, 1], each
+    * bin reporting how often the proxy label (lang = 'en') actually holds —
+    * the reliability-diagram data every production classifier ships with.
+    * The bin index floor((m+1)·5) clamped to [0,9] is the same IEEE
+    * computation on both engines; counts are exact and the per-bin rate is
+    * one exact-integer division ⇒ bit-exact. One map-side-combined agg
+    * over the per-row margin computation; no shuffle beyond it. */
+  def clsCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"),
+        TextFunctions.tokens(TextFunctions.normalize(col("text"))).as("t"))
+      .select(col("lang"),
+        (aggregate(
+          transform(col("t"), tok => clsWeight(TextFunctions.hash64(tok) % ClsD)),
+          lit(0.0), (acc, w) => acc + w)
+          / size(col("t")).cast(DoubleType)).as("m"))
+    scored
+      .select(col("lang"),
+        least(greatest(floor((col("m") + 1.0) * (CalBins / 2.0)), lit(0.0)),
+          lit((CalBins - 1).toDouble)).cast(LongType).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val clsCalibrationOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = s"string_split_regex(trim($norm), '\\s+')"
+    val h64 = TextFunctions.sql.hash64("tok")
+    s"""WITH m AS (
+       |  SELECT lang,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($toks,
+       |      tok -> CAST((($h64 % $ClsD) * $ClsMult) % 2001 - 1000 AS DOUBLE) / 1000.0)),
+       |      (acc, w) -> acc + w) / CAST(len($toks) AS DOUBLE) AS m
+       |  FROM documents),
+       |b AS (
+       |  SELECT lang,
+       |    CAST(least(greatest(floor((m + 1.0) * ${CalBins / 2.0}), 0.0),
+       |      ${(CalBins - 1).toDouble}) AS BIGINT) AS bin
+       |  FROM m)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS pos_rate
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "txt_decontaminate" -> ((txtDecontaminate _, Some(txtDecontaminateOracle))),
     "cls_quality" -> ((clsQuality _, Some(clsQualityOracle))),
+    "cls_calibration" -> ((clsCalibration _, Some(clsCalibrationOracle))),
     "fn_url" -> ((fnUrl _, Some(fnUrlOracle))),
     "fn_json" -> ((fnJson _, Some(fnJsonOracle))),
     "fn_variant" -> ((fnVariant _, Some(fnVariantOracle))),

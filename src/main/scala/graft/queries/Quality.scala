@@ -358,6 +358,99 @@ object Quality {
       |FROM agg
       |ORDER BY event_type""".stripMargin
 
+  // ---- Bloom-filter aggregate -----------------------------------------------
+
+  /** Bits per word (62 keeps every shift below the sign bit, so the word
+    * arithmetic is identical two's-complement-free on any engine). */
+  private val BloomWordBits = 62
+  private val BloomWords = 16
+  private val BloomK = 3
+  private val BloomM = BloomWordBits * BloomWords
+  /** Build-side membership: a deterministic pseudo-random 1-in-7 key subset
+    * (hash-selected, so membership is not readable off the key itself and
+    * the probe side genuinely exercises both contingency classes). */
+  private val BloomSel = 7
+
+  private def bloomPos(j: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.hash64(
+      concat(lit(j.toString), lit(":"), c.cast(StringType))) % BloomM
+
+  /** Bloom-filter build + probe as a pure aggregate program — the data-level
+    * analog of the parquet row-group Bloom pruning the reference's scan
+    * layer leans on: the distinct order-placing customers build a 248-bit
+    * k=3 filter (per-word `bit_or` aggregates — mergeable, map-side
+    * combinable, constant 4-word state), the filter broadcasts to the probe
+    * side, and every customer tests membership with pure bit arithmetic.
+    * Output is the 2×2 (actual, bloom_hit) contingency — the no-false-
+    * negative guarantee shows up as the missing (true, false) row, and the
+    * false-positive count is measured, not estimated. md5-derived positions
+    * make the filter bit-identical in any engine, so the gate is a full
+    * hash-exact replay (the agg_cms/agg_theta sketch-oracle tier). */
+  def aggBloom(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir).select(col("o_custkey").as("k")).distinct()
+      .filter(graft.functions.TextFunctions.hash64(
+        concat(lit("s:"), col("k").cast(StringType))) % BloomSel === 0)
+    val bits = keys
+      .select(explode(array((0 until BloomK).map(j => bloomPos(j, col("k"))): _*)).as("p"))
+      .select(expr(s"p div $BloomWordBits").as("w"),
+        expr(s"shiftleft(1L, cast(p % $BloomWordBits as int))").as("b"))
+    val filt = bits.agg(
+      bit_or(when(col("w") === 0, col("b")).otherwise(0L)).as("w0"),
+      (1 until BloomWords).map(i =>
+        bit_or(when(col("w") === i, col("b")).otherwise(0L)).as(s"w$i")): _*)
+    val cust = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+      .join(keys.withColumn("present", lit(true)), Seq("k"), "left")
+      .select(col("k"), coalesce(col("present"), lit(false)).as("actual"))
+    val staged = cust.crossJoin(broadcast(filt))
+      .select(Seq(col("k"), col("actual")) ++
+        (0 until BloomWords).map(i => col(s"w$i")) ++
+        (0 until BloomK).map(j => bloomPos(j, col("k")).as(s"p$j")): _*)
+    val wordCase = (0 until BloomWords).map(i => s"WHEN $i THEN w$i").mkString(" ")
+    val hit = (0 until BloomK).map { j =>
+      expr(s"((shiftright(CASE p$j div $BloomWordBits $wordCase ELSE 0L END, " +
+        s"cast(p$j % $BloomWordBits as int))) & 1) = 1")
+    }.reduce(_ && _)
+    staged.select(col("actual"), hit.as("bloom_hit"))
+      .groupBy(col("actual"), col("bloom_hit"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("actual"), col("bloom_hit"))
+  }
+
+  val aggBloomOracle: String = {
+    def pos(j: Int, k: String) =
+      s"(('0x' || substr(md5('$j:' || $k::VARCHAR), 1, 15))::BIGINT) % $BloomM"
+    val sel = s"(('0x' || substr(md5('s:' || k::VARCHAR), 1, 15))::BIGINT) % $BloomSel = 0"
+    val wordCase = (p: String) =>
+      s"CASE $p // $BloomWordBits " +
+        (0 until BloomWords).map(i => s"WHEN $i THEN w$i").mkString(" ") + " ELSE 0 END"
+    val hits = (0 until BloomK)
+      .map(j => s"((${wordCase(s"p$j")} >> CAST(p$j % $BloomWordBits AS INT)) & 1) = 1")
+      .mkString(" AND ")
+    val unions = (0 until BloomK)
+      .map(j => s"SELECT ${pos(j, "k")} AS p FROM keys")
+      .mkString("\n        UNION ALL ")
+    val filtCols = (0 until BloomWords)
+      .map(i => s"bit_or(CASE WHEN w = $i THEN b ELSE 0 END) AS w$i")
+      .mkString(",\n       |         ")
+    val probeWords = (0 until BloomWords).map(i => s"f.w$i").mkString(", ")
+    s"""WITH keys AS (
+       |  SELECT k FROM (SELECT DISTINCT o_custkey AS k FROM orders) WHERE $sel),
+       |bits AS (
+       |  SELECT p // $BloomWordBits AS w,
+       |    (CAST(1 AS BIGINT) << CAST(p % $BloomWordBits AS INT)) AS b
+       |  FROM ($unions)),
+       |filt AS (
+       |  SELECT $filtCols
+       |  FROM bits),
+       |probe AS (
+       |  SELECT c.c_custkey AS k, kk.k IS NOT NULL AS actual,
+       |    ${pos(0, "c.c_custkey")} AS p0, ${pos(1, "c.c_custkey")} AS p1,
+       |    ${pos(2, "c.c_custkey")} AS p2, $probeWords
+       |  FROM customer c LEFT JOIN keys kk ON c.c_custkey = kk.k CROSS JOIN filt f)
+       |SELECT actual, ($hits) AS bloom_hit, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM probe GROUP BY 1, 2 ORDER BY actual, bloom_hit""".stripMargin
+  }
+
   // ---- Welch's unequal-variance t-test --------------------------------------
 
   /** Per-segment mean-shift significance: Welch's t statistic for each
@@ -424,6 +517,7 @@ object Quality {
       |FROM w ORDER BY event_type""".stripMargin
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "agg_bloom" -> ((aggBloom _, Some(aggBloomOracle))),
     "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
     "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),

@@ -746,6 +746,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("agg_bloom: 1-row filter broadcasts to the probe side; bit state combines map-side") {
+    val plan = executedPlan("agg_bloom")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      "the 16-word filter row must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "bit_or state must partial-aggregate map-side")
+  }
+
+  test("evt_attrib: range join is the binned keyed shuffle, never a nested loop") {
+    val plan = executedPlan("evt_attrib")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the presentation cap must be a bounded heap:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
