@@ -1036,9 +1036,18 @@ object Analytics {
         (col("n").cast(DecimalType(10, 0)) * col("x") - col("t"))
           .cast(DecimalType(26, 2)).as("d"))
       .withColumn("p", sum(col("d")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("s", col("p") - min(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    scored.select(col("event_id"), col("event_type"), col("s").cast(DoubleType).as("cusum"))
-      .orderBy(col("cusum").desc, col("event_id"))
+      // the prefix min must include the EMPTY prefix (P_0 = 0), else a series
+      // whose prefix sums never dip below zero loses its reset baseline —
+      // CurationSpec proves equality with the sequential recurrence
+      .withColumn("s",
+        col("p") - least(min(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0)))
+    // integer cents, not a double cast: DECIMAL→DOUBLE is correctly rounded
+    // in Spark (BigDecimal.doubleValue) but double-rounded in DuckDB
+    // (int_value/10^s in double arithmetic) — at 7+ digit magnitudes the two
+    // disagree in the last bit, so the exact integer is the only safe output
+    scored.select(col("event_id"), col("event_type"),
+        (col("s") * 100).cast(LongType).as("cusum_c"))
+      .orderBy(col("cusum_c").desc, col("event_id"))
       .limit(CusumTop)
   }
 
@@ -1060,13 +1069,13 @@ object Analytics {
        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |s AS (
-       |  SELECT event_id, event_type, p - MIN(p) OVER win2 AS s
+       |  SELECT event_id, event_type, p - least(MIN(p) OVER win2, 0) AS s
        |  FROM p
        |  WINDOW win2 AS (PARTITION BY event_type ORDER BY ts, event_id
        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT event_id, event_type, CAST(s AS DOUBLE) AS cusum
+       |SELECT event_id, event_type, CAST(s * 100 AS BIGINT) AS cusum_c
        |FROM s
-       |ORDER BY cusum DESC, event_id LIMIT $CusumTop""".stripMargin
+       |ORDER BY cusum_c DESC, event_id LIMIT $CusumTop""".stripMargin
 
   // ---- multi-touch marketing attribution ------------------------------------
 

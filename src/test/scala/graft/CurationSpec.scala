@@ -210,4 +210,61 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(2) === 64L)
     }
   }
+
+  test("CUSUM closed form equals the sequential recurrence") {
+    // recompute S_i = max(0, S_{i-1} + d_i) driver-side from the raw events
+    // and check the window formulation (P_i - running min P) agrees on the
+    // reported top drifts
+    val events: Seq[(Long, String, Long, BigDecimal)] = graft.Tables.eventsTs(spark, sfDir)
+      .select(col("event_id"), col("event_type"), col("ts_ns"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))).toSeq
+    val expected = events.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val n = BigDecimal(ordered.length)
+      val t = ordered.map(_._4).sum
+      var s = BigDecimal(0)
+      ordered.map { r =>
+        s = (s + (n * r._4 - t)).max(0)
+        (r._1, s)
+      }
+    }.sortBy { case (id, s) => (-s, id) }.take(50)
+      .map { case (id, s) => id -> (s * 100).toLongExact }.toMap
+    val got = graft.queries.Analytics.evtCusum(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("SSSP distances equal driver-side Bellman-Ford on the same graph") {
+    val out = graft.queries.Graphs.sssp(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the sampled weighted co-supply graph and relax 4 rounds
+    val li: Seq[(Long, Long)] = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = li.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+      val ss = grp.map(_._2)
+      for { a <- ss; b <- ss if a < b && (a * 31 + b) % 20 == 0 } yield (a, b)
+    }.distinct.map { case (u, v) => (u, v, (u * 7 + v * 13) % 20 + 1) }
+    val und = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val nodes = und.map(_._1).distinct
+    var dist = nodes.filter(_ % 10 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val cand = und.flatMap { case (a, b, w) => dist.get(a).map(d => b -> (d + w)) }
+        .groupBy(_._1).map { case (b, ds) => b -> ds.map(_._2).min }
+      dist = (dist.keySet ++ cand.keySet).map { k =>
+        k -> math.min(dist.getOrElse(k, Long.MaxValue), cand.getOrElse(k, Long.MaxValue))
+      }.toMap
+    }
+    assert(out === dist)
+  }
+
+  test("bloom filter aggregate never reports a false negative") {
+    val rows = graft.queries.Quality.aggBloom(spark, sfDir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(!rows.contains((true, false)),
+      "an inserted key must always hit: " + rows)
+    assert(rows.keys.exists(_._1 == true), "some keys are members")
+  }
 }

@@ -416,6 +416,37 @@ class OperatorsSpec extends SparkSpec {
     assert(many === got)
   }
 
+  test("containment join is lossless vs brute force, directional, and collapse-aware") {
+    val d = spark.createDataFrame(Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"), // exact dup of 1
+      (3L, "a b c d e f g h"),         // contained in 1 (all 6 trigrams shared)
+      (4L, "a b c d e f g h x y z w"), // partial overlap with 1
+      (5L, "p q r s t u v w"))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    import graft.functions.TextFunctions
+    val sets = d.select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), 3).as("ss"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      i = sets(a).intersect(sets(b)).size
+      if i * 5 >= sets(a).size * 4
+    } yield (a, b) -> i.toDouble / sets(a).size).toMap
+    assert(got.keySet === want.keySet,
+      s"containment prefix filter must be lossless: got ${got.keySet}, want ${want.keySet}")
+    want.foreach { case (k, c) => assert(got(k) === c, s"containment mismatch at $k") }
+    // direction: the small doc is contained in the big one, not vice versa
+    assert(got.contains((3L, 1L)) && !got.contains((1L, 3L)))
+    // exact dups contain each other, via the collapse tier, in both directions
+    assert(got((1L, 2L)) === 1.0 && got((2L, 1L)) === 1.0)
+    // partition invariance
+    val many = Dedup.containmentPairs(d.repartition(7), "doc_id", "text", 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(many === got)
+  }
+
   test("KMV minima are partition-invariant and the estimator is within the sketch bound") {
     // 1000 distinct values through the same md5-derived hash the query uses
     import graft.functions.TextFunctions
