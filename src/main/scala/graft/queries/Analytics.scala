@@ -1136,8 +1136,57 @@ object Analytics {
        |FROM pairs
        |ORDER BY conv_id, touch_id LIMIT $AttribTop""".stripMargin
 
+  // ---- inter-event gap percentiles ------------------------------------------
+
+  /** Exact type-1 (percentile_disc) latency quantiles of inter-event gaps
+    * per event_type — the p50/p90/p99 dashboard row, with NO interpolation
+    * anywhere: ranks are ⌈q·n⌉ in integer arithmetic, the selected gap is a
+    * real data point, and output is exact microseconds. One keyed lag
+    * window builds gaps, one keyed rank window + conditional agg selects
+    * the three order statistics — no global sort, 5-row output. */
+  def evtGaps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("event_id"), col("event_type"), expr("ts_ns div 1000").as("t_us"))
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("t_us"), col("event_id"))
+    val gaps = e
+      .withColumn("gap_us", col("t_us") - lag(col("t_us"), 1).over(lagW))
+      .filter(col("gap_us").isNotNull)
+    val rankW = Window.partitionBy(col("event_type")).orderBy(col("gap_us"), col("event_id"))
+    gaps
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap_us"))).as("p50_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap_us"))).as("p90_us"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("gap_us"))).as("p99_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val evtGapsOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      |  FROM events),
+      |g AS (
+      |  SELECT event_id, event_type,
+      |    t_us - lag(t_us) OVER (PARTITION BY event_type ORDER BY t_us, event_id)
+      |      AS gap_us
+      |  FROM e),
+      |r AS (
+      |  SELECT event_type, gap_us,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM g WHERE gap_us IS NOT NULL)
+      |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+      |  CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS BIGINT) AS p50_us,
+      |  CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS BIGINT) AS p90_us,
+      |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS BIGINT) AS p99_us
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
+    "evt_gaps" -> ((evtGaps _, Some(evtGapsOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),
     "evt_attrib" -> ((evtAttrib _, Some(evtAttribOracle))),

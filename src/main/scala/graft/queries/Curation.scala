@@ -1304,10 +1304,51 @@ object Curation {
        |FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  // ---- readability scoring --------------------------------------------------
+
+  /** Flesch-Kincaid grade level per document — the classic readability
+    * quality signal (words/sentence, syllables/word). Sentences are
+    * terminal-punctuation runs on the RAW text (floored at 1), syllables
+    * are vowel-group runs on the normalized text — the standard regex
+    * approximations, all exact integer counts. The grade formula is a fixed
+    * IEEE sequence (two divisions + fixed-order fma chain) ⇒ bit-exact.
+    * Pure per-row column arithmetic: no shuffle, no UDF. */
+  def txtReadability(spark: SparkSession, dir: String): DataFrame = {
+    val norm = TextFunctions.normalize(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(norm)).cast(LongType).as("n_words"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1L)).as("n_sentences"),
+        expr("regexp_count(" +
+          "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''), '\\\\s+', ' '))" +
+          ", '[aeiouy]+')").as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(0.39) * (col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)) +
+          lit(11.8) * (col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType)) -
+          lit(15.59)).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
+  val txtReadabilityOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim($norm), '\\s+')) AS BIGINT) AS n_words,
+       |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+       |    CAST(len(regexp_extract_all($norm, '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) +
+       |  CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) -
+       |  CAST(15.59 AS DOUBLE) AS fk_grade
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "cur_dsir" -> ((curDsir _, Some(curDsirOracle))),
     "txt_diversity" -> ((txtDiversity _, Some(txtDiversityOracle))),
+    "txt_readability" -> ((txtReadability _, Some(txtReadabilityOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),

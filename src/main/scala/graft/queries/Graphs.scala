@@ -529,7 +529,80 @@ object Graphs {
        |SELECT node, CAST(dist AS BIGINT) AS dist FROM sp
        |ORDER BY node""".stripMargin
 
+  /** Local clustering coefficient per node — 2·T(v) / (d(v)·(d(v)−1)) over
+    * the same 5%-sampled co-supply graph as [[triangles]] (and the same
+    * degree-oriented wedge enumeration, so hub cost stays arboricity-
+    * bounded). The coefficient is ONE IEEE division of exact integers ⇒
+    * bit-exact; nodes with d < 2 are excluded (undefined denominator).
+    * Output: top 100 by coefficient via TakeOrdered. */
+  def clustering(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+      .filter(col("w1") < col("w2"))
+    val tris = wedges.join(edges,
+      col("w1") === col("u") && col("w2") === col("v"), "left_semi")
+    val triCounts = tris
+      .select(explode(array(col("src"), col("w1"), col("w2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("d") >= 2)
+      .join(triCounts, Seq("id"), "left")
+      .select(col("id").as("node"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("node"), col("d"), col("n_tri"),
+        ((col("n_tri") * 2).cast(DoubleType) /
+          (col("d") * (col("d") - 1)).cast(DoubleType)).as("coeff"))
+      .orderBy(col("coeff").desc, col("node"))
+      .limit(100)
+  }
+
+  val clusteringOracle: String =
+    """WITH pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |deg AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+      |  FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+      |  GROUP BY id),
+      |t AS (
+      |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e2.u = e1.v
+      |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |tc AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |  FROM (SELECT a AS id FROM t UNION ALL SELECT b FROM t
+      |        UNION ALL SELECT c FROM t)
+      |  GROUP BY id)
+      |SELECT deg.id AS node, deg.d, COALESCE(tc.n_tri, 0) AS n_tri,
+      |  CAST(COALESCE(tc.n_tri, 0) * 2 AS DOUBLE) /
+      |    CAST(deg.d * (deg.d - 1) AS DOUBLE) AS coeff
+      |FROM deg LEFT JOIN tc ON deg.id = tc.id
+      |WHERE deg.d >= 2
+      |ORDER BY coeff DESC, node LIMIT 100""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "graph_clustering" -> ((clustering _, Some(clusteringOracle))),
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_sssp" -> ((sssp _, Some(ssspOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),

@@ -761,6 +761,18 @@ class PlanSpec extends SparkSpec {
       "the presentation cap must be a bounded heap:\n" + plan.take(2000))
   }
 
+  test("evt_gaps: two keyed windows, conditional-agg order statistics, no global sort") {
+    val plan = executedPlan("evt_gaps")
+    assert(!plan.contains("Join"), "gap quantiles need no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "the order-statistic pick must partial-aggregate")
+  }
+
+  test("txt_readability: pure per-row arithmetic, no shuffle beyond presentation sort") {
+    val plan = executedPlan("txt_readability")
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
