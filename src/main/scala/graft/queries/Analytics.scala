@@ -1184,9 +1184,42 @@ object Analytics {
       |  CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN gap_us END) AS BIGINT) AS p99_us
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- seasonal profile matrix ----------------------------------------------
+
+  /** Traffic seasonality: the (event_type, iso-weekday, hour) profile
+    * matrix with each cell's share of its type — the load-shaping /
+    * anomaly-baseline table. ISO weekday (Mon=1) is the one weekday
+    * convention Spark (`weekday()+1`) and DuckDB (`isodow()`) agree on.
+    * Counts exact; share is one exact-integer IEEE division. One
+    * map-side-combined agg + a 5-row broadcast of type totals. */
+  def evtSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), expr("weekday(ts) + 1").as("dow"), hour(col("ts")).as("hr"))
+      .groupBy(col("event_type"), col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("hr"), col("n"),
+        (col("n").cast(DoubleType) / col("nt").cast(DoubleType)).as("share"))
+      .orderBy(col("event_type"), col("dow"), col("hr"))
+  }
+
+  val evtSeasonalityOracle: String =
+    """WITH cells AS (
+      |  SELECT event_type, isodow(CAST(ts AS TIMESTAMP)) AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY 1)
+      |SELECT c.event_type, CAST(c.dow AS INT) AS dow, CAST(c.hr AS INT) AS hr, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share
+      |FROM cells c JOIN tot t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, dow, hr""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gaps" -> ((evtGaps _, Some(evtGapsOracle))),
+    "evt_seasonality" -> ((evtSeasonality _, Some(evtSeasonalityOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),
     "evt_attrib" -> ((evtAttrib _, Some(evtAttribOracle))),

@@ -601,8 +601,68 @@ object Graphs {
       |WHERE deg.d >= 2
       |ORDER BY coeff DESC, node LIMIT 100""".stripMargin
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — one number saying
+    * whether hubs attach to hubs. Degree sums/moments are exact integers in
+    * ONE map-side-combined agg; the coefficient is then a fixed IEEE
+    * sequence over their double casts (the agg_ttest determinism pattern).
+    * Two keyed joins to attach degrees, one scalar output row. */
+  def assort(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .filter((col("u") * 31 + col("v")) % 20 === 0)
+    val und = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val ed = und
+      .join(deg.select(col("id").as("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("dy")), "b")
+    val m = ed.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val d = DoubleType
+    m.select(col("m").as("n_dir_edges"),
+      ((col("m").cast(d) * col("sxy").cast(d) - col("sx").cast(d) * col("sy").cast(d)) /
+        sqrt((col("m").cast(d) * col("sxx").cast(d) - col("sx").cast(d) * col("sx").cast(d)) *
+             (col("m").cast(d) * col("syy").cast(d) - col("sy").cast(d) * col("sy").cast(d))))
+        .as("assortativity"))
+  }
+
+  val assortOracle: String =
+    """WITH pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e0 AS (SELECT u, v FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |e AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY a),
+      |ed AS (
+      |  SELECT dx.d AS dx, dy.d AS dy
+      |  FROM e JOIN deg dx ON e.a = dx.id JOIN deg dy ON e.b = dy.id),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(SUM(dy * dy) AS BIGINT) AS syy
+      |  FROM ed)
+      |SELECT m AS n_dir_edges,
+      |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS assortativity
+      |FROM m""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_clustering" -> ((clustering _, Some(clusteringOracle))),
+    "graph_assort" -> ((assort _, Some(assortOracle))),
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_sssp" -> ((sssp _, Some(ssspOracle))),
     "graph_triangles" -> ((triangles _, Some(trianglesOracle))),

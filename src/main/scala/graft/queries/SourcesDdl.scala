@@ -43,6 +43,28 @@ object SourcesDdl {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  // ---- raw line-text source (spark.read.text; the minimal whole-line
+  // format under every log/WET-ingest pipeline) ------------------------------
+
+  /** Line-text round-trip: write pipe-delimited lines with `write.text`,
+    * read them back with `spark.read.text` (one `value` column per line —
+    * the raw-ingest shape), and re-split. The oracle re-derives from the
+    * source table, proving the text round-trip is content-preserving. */
+  def srcText(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmpPath("src_text")
+    Tables.nation(spark, dir)
+      .select(concat_ws("|", col("n_nationkey"), col("n_name")).as("value"))
+      .write.mode("overwrite").text(p)
+    spark.read.text(p)
+      .select(split(col("value"), "\\|").as("f"))
+      .select(col("f").getItem(0).cast(LongType).as("n_nationkey"),
+        col("f").getItem(1).as("n_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val srcTextOracle: String =
+    """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ---- NDJSON scan (reference: read_json, client/src/context.rs:214-221) --
 
   def srcJson(spark: SparkSession, dir: String): DataFrame = {
@@ -829,6 +851,7 @@ object SourcesDdl {
     "src_merge" -> ((srcMerge _, Some(srcMergeOracle))),
     "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
+    "src_text" -> ((srcText _, Some(srcTextOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
     "snk_partitioned" -> ((snkPartitioned _, Some(snkPartitionedOracle))),
