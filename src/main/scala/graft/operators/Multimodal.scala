@@ -83,6 +83,32 @@ object Multimodal {
     }
   }
 
+  /** Per-frame audio energy. */
+  case class FrameEnergy(doc_id: Long, frame_idx: Long, n_samples: Long, energy: Long)
+
+  /** Audio feature extraction: treat each payload as unsigned 8-bit PCM,
+    * window it into `frameBytes`-sample frames, and emit per-frame energy
+    * Σ s² — the VAD/silence-trim primitive of audio curation pipelines.
+    * Exact integer arithmetic (so the gate hash-replays); row-local flatMap
+    * like [[sampleFrames]]; a real deployment swaps the byte view for an
+    * ffmpeg/PCM decode in the same per-partition shape. */
+  def frameEnergy(media: Dataset[MediaRow], frameBytes: Int = 64): Dataset[FrameEnergy] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val len = r.media.length
+      val nFrames = math.max(1L, (len.toLong + frameBytes - 1) / frameBytes)
+      (0L until nFrames).map { i =>
+        val from = (i * frameBytes).toInt
+        val until = math.min(from + frameBytes, len)
+        var e = 0L
+        var j = from
+        while (j < until) { val s = r.media(j).toLong & 0xffL; e += s * s; j += 1 }
+        FrameEnergy(r.doc_id, i, (until - from).toLong, e)
+      }
+    }
+  }
+
   /** Resize stub: deterministic fake (truncate/pad payload to w*h bytes,
     * metadata updated) standing in for an image-library resample. The
     * plumbing — binary in/binary out, row-local, schema-typed — is real. */

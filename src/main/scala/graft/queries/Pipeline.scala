@@ -666,6 +666,32 @@ object Pipeline {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Audio-energy extraction over the fake-media payloads
+    * ([[Multimodal.frameEnergy]]): 64-sample unsigned-PCM windows, per-frame
+    * Σs² in exact integers — the VAD/silence-trim primitive, gate-replayed
+    * byte for byte by the oracle's ascii() arithmetic. */
+  def mmEnergy(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.frameEnergy(
+      Multimodal.asMedia(Tables.documents(spark, dir), "doc_id", "text"))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmEnergyOracle: String =
+    """SELECT doc_id, frame_idx, n_samples,
+      |  CAST(list_reduce(list_prepend(0,
+      |    list_transform(range(1, CAST(n_samples AS INTEGER) + 1),
+      |      p -> ascii(substr(frame, p, 1)) * ascii(substr(frame, p, 1)))),
+      |    (a, b) -> a + b) AS BIGINT) AS energy
+      |FROM (
+      |  SELECT doc_id, i AS frame_idx,
+      |    CAST(least(64, length(text) - i * 64) AS BIGINT) AS n_samples,
+      |    substr(text, CAST(i * 64 + 1 AS INTEGER), 64) AS frame
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0, greatest((length(text) + 63) // 64, 1) - 1)) AS i
+      |    FROM documents) s) t
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val mmFramesOracle: String =
     """SELECT doc_id, frame_idx, frame_len, md5(frame) AS frame_md5 FROM (
       |  SELECT doc_id, i AS frame_idx,
@@ -844,6 +870,7 @@ object Pipeline {
     "evt_overlap" -> ((evtOverlap _, Some(evtOverlapOracle))),
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
+    "mm_energy" -> ((mmEnergy _, Some(mmEnergyOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
     "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
     "ddl_view" -> ((ddlView _, Some(ddlViewOracle))),

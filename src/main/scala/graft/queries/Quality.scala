@@ -451,6 +451,70 @@ object Quality {
        |FROM probe GROUP BY 1, 2 ORDER BY actual, bloom_hit""".stripMargin
   }
 
+  // ---- A/B sample-ratio-mismatch check --------------------------------------
+
+  /** Sample-ratio mismatch: the first thing an experimentation pipeline
+    * checks before reading any metric — does the deterministic 50/50
+    * variant assignment (md5 bucket of user_id) actually hold in the
+    * observed population? χ² against the intended split, cleared of the
+    * half-integer expectation: Σ(o−N/2)²/(N/2) = ((2n_a−N)² + (2n_b−N)²)
+    * / (2N) — exact integers plus ONE IEEE division ⇒ bit-exact. One
+    * distinct + one 1-row agg; scalar output. */
+  def evtSrm(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.eventsTs(spark, dir).select(col("user_id")).distinct()
+      .select((graft.functions.TextFunctions.hash64(
+        concat(lit("v:"), col("user_id").cast(StringType))) % 2).as("v"))
+    users
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        (((col("n_a") * 2 - col("n")) * (col("n_a") * 2 - col("n")) +
+          (col("n_b") * 2 - col("n")) * (col("n_b") * 2 - col("n"))).cast(DoubleType) /
+          (col("n") * 2).cast(DoubleType)).as("chi2"))
+      .select(col("n"), col("n_a"), col("n_b"), col("chi2"),
+        (col("chi2") > 3.841).as("srm"))
+  }
+
+  val evtSrmOracle: String =
+    """WITH u AS (
+      |  SELECT (('0x' || substr(md5('v:' || user_id::VARCHAR), 1, 15))::BIGINT) % 2 AS v
+      |  FROM (SELECT DISTINCT user_id FROM events)),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM u)
+      |SELECT n, n_a, n_b,
+      |  CAST((n_a * 2 - n) * (n_a * 2 - n) + (n_b * 2 - n) * (n_b * 2 - n) AS DOUBLE)
+      |    / CAST(n * 2 AS DOUBLE) AS chi2,
+      |  CAST((n_a * 2 - n) * (n_a * 2 - n) + (n_b * 2 - n) * (n_b * 2 - n) AS DOUBLE)
+      |    / CAST(n * 2 AS DOUBLE) > 3.841 AS srm
+      |FROM a""".stripMargin
+
+  // ---- duplicate-rate dashboard ---------------------------------------------
+
+  /** Per-source exact-duplicate rate — the corpus-health dashboard row
+    * every crawl ingest publishes: docs, distinct contents (md5), and the
+    * duplicate share as one exact-integer division. A single
+    * two-level agg (source × content hash, then source). */
+  def dqDupstats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast(BinaryType))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        ((col("n_docs") - col("n_distinct")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType)).as("dup_rate"))
+      .orderBy(col("source"))
+
+  val dqDupstatsOracle: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE) AS dup_rate
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ---- Welch's unequal-variance t-test --------------------------------------
 
   /** Per-segment mean-shift significance: Welch's t statistic for each
@@ -518,6 +582,8 @@ object Quality {
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "agg_bloom" -> ((aggBloom _, Some(aggBloomOracle))),
+    "evt_srm" -> ((evtSrm _, Some(evtSrmOracle))),
+    "dq_dupstats" -> ((dqDupstats _, Some(dqDupstatsOracle))),
     "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
     "dq_profile" -> ((dqProfile _, Some(dqProfileOracle))),
