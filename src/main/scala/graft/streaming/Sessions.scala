@@ -131,6 +131,43 @@ object Sessions {
   /** Document-stream row for the streaming term-count spec. */
   case class TimedDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** Running-stats state for streaming anomaly detection (exact cents). */
+  case class AnomState(n: Long, sumCents: Long)
+  /** An emitted anomaly: the event plus the history it deviated from. */
+  case class Anomaly(user_id: Long, event_id: Long, value: Double,
+                     n_hist: Long, mean_x100: Long)
+
+  /** Streaming threshold-anomaly detection via mapGroupsWithState-style
+    * custom state: per key a running (n, Σ cents) pair — O(1) state, exact
+    * integer arithmetic — and any event whose value exceeds `factor`× the
+    * running mean of its predecessors is emitted with the history snapshot.
+    * The deviation test value·n > factor·Σ is cleared of the division, so
+    * stream and batch replays agree bit-for-bit (spec-asserted). The
+    * continuous form of the batch evt_anomaly screen for live ingest. */
+  def streamingAnomalies(events: Dataset[Event], factor: Long = 3,
+                         minHist: Long = 5): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AnomState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var s = state.getOption.getOrElse(AnomState(0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[Anomaly]
+          sorted.foreach { e =>
+            val cents = math.round(e.value * 100)
+            // value/1 > factor · (sum/n)  ⇔  cents · n > factor · sumCents
+            if (s.n >= minHist && cents * s.n > factor * s.sumCents)
+              out += Anomaly(userId, e.event_id, e.value, s.n,
+                s.sumCents / math.max(s.n, 1L))
+            s = AnomState(s.n + 1, s.sumCents + cents)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: each left row pairs with the
     * right rows sharing its keys whose timestamp lands in
     * [left ts, left ts + within]. The watermark plus the time-range

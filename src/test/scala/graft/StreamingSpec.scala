@@ -229,4 +229,34 @@ class StreamingSpec extends SparkSpec {
     assert(s2.exceptAll(expected).isEmpty && expected.exceptAll(s2).isEmpty)
     assert(s2.count() == 3)
   }
+
+  test("streaming anomaly detection matches the sequential batch replay across microbatches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 establishes a mean around 2 then spikes; user 2 never spikes
+    val b1 = Seq(
+      Event(1L, 1L, ts(0), 2.0), Event(1L, 2L, ts(1), 2.2), Event(1L, 3L, ts(2), 1.8),
+      Event(1L, 4L, ts(3), 2.1), Event(1L, 5L, ts(4), 1.9),
+      Event(2L, 11L, ts(0), 5.0), Event(2L, 12L, ts(1), 5.5))
+    val b2 = Seq(
+      Event(1L, 6L, ts(5), 50.0),  // 25x the running mean → anomaly
+      Event(1L, 7L, ts(6), 2.0),   // back to normal (mean moved only slightly)
+      Event(2L, 13L, ts(2), 6.0),  // within 3x → quiet
+      Event(2L, 14L, ts(3), 5.2), Event(2L, 15L, ts(4), 4.8),
+      Event(2L, 16L, ts(5), 5.1))
+    val mem = MemoryStream[Event]
+    mem.addData(b1: _*)
+    val q = Sessions.streamingAnomalies(mem.toDS())
+      .writeStream.format("memory").queryName("anomalies_stream")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    mem.addData(b2: _*) // state must carry across microbatches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anomalies_stream")
+      .select("user_id", "event_id", "n_hist").as[(Long, Long, Long)]
+      .collect().toSet
+    // sequential replay: only user 1's spike (event 6) fires, with 5 rows of history
+    assert(got === Set((1L, 6L, 5L)))
+  }
 }
