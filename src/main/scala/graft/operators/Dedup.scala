@@ -427,6 +427,64 @@ object Dedup {
     expanded.unionByName(intra)
   }
 
+  /** Block-mean perceptual hash (the pHash family, Yang et al. 2006) over a
+    * media payload viewed as unsigned 8-bit samples: 64 equal blocks, bit b
+    * set iff block b's mean exceeds the payload mean. The mean comparison
+    * is cleared of both divisions — s_b·N > S·c_b in exact integers — so
+    * signatures are bit-identical on any engine/partitioning. This is the
+    * image near-dup primitive (crops/brightness shifts flip few blocks);
+    * with the container's decoders stubbed, payload = utf-8 bytes, exactly
+    * like [[Multimodal]]. */
+  def phash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chars = docs
+      .select(col(idCol).as("doc_id"), length(col(textCol)).cast(LongType).as("len"),
+        posexplode(split(col(textCol), ""))).toDF("doc_id", "len", "p", "ch")
+      .select(col("doc_id"), expr("p * 64 div len").as("blk"),
+        ascii(col("ch")).cast(LongType).as("s"))
+    val blocks = chars.groupBy(col("doc_id"), col("blk"))
+      .agg(sum(col("s")).as("sb"), count(lit(1)).as("cb"))
+    val w = Window.partitionBy(col("doc_id"))
+    blocks
+      .withColumn("st", sum(col("sb")).over(w))
+      .withColumn("nt", sum(col("cb")).over(w))
+      .select(col("doc_id"),
+        when(col("sb") * col("nt") > col("st") * col("cb"),
+          expr("shiftleft(1L, cast(blk as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit")).as("phash"))
+  }
+
+  /** Perceptual-hash near-dup pairs: 4×16-bit chunk banding (docs sharing
+    * any chunk become candidates — the simhash candidate scheme, which the
+    * oracle replays identically), verified by Hamming distance ≤
+    * `maxHamming`. Exact-duplicate payloads collapse first; intra-group
+    * pairs are Hamming 0 by construction. */
+  def phashPairs(docs: DataFrame, idCol: String, textCol: String,
+                 maxHamming: Int = 6): DataFrame = {
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    val sigs = phash(reps, "doc_id", "text")
+    val chunked = sigs.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"), expr(s"(phash >> ${c * 16}) & 65535").as("ckey"))): _*)).as("ck"))
+      .select(col("doc_id"), col("phash"), col("ck.c").as("c"), col("ck.ckey").as("ckey"))
+    val cand = chunked.select(col("c"), col("ckey"), col("doc_id").as("rep_a"), col("phash").as("pa"))
+      .join(chunked.select(col("c"), col("ckey"), col("doc_id").as("rep_b"), col("phash").as("pb")),
+        Seq("c", "ckey"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"), col("pa"), col("pb"))
+      .distinct()
+    val repPairs = cand
+      .select(col("rep_a"), col("rep_b"),
+        expr("bit_count(pa ^ pb)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val intra = reps.filter(col("csize") > 1 && col("text").isNotNull)
+      .select(col("doc_id").as("rep_id"))
+      .withColumn("hamming", lit(0L))
+    expandPairs(repPairs, memb, "hamming")
+      .unionByName(intraPairs(intra, memb, "hamming"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))

@@ -140,6 +140,47 @@ object Pipeline {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Perceptual-hash image near-dup pairs ([[Dedup.phashPairs]] — block-mean
+    * pHash over the fake-media payloads, 4×16-bit chunk banding, Hamming ≤ 6).
+    * The oracle replays blocks → cross-multiplied mean bits → signature →
+    * chunk candidates → Hamming byte for byte. */
+  def dedPhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.phashPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedPhashOracle: String =
+    """WITH chars AS (
+      |  SELECT doc_id, (p - 1) * 64 // length(text) AS blk,
+      |    CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT) AS s
+      |  FROM (
+      |    SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+      |    FROM documents WHERE text IS NOT NULL)),
+      |blocks AS (
+      |  SELECT doc_id, blk, CAST(SUM(s) AS BIGINT) AS sb,
+      |    CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM chars GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(SUM(sb) AS BIGINT) AS st, CAST(SUM(cb) AS BIGINT) AS nt
+      |  FROM blocks GROUP BY 1),
+      |sigs AS (
+      |  SELECT b.doc_id,
+      |    CAST(SUM(CASE WHEN b.sb * t.nt > t.st * b.cb
+      |      THEN (CASE WHEN b.blk = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |            ELSE (CAST(1 AS BIGINT) << CAST(b.blk AS INTEGER)) END)
+      |      ELSE 0 END) AS BIGINT)
+      |      AS phash
+      |  FROM blocks b JOIN tot t ON b.doc_id = t.doc_id GROUP BY b.doc_id),
+      |chunked AS (
+      |  SELECT doc_id, phash, c, (phash >> (c * 16)) & 65535 AS ckey
+      |  FROM sigs CROSS JOIN unnest([0, 1, 2, 3]) AS u(c)),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.phash AS pa, y.phash AS pb
+      |  FROM chunked x JOIN chunked y
+      |    ON x.c = y.c AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(pa, pb)) <= 6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def dedSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -871,6 +912,7 @@ object Pipeline {
     "mm_decode" -> ((mmDecode _, Some(mmDecodeOracle))),
     "mm_frames" -> ((mmFrames _, Some(mmFramesOracle))),
     "mm_energy" -> ((mmEnergy _, Some(mmEnergyOracle))),
+    "ded_phash" -> ((dedPhash _, Some(dedPhashOracle))),
     "udf_surface" -> ((udfSurface _, Some(udfSurfaceOracle))),
     "sql_entry" -> ((sqlEntry _, Some(sqlEntryOracle))),
     "ddl_view" -> ((ddlView _, Some(ddlViewOracle))),

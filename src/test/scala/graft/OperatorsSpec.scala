@@ -447,6 +447,26 @@ class OperatorsSpec extends SparkSpec {
     assert(many === got)
   }
 
+  test("phash pairs: near-identical payloads pair, unrelated never; dups are hamming 0") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+    val nearDup = base.dropRight(6) + " zzzzz"            // small tail edit
+    val other = ("XYZXYZ completely different payload QRSQRS " * 20).trim
+    val d = spark.createDataFrame(Seq(
+      (1L, base), (2L, base), (3L, nearDup), (4L, other))).toDF("doc_id", "text")
+    val got = Dedup.phashPairs(d, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) === 0L, "exact dups are hamming 0 via the collapse tier")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 6L, "small edits flip few blocks")
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated payloads never pair")
+    // signatures are partition-invariant (pure integer arithmetic)
+    val sigs1 = Dedup.phash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs7 = Dedup.phash(d.repartition(7), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs1 === sigs7)
+  }
+
   test("KMV minima are partition-invariant and the estimator is within the sketch bound") {
     // 1000 distinct values through the same md5-derived hash the query uses
     import graft.functions.TextFunctions
