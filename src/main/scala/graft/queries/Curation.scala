@@ -1344,11 +1344,43 @@ object Curation {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // ---- tokenizer fertility --------------------------------------------------
+
+  /** Tokenizer fertility per language — BPE-ish subword tokens per
+    * whitespace word, the standard multilingual-tokenizer health metric
+    * (high fertility ⇒ the language pays more sequence length per word).
+    * Both token counts are exact integers from the registered codegen'd
+    * counters; the per-language ratio is one exact-integer IEEE division.
+    * One map-side-combined agg. */
+  def txtFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe"),
+        TextFunctions.tokenCount(col("text")).as("words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("n_bpe"), sum(col("words")).as("n_words"))
+      .select(col("lang"), col("n_docs"), col("n_bpe"), col("n_words"),
+        (col("n_bpe").cast(DoubleType) / col("n_words").cast(DoubleType)).as("fertility"))
+      .orderBy(col("lang"))
+
+  val txtFertilityOracle: String = {
+    val bpe = TextFunctions.sql.bpeTokenCount("text")
+    val words = TextFunctions.sql.tokenCount("text")
+    s"""WITH c AS (
+       |  SELECT lang, $bpe AS bpe, $words AS words FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(bpe) AS BIGINT) AS n_bpe, CAST(SUM(words) AS BIGINT) AS n_words,
+       |  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(words) AS DOUBLE) AS fertility
+       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "cur_dsir" -> ((curDsir _, Some(curDsirOracle))),
     "txt_diversity" -> ((txtDiversity _, Some(txtDiversityOracle))),
     "txt_readability" -> ((txtReadability _, Some(txtReadabilityOracle))),
+    "txt_fertility" -> ((txtFertility _, Some(txtFertilityOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),

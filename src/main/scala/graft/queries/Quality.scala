@@ -515,6 +515,104 @@ object Quality {
       |    CAST(COUNT(*) AS DOUBLE) AS dup_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- higher central moments (skewness / kurtosis) -------------------------
+
+  /** Population skewness g1 and excess kurtosis g2 per event_type — the
+    * distribution-shape completion of agg_varstd. Spark's built-in
+    * skewness()/kurtosis() sum raw doubles (order-dependent, not
+    * gate-safe); here the four power sums are EXACT decimals in one
+    * map-side pass, then the central-moment algebra runs as an identical
+    * staged IEEE sequence on both engines (each stage a named column /
+    * CTE so association is pinned) ⇒ bit-exact. */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = Dsl.dec(col("value"))
+    val d = DoubleType
+    val sums = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), x.as("x"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(16, 2)).as("s1"),
+        sum((col("x") * col("x")).cast(DecimalType(18, 4))).cast(DecimalType(22, 4)).as("s2"),
+        sum((col("x") * col("x") * col("x")).cast(DecimalType(24, 6)))
+          .cast(DecimalType(28, 6)).as("s3"),
+        // x⁴ must be staged as (x²)² — a four-way product's precision
+        // (12+12+12+12+3 > 38) trips Spark's precision-loss rounding on the
+        // 8th decimal; (18,4)×(18,4) stays inside DECIMAL(37,8) and is exact
+        sum(((col("x") * col("x")).cast(DecimalType(18, 4)) *
+             (col("x") * col("x")).cast(DecimalType(18, 4))).cast(DecimalType(30, 8)))
+          .cast(DecimalType(34, 8)).as("s4"))
+    // DECIMAL→DOUBLE diverges across engines for int128-backed decimals
+    // (see the verify recipe); split into floor-BIGINT + scaled-frac-BIGINT,
+    // whose double conversions are correctly rounded everywhere, and
+    // reassemble with the same two IEEE ops on both sides
+    def d2(c: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column = {
+      val pow = math.pow(10, scale)
+      floor(c).cast(LongType).cast(d) +
+        ((c % 1) * pow.toLong).cast(LongType).cast(d) / lit(pow)
+    }
+    val staged = sums.select(col("event_type"), col("n"),
+        col("n").cast(d).as("nd"), d2(col("s1"), 2).as("s1d"),
+        d2(col("s2"), 4).as("s2d"), d2(col("s3"), 6).as("s3d"),
+        d2(col("s4"), 8).as("s4d"))
+      .select(col("event_type"), col("n"),
+        (col("s1d") / col("nd")).as("mu"),
+        (col("s2d") / col("nd")).as("r2"),
+        (col("s3d") / col("nd")).as("r3"),
+        (col("s4d") / col("nd")).as("r4"))
+      .select(col("event_type"), col("n"), col("mu"), col("r2"), col("r3"), col("r4"),
+        (col("r2") - col("mu") * col("mu")).as("m2"))
+    staged.select(col("event_type"), col("n"),
+        ((col("r3") - lit(3.0) * col("mu") * col("r2") +
+          lit(2.0) * col("mu") * col("mu") * col("mu")) /
+          (col("m2") * sqrt(col("m2")))).as("skewness"),
+        ((col("r4") - lit(4.0) * col("mu") * col("r3") +
+          lit(6.0) * col("mu") * col("mu") * col("r2") -
+          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")) /
+          (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+      .orderBy(col("event_type"))
+  }
+
+  val aggMomentsOracle: String =
+    """WITH powers AS (
+      |  SELECT event_type, x, x2, CAST(x2 * x AS DECIMAL(24,6)) AS x3,
+      |    CAST(x2 * x2 AS DECIMAL(30,8)) AS x4
+      |  FROM (
+    SELECT event_type, CAST(value AS DECIMAL(12,2)) AS x,
+      |      CAST(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))
+      |        AS DECIMAL(19,4)) AS x2
+      |    FROM events)),
+      |sums AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS DECIMAL(16,2)) AS s1,
+      |    CAST(SUM(x2) AS DECIMAL(22,4)) AS s2,
+      |    CAST(SUM(x3) AS DECIMAL(28,6)) AS s3,
+      |    CAST(SUM(x4) AS DECIMAL(34,8)) AS s4
+      |  FROM powers GROUP BY event_type),
+      |casted AS (
+      |  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+      |    CAST(CAST(floor(s1) AS BIGINT) AS DOUBLE) +
+      |      CAST(CAST(CAST(s1 % 1 AS DECIMAL(10,2)) * 100 AS BIGINT) AS DOUBLE) / 100.0 AS s1d,
+      |    CAST(CAST(floor(s2) AS BIGINT) AS DOUBLE) +
+      |      CAST(CAST(CAST(s2 % 1 AS DECIMAL(10,4)) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS s2d,
+      |    CAST(CAST(floor(s3) AS BIGINT) AS DOUBLE) +
+      |      CAST(CAST(CAST(s3 % 1 AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0 AS s3d,
+      |    CAST(CAST(floor(s4) AS BIGINT) AS DOUBLE) +
+      |      CAST(CAST(CAST(s4 % 1 AS DECIMAL(12,8)) * 100000000 AS BIGINT) AS DOUBLE) / 100000000.0 AS s4d
+      |  FROM sums),
+      |ratios AS (
+      |  SELECT event_type, n, s1d / nd AS mu, s2d / nd AS r2, s3d / nd AS r3,
+      |    s4d / nd AS r4
+      |  FROM casted),
+      |staged AS (
+      |  SELECT event_type, n, mu, r2, r3, r4, r2 - mu * mu AS m2 FROM ratios)
+      |SELECT event_type, n,
+      |  (r3 - CAST(3.0 AS DOUBLE) * mu * r2 + CAST(2.0 AS DOUBLE) * mu * mu * mu) /
+      |    (m2 * sqrt(m2)) AS skewness,
+      |  (r4 - CAST(4.0 AS DOUBLE) * mu * r3 + CAST(6.0 AS DOUBLE) * mu * mu * r2 -
+      |   CAST(3.0 AS DOUBLE) * mu * mu * mu * mu) / (m2 * m2) - CAST(3.0 AS DOUBLE)
+      |    AS kurtosis
+      |FROM staged ORDER BY event_type""".stripMargin
+
   // ---- Welch's unequal-variance t-test --------------------------------------
 
   /** Per-segment mean-shift significance: Welch's t statistic for each
@@ -583,6 +681,7 @@ object Quality {
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "agg_bloom" -> ((aggBloom _, Some(aggBloomOracle))),
     "evt_srm" -> ((evtSrm _, Some(evtSrmOracle))),
+    "agg_moments" -> ((aggMoments _, Some(aggMomentsOracle))),
     "dq_dupstats" -> ((dqDupstats _, Some(dqDupstatsOracle))),
     "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
