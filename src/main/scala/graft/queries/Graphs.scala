@@ -627,11 +627,16 @@ object Graphs {
       sum(col("dx") * col("dx")).as("sxx"),
       sum(col("dy") * col("dy")).as("syy"))
     val d = DoubleType
+    // a degree-regular (or empty) graph has zero variance — emit NULL, not a
+    // divide-by-zero (ANSI mode throws; hit at sf0.001's degenerate sample)
     m.select(col("m").as("n_dir_edges"),
-      ((col("m").cast(d) * col("sxy").cast(d) - col("sx").cast(d) * col("sy").cast(d)) /
+        ((col("m").cast(d) * col("sxy").cast(d) - col("sx").cast(d) * col("sy").cast(d)))
+          .as("num"),
         sqrt((col("m").cast(d) * col("sxx").cast(d) - col("sx").cast(d) * col("sx").cast(d)) *
-             (col("m").cast(d) * col("syy").cast(d) - col("sy").cast(d) * col("sy").cast(d))))
-        .as("assortativity"))
+             (col("m").cast(d) * col("syy").cast(d) - col("sy").cast(d) * col("sy").cast(d)))
+          .as("den"))
+      .select(col("n_dir_edges"),
+        when(col("den") > 0.0, col("num") / col("den")).as("assortativity"))
   }
 
   val assortOracle: String =
@@ -652,13 +657,18 @@ object Graphs {
       |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
       |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
       |    CAST(SUM(dy * dy) AS BIGINT) AS syy
-      |  FROM ed)
+      |  FROM ed),
+      |staged AS (
+      |  SELECT m,
+      |    CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      AS num,
+      |    sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |         (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      AS den
+      |  FROM m)
       |SELECT m AS n_dir_edges,
-      |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |  sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |       (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |    AS assortativity
-      |FROM m""".stripMargin
+      |  CASE WHEN den > 0.0 THEN num / den END AS assortativity
+      |FROM staged""".stripMargin
 
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_clustering" -> ((clustering _, Some(clusteringOracle))),
