@@ -1216,9 +1216,70 @@ object Analytics {
       |FROM cells c JOIN tot t ON c.event_type = t.event_type
       |ORDER BY c.event_type, dow, hr""".stripMargin
 
+  // ---- seasonal-naive forecast backtest -------------------------------------
+
+  /** Backtest of the seasonal-naive forecaster (cell mean by (type,
+    * hour-of-week) trained on all but the last 7 days, scored on the last
+    * 7): per cell, train count/sum and the test-window MAE. Division-free
+    * core — the scaled absolute error Σ|n_c·x − s_c| is exact DECIMAL
+    * (mean-centering by cross-multiplication, the evt_cusum trick) — and
+    * the reported MAE is then that exact sum through ONE final division of
+    * safe doubles. Split point is derived from max(ts) (1-row broadcast);
+    * train stats broadcast back onto the test stream. */
+  def evtBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), col("ts"), expr("ts_ns div 1000000000").as("t"),
+        (expr("weekday(ts)") * 24 + hour(col("ts"))).as("how"), Dsl.dec(col("value")).as("x"))
+    val split = e.agg((max(col("t")) - 604800L).as("cut"))
+    val withCut = e.crossJoin(broadcast(split))
+    val train = withCut.filter(col("t") <= col("cut"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("n_train"), sum(col("x")).cast(DecimalType(16, 2)).as("s"))
+    val test = withCut.filter(col("t") > col("cut"))
+    test.join(broadcast(train), Seq("event_type", "how"))
+      .select(col("event_type"), col("how"), col("n_train"),
+        abs(col("n_train").cast(DecimalType(10, 0)) * col("x") - col("s"))
+          .cast(DecimalType(24, 2)).as("sae_n"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(max(col("n_train")).as("n_train"), count(lit(1)).as("n_test"),
+        sum(col("sae_n")).cast(DecimalType(28, 2)).as("sae"))
+      .select(col("event_type"), col("how"), col("n_train"), col("n_test"),
+        (Dsl.splitDouble(col("sae"), 2) /
+          (col("n_train") * col("n_test")).cast(DoubleType)).as("mae"))
+      .orderBy(col("event_type"), col("how"))
+  }
+
+  val evtBacktestOracle: String = {
+    val sae = Dsl.sql.splitDouble("sae", 2)
+    s"""WITH e AS (
+       |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+       |    (isodow(CAST(ts AS TIMESTAMP)) - 1) * 24 + hour(CAST(ts AS TIMESTAMP)) AS how,
+       |    CAST(value AS DECIMAL(12,2)) AS x
+       |  FROM events),
+       |cut AS (SELECT MAX(t) - 604800 AS cut FROM e),
+       |train AS (
+       |  SELECT event_type, how, CAST(COUNT(*) AS BIGINT) AS n_train,
+       |    CAST(SUM(x) AS DECIMAL(16,2)) AS s
+       |  FROM e CROSS JOIN cut WHERE t <= cut GROUP BY 1, 2),
+       |test AS (SELECT event_type, how, x FROM e CROSS JOIN cut WHERE t > cut),
+       |scored AS (
+       |  SELECT t.event_type, t.how, tr.n_train,
+       |    CAST(abs(CAST(tr.n_train AS DECIMAL(10,0)) * t.x - tr.s) AS DECIMAL(24,2))
+       |      AS sae_n
+       |  FROM test t JOIN train tr ON t.event_type = tr.event_type AND t.how = tr.how),
+       |agg AS (
+       |  SELECT event_type, how, CAST(MAX(n_train) AS BIGINT) AS n_train,
+       |    CAST(COUNT(*) AS BIGINT) AS n_test, CAST(SUM(sae_n) AS DECIMAL(28,2)) AS sae
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT event_type, how, n_train, n_test,
+       |  $sae / CAST(n_train * n_test AS DOUBLE) AS mae
+       |FROM agg ORDER BY event_type, how""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gaps" -> ((evtGaps _, Some(evtGapsOracle))),
+    "evt_backtest" -> ((evtBacktest _, Some(evtBacktestOracle))),
     "evt_seasonality" -> ((evtSeasonality _, Some(evtSeasonalityOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),

@@ -1375,12 +1375,46 @@ object Curation {
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- class-balanced downsampling ------------------------------------------
+
+  /** Class-balanced downsampling: every language keeps exactly
+    * min-class-count documents, selected by md5 rank (deterministic,
+    * content-independent, reproducible on any engine) — the rebalancing
+    * step before training a classifier on skewed labels. One keyed rank
+    * window + a 1-row min broadcast; no global sort. */
+  def smpBalanced(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val k = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .agg(min(col("cnt")).as("k"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("b:"), col("doc_id").cast(StringType))), col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val smpBalancedOracle: String =
+    """WITH k AS (
+      |  SELECT MIN(cnt) AS k FROM (
+      |    SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+      |ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('b:' || doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang FROM ranked CROSS JOIN k WHERE rk <= k
+      |ORDER BY doc_id""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_cluster" -> ((dedCluster _, Some(dedClusterOracle))),
     "cur_dsir" -> ((curDsir _, Some(curDsirOracle))),
     "txt_diversity" -> ((txtDiversity _, Some(txtDiversityOracle))),
     "txt_readability" -> ((txtReadability _, Some(txtReadabilityOracle))),
     "txt_fertility" -> ((txtFertility _, Some(txtFertilityOracle))),
+    "smp_balanced" -> ((smpBalanced _, Some(smpBalancedOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),

@@ -33,8 +33,26 @@ object Dsl {
   def revenueTerm(price: Column, discount: Column): Column =
     dec(price) * oneMinus(discount)
 
+  /** Cross-engine-safe DECIMAL→DOUBLE for int128-backed decimals (plain
+    * casts double-round differently per engine — see the verify recipe):
+    * split into floor-BIGINT + scaled-frac-BIGINT (both convert correctly
+    * rounded everywhere) and reassemble with the same two IEEE ops. The
+    * value must be non-negative and its floor must fit in int64. */
+  def splitDouble(c: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale)
+    floor(c).cast(LongType).cast(DoubleType) +
+      ((c % 1) * pow.toLong).cast(LongType).cast(DoubleType) / lit(pow)
+  }
+
   /** SQL fragments for the DuckDB oracle mirroring the helpers above. */
   object sql {
+    /** DuckDB mirror of [[Dsl.splitDouble]]. `decScale` is a decimal type
+      * wide enough for the fractional part (int128-safe, e.g. DECIMAL(12,s)). */
+    def splitDouble(c: String, scale: Int): String = {
+      val pow = math.pow(10, scale).toLong
+      s"(CAST(CAST(floor(($c)) AS BIGINT) AS DOUBLE) + " +
+        s"CAST(CAST(CAST(($c) % 1 AS DECIMAL(12,$scale)) * $pow AS BIGINT) AS DOUBLE) / $pow.0)"
+    }
     def dec(c: String, p: Int = 12, s: Int = 2): String = s"CAST($c AS DECIMAL($p,$s))"
     def oneMinus(c: String): String = s"CAST(1 - CAST($c AS DECIMAL(4,2)) AS DECIMAL(5,2))"
     def onePlus(c: String): String = s"CAST(1 + CAST($c AS DECIMAL(4,2)) AS DECIMAL(5,2))"

@@ -515,6 +515,53 @@ object Quality {
       |    CAST(COUNT(*) AS DOUBLE) AS dup_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- Gini concentration coefficient ---------------------------------------
+
+  /** Gini coefficient of order-value concentration per priority class — the
+    * standard inequality/imbalance summary (also used for dataset-balance
+    * audits). With values ranked ascending (ties broken by key, so ranks
+    * are total), G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx): every sum is an exact
+    * decimal from one keyed rank window + one agg, and the final ratio goes
+    * through the [[Dsl.splitDouble]] safe cast + one IEEE division ⇒
+    * bit-exact. */
+  def aggGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Dsl.dec(col("o_totalprice"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("x"), col("o_orderkey"))
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), x.as("x"))
+      .withColumn("i", row_number().over(w).cast(LongType))
+    val sums = ranked.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(20, 2)).as("sx"),
+        sum((col("i").cast(DecimalType(12, 0)) * col("x")).cast(DecimalType(26, 2)))
+          .cast(DecimalType(30, 2)).as("six"))
+    sums.select(col("o_orderpriority"), col("n"),
+        Dsl.splitDouble(col("six") * 2 - (col("n").cast(DecimalType(12, 0)) + 1) * col("sx"), 2).as("num"),
+        Dsl.splitDouble(col("n").cast(DecimalType(12, 0)) * col("sx"), 2).as("den"))
+      .select(col("o_orderpriority"), col("n"), (col("num") / col("den")).as("gini"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggGiniOracle: String = {
+    val num = Dsl.sql.splitDouble("six * 2 - (CAST(n AS DECIMAL(12,0)) + 1) * sx", 2)
+    val den = Dsl.sql.splitDouble("CAST(n AS DECIMAL(12,0)) * sx", 2)
+    s"""WITH ranked AS (
+       |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+       |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS BIGINT) AS i
+       |  FROM orders),
+       |sums AS (
+       |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS DECIMAL(20,2)) AS sx,
+       |    CAST(SUM(CAST(CAST(i AS DECIMAL(12,0)) * x AS DECIMAL(26,2)))
+       |      AS DECIMAL(30,2)) AS six
+       |  FROM ranked GROUP BY o_orderpriority)
+       |SELECT o_orderpriority, n, $num / $den AS gini
+       |FROM sums ORDER BY o_orderpriority""".stripMargin
+  }
+
   // ---- higher central moments (skewness / kurtosis) -------------------------
 
   /** Population skewness g1 and excess kurtosis g2 per event_type — the
@@ -682,6 +729,7 @@ object Quality {
     "agg_bloom" -> ((aggBloom _, Some(aggBloomOracle))),
     "evt_srm" -> ((evtSrm _, Some(evtSrmOracle))),
     "agg_moments" -> ((aggMoments _, Some(aggMomentsOracle))),
+    "agg_gini" -> ((aggGini _, Some(aggGiniOracle))),
     "dq_dupstats" -> ((dqDupstats _, Some(dqDupstatsOracle))),
     "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),
