@@ -1375,6 +1375,91 @@ object Curation {
        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---- vocabulary coverage curve --------------------------------------------
+
+  /** Top-k ranks reported (sized to the synthetic corpus's ~40-term
+    * vocabulary; a web corpus would use 1e3..1e6 — the plan shape is
+    * identical, a bounded TakeOrdered heap of max(CovKs) rows). */
+  private val CovKs = Seq(5, 10, 25)
+
+  /** Vocabulary coverage curve: what fraction of all token occurrences the
+    * top-k most frequent terms cover, at k = 10/100/1000 — the Zipf
+    * compressibility summary a tokenizer team reads before sizing a vocab.
+    * Scale shape: the only global ordering is TakeOrdered over max(CovKs)
+    * rows (bounded heap — the vocabulary itself is never globally sorted),
+    * then a single-partition window over those k rows; term counts
+    * map-side-combine; total is a 1-row broadcast. Coverage is one
+    * exact-integer division per checkpoint. */
+  def txtCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val total = terms.agg(sum(col("f")).as("tot"))
+    val top = terms.orderBy(col("f").desc, col("tok")).limit(CovKs.max)
+    val w = Window.orderBy(col("f").desc, col("tok"))
+    top
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum(col("f")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("rk").isin(CovKs.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rk").as("k"), col("cum").as("n_covered"), col("tot").as("n_total"),
+        (col("cum").cast(DoubleType) / col("tot").cast(DoubleType)).as("coverage"))
+      .orderBy(col("k"))
+  }
+
+  val txtCoverageOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(trim($norm), '\\s+')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM t GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(f) AS BIGINT) AS tot FROM f),
+       |top AS (SELECT tok, f FROM f ORDER BY f DESC, tok LIMIT ${CovKs.max}),
+       |r AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS rk,
+       |    CAST(SUM(f) OVER (ORDER BY f DESC, tok
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM top)
+       |SELECT rk AS k, cum AS n_covered, tot AS n_total,
+       |  CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS coverage
+       |FROM r CROSS JOIN tot WHERE rk IN (${CovKs.mkString(", ")})
+       |ORDER BY k""".stripMargin
+  }
+
+  // ---- embedding norm screening ---------------------------------------------
+
+  /** Embedding-norm hygiene screen: per label, the count of vectors whose
+    * L2 norm falls outside the healthy band — the degenerate-embedding
+    * detector run before any ANN indexing (zero vectors and exploded norms
+    * poison cosine geometry). The squared norm folds the array
+    * sequentially (array order — the one float-sum order both engines can
+    * reproduce); sqrt is correctly rounded; band compares are exact. */
+  def embNorms(spark: SparkSession, dir: String): DataFrame = {
+    val sq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), sqrt(sq).as("norm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("norm") < 0.5 || col("norm") > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+        min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  val embNormsOracle: String =
+    """WITH n AS (
+      |  SELECT label,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS norm
+      |  FROM embeddings)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN norm < 0.5 OR norm > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  MIN(norm) AS min_norm, MAX(norm) AS max_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   // ---- class-balanced downsampling ------------------------------------------
 
   /** Class-balanced downsampling: every language keeps exactly
@@ -1415,6 +1500,8 @@ object Curation {
     "txt_readability" -> ((txtReadability _, Some(txtReadabilityOracle))),
     "txt_fertility" -> ((txtFertility _, Some(txtFertilityOracle))),
     "smp_balanced" -> ((smpBalanced _, Some(smpBalancedOracle))),
+    "txt_coverage" -> ((txtCoverage _, Some(txtCoverageOracle))),
+    "emb_norms" -> ((embNorms _, Some(embNormsOracle))),
     "agg_kll" -> ((aggKll _, Some(aggKllOracle))),
     "agg_cms" -> ((aggCms _, Some(aggCmsOracle))),
     "agg_theta" -> ((aggTheta _, Some(aggThetaOracle))),
