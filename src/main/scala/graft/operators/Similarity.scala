@@ -215,6 +215,35 @@ object Similarity {
     * corpus, and candidate search is a keyed join on cell_id — at 100 TB
     * the assigned corpus would be written bucketed by cell_id once and the
     * per-query join becomes a pruned scan of nProbe buckets. */
+  /** k-NN graph construction: each (positive-norm, distinct-content) vector
+    * gets edges to its k most-cosine-similar neighbors WITHIN its IVF cell —
+    * the candidate scheme every approximate kNN-graph builder (NN-Descent
+    * seeding, cluster-then-link) uses so no all-pairs join ever forms.
+    * Exact-duplicate vectors collapse first ([[collapseVectors]] — the
+    * d²-pair disease fix the whole similarity tier uses), cells come from
+    * the deterministic seed centroids, scores are round(cos, 6) with id
+    * tie-breaks (the ded_semantic determinism recipe), and the top-k per
+    * source routes through the bounded-heap [[graft.operators.TopK]]
+    * operator — only |cell|·k rows survive candidate scoring. */
+  def knnGraph(corpus: DataFrame, nCells: Int = 16, k: Int = 3): DataFrame = {
+    val memb = collapseVectors(corpus)
+    val reps = memb.filter(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("embedding"))
+    val asg = nearestCells(withNorm(reps, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1,
+      seedCentroids(corpus, nCells))
+    val a = asg.select(col("cell_id"), col("corpus_id").as("src"),
+      col("c_vec").as("emb_a"), col("corpus_id_norm").as("norm_a"))
+    val b = asg.select(col("cell_id"), col("corpus_id").as("dst"),
+      col("c_vec").as("emb_b"), col("corpus_id_norm").as("norm_b"))
+    val scored = a.join(b, Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .filter(normsPositive(col("norm_a"), col("norm_b")))
+      .select(col("src"), col("dst"),
+        round(VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b")), 6).as("cos"))
+    graft.operators.TopK.perKey(scored, Seq("src"), Seq("cos" -> false, "dst" -> true), k)
+  }
+
   private def seedCentroids(corpus: DataFrame, nCells: Int): DataFrame =
     corpus.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),

@@ -569,8 +569,51 @@ object ModelPrep {
        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- k-NN graph construction ----------------------------------------------
+
+  /** k-NN graph over the embedding corpus ([[Similarity.knnGraph]]): per
+    * distinct-content positive-norm vector, edges to its 3 nearest
+    * neighbors within its IVF cell — the cluster-then-link candidate
+    * scheme, top-k through the bounded-heap operator. */
+  def simKnng(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(spark, dir), nCells = 16, k = 3)
+      .orderBy(col("src"), col("cos").desc, col("dst"))
+
+  val simKnngOracle: String = {
+    import Pipeline.{sqlCosine, sqlDot}
+    s"""WITH reps AS (
+       |  SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY embedding),
+       |re AS (
+       |  SELECT e.vec_id, e.embedding FROM embeddings e
+       |  JOIN reps r ON e.vec_id = r.vec_id),
+       |cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY round(${sqlCosine("c.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id)
+       |        AS rn
+       |    FROM re c CROSS JOIN cent ct) t WHERE rn = 1),
+       |scored AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) AS cos
+       |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+       |  JOIN re ea ON ea.vec_id = a.vec_id
+       |  JOIN re eb ON eb.vec_id = b.vec_id
+       |  WHERE ${sqlDot("ea.embedding", "ea.embedding")} > 0
+       |    AND ${sqlDot("eb.embedding", "eb.embedding")} > 0),
+       |topk AS (
+       |  SELECT src, dst, cos,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |  FROM scored)
+       |SELECT src, dst, cos FROM topk WHERE rn <= 3
+       |ORDER BY src, cos DESC, dst""".stripMargin
+  }
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_semantic" -> ((dedSemantic _, Some(dedSemanticOracle))),
+    "sim_knng" -> ((simKnng _, Some(simKnngOracle))),
     "emb_feathash" -> ((embFeathash _, Some(embFeathashOracle))),
     "txt_lmscore" -> ((txtLmScore _, Some(txtLmScoreOracle))),
     "smp_mixture" -> ((smpMixture _, Some(smpMixtureOracle))),

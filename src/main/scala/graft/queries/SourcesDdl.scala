@@ -43,6 +43,28 @@ object SourcesDdl {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  // ---- NDJSON sink (beyond the reference's parquet/csv write pair) ---------
+
+  /** JSON sink round-trip: write NDJSON with `write.json`, read it back
+    * with the explicit schema, and aggregate — proving the sink preserves
+    * values and the reader honors the declared types (inference would
+    * widen/reorder). */
+  def snkJson(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val p = tmpPath("snk_json")
+    nation.write.mode("overwrite").json(p)
+    spark.read.schema(nation.schema).json(p)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("last_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val snkJsonOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations, max(n_name) AS last_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
   // ---- raw line-text source (spark.read.text; the minimal whole-line
   // format under every log/WET-ingest pipeline) ------------------------------
 
@@ -852,6 +874,7 @@ object SourcesDdl {
     "src_custom" -> ((srcCustom _, Some(srcCustomOracle))),
     "src_csv" -> ((srcCsv _, Some(srcCsvOracle))),
     "src_text" -> ((srcText _, Some(srcTextOracle))),
+    "snk_json" -> ((snkJson _, Some(snkJsonOracle))),
     "src_json" -> ((srcJson _, Some(srcJsonOracle))),
     "snk_parquet" -> ((snkParquet _, Some(snkParquetOracle))),
     "snk_partitioned" -> ((snkPartitioned _, Some(snkPartitionedOracle))),

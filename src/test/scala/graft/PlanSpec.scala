@@ -773,6 +773,14 @@ class PlanSpec extends SparkSpec {
       !plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("sim_knng: top-k per source routes through the bounded-heap operator; no cartesian") {
+    val plan = executedPlan("sim_knng")
+    assert(plan.contains("TopKPerKey"),
+      "per-source top-k must use the bounded-heap operator:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"),
+      "candidates must come from the cell-keyed join:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
