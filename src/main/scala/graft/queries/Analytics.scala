@@ -1276,10 +1276,47 @@ object Analytics {
        |FROM agg ORDER BY event_type, how""".stripMargin
   }
 
+  // ---- OHLC time-bar resampling ---------------------------------------------
+
+  /** OHLC bar resampling: per (event_type, hour) the open/high/low/close of
+    * value — the time-series downsampling primitive (finance bars, metric
+    * rollups). Open/close are min_by/max_by on a (ts, event_id) struct key
+    * (deterministic lexicographic ties, the agg_argminmax pattern) — ONE
+    * aggregation pass, no window, no self-join; values stay exact (raw
+    * column passthrough + decimal min/max). */
+  def evtOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventsTs(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("bar"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"))
+      .orderBy(col("event_type"), col("bar"))
+
+  val evtOhlcOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+      |    value,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |      ORDER BY ts ASC, event_id ASC) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events)
+      |SELECT event_type, bar, CAST(COUNT(*) AS BIGINT) AS n,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close
+      |FROM ranked GROUP BY event_type, bar
+      |ORDER BY event_type, bar""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "ded_edit" -> ((dedEdit _, Some(dedEditOracle))),
     "evt_gaps" -> ((evtGaps _, Some(evtGapsOracle))),
     "evt_backtest" -> ((evtBacktest _, Some(evtBacktestOracle))),
+    "evt_ohlc" -> ((evtOhlc _, Some(evtOhlcOracle))),
     "evt_seasonality" -> ((evtSeasonality _, Some(evtSeasonalityOracle))),
     "evt_anomaly" -> ((evtAnomaly _, Some(evtAnomalyOracle))),
     "evt_cusum" -> ((evtCusum _, Some(evtCusumOracle))),

@@ -301,6 +301,79 @@ object Pipeline {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN quality evaluation: recall@5 of the IVF index against exact
+    * brute-force top-5, per query — the in-pipeline index-health metric an
+    * ANN deployment publishes after every rebuild. Both rankings are the
+    * gated operators above (identical determinism recipe: round(cos,6) +
+    * id tie-break), the overlap is a keyed semi-join, and recall is one
+    * exact-integer division. */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+    val bf = Similarity.bruteForceTopK(q, e, 5)
+      .select(col("query_id"), col("corpus_id"))
+    val ivf = Similarity.ivfTopK(q, e, nCells = 16, nProbe = 4, k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val hits = ivf.join(bf, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    bf.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("k").cast(DoubleType)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  val simRecallOracle: String =
+    s"""WITH bf AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${sqlCosine("q.embedding", "c.embedding")}, 6) DESC, c.vec_id)
+       |        AS rank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id IN (0, 1, 2) AND q.vec_id <> c.vec_id) t
+       |  WHERE rank <= 5),
+       |cent AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb FROM embeddings WHERE vec_id < 16),
+       |asg AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT c.vec_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY round(${sqlCosine("c.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings c CROSS JOIN cent ct) t WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT q.vec_id AS query_id, ct.cell_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${sqlCosine("q.embedding", "ct.c_emb")}, 6) DESC, ct.cell_id) AS rn
+       |    FROM embeddings q CROSS JOIN cent ct WHERE q.vec_id IN (0, 1, 2)) t WHERE rn <= 4),
+       |ivf AS (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT cand.query_id, cand.corpus_id,
+       |      row_number() OVER (PARTITION BY cand.query_id
+       |        ORDER BY cand.score DESC, cand.corpus_id) AS rank
+       |    FROM (
+       |      SELECT p.query_id, a.vec_id AS corpus_id,
+       |        round(${sqlCosine("qe.embedding", "ce.embedding")}, 6) AS score
+       |      FROM probe p
+       |      JOIN asg a ON p.cell_id = a.cell_id
+       |      JOIN embeddings qe ON qe.vec_id = p.query_id
+       |      JOIN embeddings ce ON ce.vec_id = a.vec_id
+       |      WHERE a.vec_id <> p.query_id) cand) t
+       |  WHERE rank <= 5),
+       |hits AS (
+       |  SELECT i.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ivf i JOIN bf ON bf.query_id = i.query_id AND bf.corpus_id = i.corpus_id
+       |  GROUP BY i.query_id)
+       |SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(MAX(h.n_hits), 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM bf b LEFT JOIN hits h ON h.query_id = b.query_id
+       |GROUP BY b.query_id
+       |ORDER BY b.query_id""".stripMargin
+
   def simLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshPairs(Tables.embeddings(spark, dir), dim = 64, nPlanes = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
@@ -897,6 +970,7 @@ object Pipeline {
     "ded_embed" -> ((dedEmbed _, Some(dedEmbedOracle))),
     "sim_topk" -> ((simTopk _, Some(simTopkOracle))),
     "sim_ivf" -> ((simIvf _, Some(simIvfOracle))),
+    "sim_recall" -> ((simRecall _, Some(simRecallOracle))),
     "sim_lsh" -> ((simLsh _, Some(simLshOracle))),
     "txt_stats" -> ((txtStats _, Some(txtStatsOracle))),
     "txt_langid" -> ((txtLangid _, Some(txtLangidOracle))),
