@@ -287,8 +287,87 @@ object Enrich {
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ---- deterministic name-based UUIDs ---------------------------------------
+
+  /** Name-based (v3-style) UUIDs from md5 — the DETERMINISTIC id-minting
+    * path (`uuid()` is gated rows-only in fn_nondet; stable entity ids in a
+    * pipeline must come from content, not randomness). The 32 md5 hex chars
+    * are formatted 8-4-4-4-12 with the version nibble forced to '3' and the
+    * variant nibble drawn from "89ab" by hex value — reproducible on any
+    * engine, so the gate is hash-exact. Pure per-row string ops. */
+  def fnUuid5(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("uuid:"), col("c_name").cast(StringType)))
+    val variant = substring(lit("89ab"),
+      (conv(substring(h, 17, 1), 16, 10).cast(IntegerType) % 4) + 1, lit(1))
+    val uuid = concat(
+      substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-3"),
+      substring(h, 14, 3), lit("-"), variant, substring(h, 18, 3), lit("-"),
+      substring(h, 21, 12))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), uuid.as("entity_uuid"))
+      .filter(col("c_custkey") <= 500)
+      .orderBy(col("c_custkey"))
+  }
+
+  val fnUuid5Oracle: String =
+    """WITH h AS (
+      |  SELECT c_custkey, md5('uuid:' || c_name) AS h FROM customer
+      |  WHERE c_custkey <= 500)
+      |SELECT c_custkey,
+      |  substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3) || '-' ||
+      |  substr('89ab', CAST(('0x' || substr(h, 17, 1))::BIGINT % 4 AS INTEGER) + 1, 1) ||
+      |  substr(h, 18, 3) || '-' || substr(h, 21, 12) AS entity_uuid
+      |FROM h ORDER BY c_custkey""".stripMargin
+
+  // ---- trimmed (winsorized-tail) mean ---------------------------------------
+
+  /** 5%-trimmed mean of order value per priority class — the robust
+    * location estimate that survives fat tails. Trim ranks are exact
+    * integer arithmetic (⌈0.05n⌉ via (5n+99) div 100), the kept-range sum
+    * is exact decimal, and the mean is a fixed two-division IEEE sequence
+    * over safe magnitudes. One keyed rank window + one agg. */
+  def aggTrimmed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col("o_totalprice").cast(DecimalType(12, 2))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("x"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), x.as("x"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rk") > expr("(5 * n + 99) div 100") &&
+        col("rk") <= col("n") - expr("(5 * n + 99) div 100"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("x")).cast(DecimalType(20, 2)).as("s"))
+      .select(col("o_orderpriority"), col("n_kept"),
+        ((col("s") * 100).cast(LongType).cast(DoubleType) / 100.0 /
+          col("n_kept").cast(DoubleType)).as("trimmed_mean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggTrimmedOracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS x,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      |  FROM orders),
+      |kept AS (
+      |  SELECT o_orderpriority, x FROM ranked
+      |  WHERE rk > (5 * n + 99) // 100 AND rk <= n - (5 * n + 99) // 100),
+      |agg AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    CAST(SUM(x) AS DECIMAL(20,2)) AS s
+      |  FROM kept GROUP BY 1)
+      |SELECT o_orderpriority, n_kept,
+      |  CAST(CAST(s * 100 AS BIGINT) AS DOUBLE) / 100.0 /
+      |    CAST(n_kept AS DOUBLE) AS trimmed_mean
+      |FROM agg ORDER BY o_orderpriority""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "txt_decontaminate" -> ((txtDecontaminate _, Some(txtDecontaminateOracle))),
+    "fn_uuid5" -> ((fnUuid5 _, Some(fnUuid5Oracle))),
+    "agg_trimmed" -> ((aggTrimmed _, Some(aggTrimmedOracle))),
     "cls_quality" -> ((clsQuality _, Some(clsQualityOracle))),
     "cls_calibration" -> ((clsCalibration _, Some(clsCalibrationOracle))),
     "fn_url" -> ((fnUrl _, Some(fnUrlOracle))),

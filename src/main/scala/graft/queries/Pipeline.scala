@@ -374,6 +374,47 @@ object Pipeline {
        |GROUP BY b.query_id
        |ORDER BY b.query_id""".stripMargin
 
+  /** Classifier evaluation: the (true label, predicted) confusion matrix of
+    * the language-id heuristic against document metadata, with per-cell
+    * share-of-true-class — the eval-harness completion of the classifier
+    * tier (cls_quality → cls_calibration → confusion). Exact counts + one
+    * division per cell; one map-side-combined agg + a per-label broadcast. */
+  def clsConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = txtLangid(spark, dir)
+      .groupBy(col("lang_meta"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang_meta")).agg(sum(col("n")).as("nt"))
+    cells.join(broadcast(totals), Seq("lang_meta"))
+      .select(col("lang_meta"), col("predicted"), col("n"),
+        (col("n").cast(DoubleType) / col("nt").cast(DoubleType)).as("share"))
+      .orderBy(col("lang_meta"), col("predicted"))
+  }
+
+  // lazy: langPatterns is declared later in the file (val-init order)
+  lazy val clsConfusionOracle: String = {
+    val scoreCols = langPatterns.map { case (l, p) =>
+      s"CAST(len(regexp_extract_all(lower(text), '$p')) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    s"""WITH pred AS (
+       |  SELECT lang_meta,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |         WHEN s_de >= s_fr THEN 'de'
+       |         ELSE 'fr' END AS predicted
+       |  FROM (
+       |    SELECT lang AS lang_meta,
+       |      $scoreCols
+       |    FROM documents) t),
+       |cells AS (
+       |  SELECT lang_meta, predicted, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM pred GROUP BY 1, 2),
+       |tot AS (SELECT lang_meta, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY 1)
+       |SELECT c.lang_meta, c.predicted, c.n,
+       |  CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share
+       |FROM cells c JOIN tot t ON c.lang_meta = t.lang_meta
+       |ORDER BY c.lang_meta, c.predicted""".stripMargin
+  }
+
   def simLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshPairs(Tables.embeddings(spark, dir), dim = 64, nPlanes = 8, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
@@ -971,6 +1012,7 @@ object Pipeline {
     "sim_topk" -> ((simTopk _, Some(simTopkOracle))),
     "sim_ivf" -> ((simIvf _, Some(simIvfOracle))),
     "sim_recall" -> ((simRecall _, Some(simRecallOracle))),
+    "cls_confusion" -> ((clsConfusion _, Some(clsConfusionOracle))),
     "sim_lsh" -> ((simLsh _, Some(simLshOracle))),
     "txt_stats" -> ((txtStats _, Some(txtStatsOracle))),
     "txt_langid" -> ((txtLangid _, Some(txtLangidOracle))),
