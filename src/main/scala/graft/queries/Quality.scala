@@ -515,6 +515,45 @@ object Quality {
       |    CAST(COUNT(*) AS DOUBLE) AS dup_rate
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- bitmap-index audience intersection -----------------------------------
+
+  /** Bits per bitmap word (below the sign bit, as in agg_bloom). */
+  private val BmapBits = 62
+
+  /** Audience-overlap matrix via bitmap indexes: for every event-type pair,
+    * how many distinct users did both — computed the way an OLAP bitmap
+    * index does it, not with a users×users join: each (type, user-id-word)
+    * holds a 62-bit membership word (one `bit_or` agg), the word tables
+    * join KEYED ON THE WORD INDEX, and the overlap is Σ bit_count(a & b).
+    * Shuffle volume is words (users/62), not users, and the pair join fans
+    * out per word, never per user. Deterministic bits ⇒ full hash replay. */
+  def aggBitmapAnd(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.eventsTs(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), expr(s"user_id div $BmapBits").as("w"),
+        expr(s"shiftleft(1L, cast(user_id % $BmapBits as int))").as("b"))
+      .groupBy(col("event_type"), col("w"))
+      .agg(bit_or(col("b")).as("bits"))
+    words.select(col("event_type").as("type_a"), col("w"), col("bits").as("ba"))
+      .join(words.select(col("event_type").as("type_b"), col("w"), col("bits").as("bb")),
+        Seq("w"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(sum(expr("bit_count(ba & bb)")).cast(LongType).as("n_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val aggBitmapAndOracle: String =
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |words AS (
+       |  SELECT event_type, user_id // $BmapBits AS w,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % $BmapBits AS INT)) AS bits
+       |  FROM du GROUP BY 1, 2)
+       |SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |  CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+       |FROM words a JOIN words b ON a.w = b.w AND a.event_type < b.event_type
+       |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin
+
   // ---- Gini concentration coefficient ---------------------------------------
 
   /** Gini coefficient of order-value concentration per priority class — the
@@ -730,6 +769,7 @@ object Quality {
     "evt_srm" -> ((evtSrm _, Some(evtSrmOracle))),
     "agg_moments" -> ((aggMoments _, Some(aggMomentsOracle))),
     "agg_gini" -> ((aggGini _, Some(aggGiniOracle))),
+    "agg_bitmap_and" -> ((aggBitmapAnd _, Some(aggBitmapAndOracle))),
     "dq_dupstats" -> ((dqDupstats _, Some(dqDupstatsOracle))),
     "agg_ttest" -> ((aggTtest _, Some(aggTtestOracle))),
     "dq_checks" -> ((dqChecks _, Some(dqChecksOracle))),

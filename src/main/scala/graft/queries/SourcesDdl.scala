@@ -543,6 +543,38 @@ object SourcesDdl {
       |  UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region) t
       |ORDER BY r_key, r_label""".stripMargin
 
+  // ---- ALTER TABLE schema evolution ----------------------------------------
+
+  /** ALTER TABLE ADD COLUMNS schema evolution: rows inserted before the
+    * ALTER read back with NULL in the new column, rows after carry values —
+    * the additive-evolution contract parquet-backed tables must honor
+    * (src_merge covers the mergeSchema read side; this covers the catalog
+    * DDL side). */
+  def ddlAlter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    dropManaged(spark, "graft_alter_regions")
+    spark.sql(
+      "CREATE TABLE graft_alter_regions (r_key BIGINT, r_label STRING) USING parquet")
+    spark.sql(
+      """INSERT INTO graft_alter_regions
+        |SELECT r_regionkey, r_name FROM region""".stripMargin)
+    spark.sql("ALTER TABLE graft_alter_regions ADD COLUMNS (tier STRING)")
+    spark.sql(
+      """INSERT INTO graft_alter_regions
+        |SELECT r_regionkey + 100, r_name, 'evolved' FROM region""".stripMargin)
+    spark.sql(
+      """SELECT r_key, r_label, tier FROM graft_alter_regions
+        |ORDER BY r_key""".stripMargin)
+  }
+
+  val ddlAlterOracle: String =
+    """SELECT r_key, r_label, tier FROM (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS r_key, r_name AS r_label,
+      |    CAST(NULL AS VARCHAR) AS tier FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 100 AS BIGINT), r_name, 'evolved' FROM region) t
+      |ORDER BY r_key""".stripMargin
+
   // ---- Join strategy hints (reference: HashJoinExecNode partition modes
   // COLLECT_LEFT / PARTITIONED, datafusion.proto:1173-1187) -----------------
 
@@ -892,6 +924,7 @@ object SourcesDdl {
     "ddl_cache" -> ((ddlCache _, Some(ddlCacheOracle))),
     "ddl_analyze" -> ((ddlAnalyze _, Some(ddlAnalyzeOracle))),
     "ddl_insert" -> ((ddlInsert _, Some(ddlInsertOracle))),
+    "ddl_alter" -> ((ddlAlter _, Some(ddlAlterOracle))),
     "ddl_database" -> ((ddlDatabase _, Some(ddlDatabaseOracle))),
     "join_hints" -> ((joinHints _, Some(joinHintsOracle))),
     "join_semi_anti" -> ((joinSemiAnti _, Some(joinSemiAntiOracle))),
