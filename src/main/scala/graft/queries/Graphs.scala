@@ -670,8 +670,76 @@ object Graphs {
       |  CASE WHEN den > 0.0 THEN num / den END AS assortativity
       |FROM staged""".stripMargin
 
+  /** HITS hubs/authorities (Kleinberg 1999), 2 unrolled mutual-reinforcement
+    * rounds over the canonically-oriented (low id → high id) sampled
+    * co-supply graph: a ← Σ_in h, h ← Σ_out a — each one keyed join + sum
+    * (the Pregel lowering, like [[pageRank]]). Scores stay UNNORMALIZED
+    * exact integers (normalization is a monotone per-round constant, so
+    * rankings are identical and no division ever happens) ⇒ hash-exact at
+    * any partitioning. Output: top 20 hubs with both scores. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("src"), col("b.s").as("dst"))
+      .distinct()
+      .filter((col("src") * 31 + col("dst")) % 20 === 0)
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    def authStep(h: DataFrame): DataFrame = nodes
+      .join(edges.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+    def hubStep(a: DataFrame): DataFrame = nodes
+      .join(edges.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+    val h0 = nodes.select(col("node"), lit(1L).as("h"))
+    val a1 = authStep(h0)
+    val h1 = hubStep(a1)
+    val a2 = authStep(h1)
+    val h2 = hubStep(a2)
+    h2.join(a2, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .orderBy(col("hub").desc, col("node"))
+      .limit(20)
+  }
+
+  val hitsOracle: String =
+    """WITH pe AS (
+      |  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u AS src, v AS dst FROM pe WHERE (u * 31 + v) % 20 = 0),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+      |a1 AS (
+      |  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS a FROM nodes n
+      |  LEFT JOIN (SELECT e.dst AS node, SUM(h.h) AS s FROM e
+      |             JOIN h0 h ON h.node = e.src GROUP BY e.dst) s ON s.node = n.node),
+      |h1 AS (
+      |  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS h FROM nodes n
+      |  LEFT JOIN (SELECT e.src AS node, SUM(a.a) AS s FROM e
+      |             JOIN a1 a ON a.node = e.dst GROUP BY e.src) s ON s.node = n.node),
+      |a2 AS (
+      |  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS a FROM nodes n
+      |  LEFT JOIN (SELECT e.dst AS node, SUM(h.h) AS s FROM e
+      |             JOIN h1 h ON h.node = e.src GROUP BY e.dst) s ON s.node = n.node),
+      |h2 AS (
+      |  SELECT n.node, CAST(COALESCE(s.s, 0) AS BIGINT) AS h FROM nodes n
+      |  LEFT JOIN (SELECT e.src AS node, SUM(a.a) AS s FROM e
+      |             JOIN a2 a ON a.node = e.dst GROUP BY e.src) s ON s.node = n.node)
+      |SELECT h2.node, h2.h AS hub, a2.a AS authority
+      |FROM h2 JOIN a2 ON a2.node = h2.node
+      |ORDER BY hub DESC, h2.node LIMIT 20""".stripMargin
+
   def all: Seq[(String, (QueryFn, Option[String]))] = Seq(
     "graph_clustering" -> ((clustering _, Some(clusteringOracle))),
+    "graph_hits" -> ((hits _, Some(hitsOracle))),
     "graph_assort" -> ((assort _, Some(assortOracle))),
     "graph_pagerank" -> ((pageRank _, Some(pageRankOracle))),
     "graph_sssp" -> ((sssp _, Some(ssspOracle))),
