@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-evaluation and distribution-comparison statistics — the metrics a
+  * training-data pipeline computes after scoring/filtering: exact ROC AUC
+  * for a quality classifier, two-sample Kolmogorov–Smirnov drift between
+  * cohorts, and autocorrelation of a business time series. Plus the XML
+  * source round-trip (Spark 4's built-in xml datasource).
+  *
+  * Numeric strategy (see [[Dsl]]): every statistic is assembled from
+  * integer/decimal(38,0) sums — rank sums, ECDF cross-products, n-scaled
+  * deviation products — and only cast to DOUBLE at the very end, where
+  * scale-0 decimal→double is correctly rounded in both Spark (BigDecimal)
+  * and DuckDB (HUGEINT), so the final IEEE arithmetic tree is bit-identical
+  * across engines at any partitioning, i.e. at any scale.
+  */
+object Evaluation {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+
+  private val dec38 = DecimalType(38, 0)
+
+  // ---- exact ROC AUC (tie-corrected rank-sum / Mann–Whitney U) -------------
+
+  /** Exact ROC AUC of "document length predicts lang='en'", computed as the
+    * tie-corrected Mann–Whitney statistic: group rows by distinct score
+    * (one keyed shuffle, output cardinality = #distinct scores, not #rows),
+    * then over the score-sorted group table accumulate
+    * 2U = Σ_s n_pos(s)·(2·cum_neg(<s) + n_neg(s)), AUC = 2U / (2·P·N).
+    * The only unpartitioned window runs over the distinct-score table —
+    * bounded by the value domain, independent of corpus row count — which
+    * is also why this beats the textbook per-row rank window (that one
+    * sorts all N rows in a single partition). 2U is summed in
+    * DECIMAL(38,0)/HUGEINT so P·N past int64 (≳3·10⁹ rows per class)
+    * cannot overflow. Reference analogue: the eval stage of a quality
+    * classifier (SURVEY §6 pipeline tier); AUC itself is standard
+    * (Hanley–McNeil 1982).
+    */
+  def clsAuc(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("sc"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("n_neg"))
+    val w = Window.orderBy(col("sc")).rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cnb", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      .agg(sum(col("n_pos")).as("pos_n"), sum(col("n_neg")).as("neg_n"),
+        sum(col("n_pos").cast(dec38) *
+          (col("cnb") * 2 + col("n_neg")).cast(dec38)).as("u2"))
+      .select(col("pos_n"), col("neg_n"),
+        (col("u2").cast(DoubleType) /
+          (lit(2.0) * col("pos_n").cast(DoubleType) * col("neg_n").cast(DoubleType)))
+          .as("auc"))
+  }
+
+  val clsAucOracle: String =
+    """WITH g AS (
+      |  SELECT n_chars AS sc,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_pos,
+      |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_neg
+      |  FROM documents GROUP BY n_chars),
+      |c AS (
+      |  SELECT n_pos, n_neg,
+      |    COALESCE(SUM(n_neg) OVER
+      |      (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+      |  FROM g)
+      |SELECT CAST(SUM(n_pos) AS BIGINT) AS pos_n,
+      |  CAST(SUM(n_neg) AS BIGINT) AS neg_n,
+      |  CAST(SUM(CAST(n_pos AS HUGEINT) * CAST(2 * cnb + n_neg AS HUGEINT)) AS DOUBLE)
+      |    / (2.0 * CAST(SUM(n_pos) AS DOUBLE) * CAST(SUM(n_neg) AS DOUBLE)) AS auc
+      |FROM c""".stripMargin
+
+  // ---- two-sample Kolmogorov–Smirnov drift ---------------------------------
+
+  /** Two-sample KS statistic between the length distributions of the even-
+    * and odd-doc_id cohorts (the drift check `dq_drift`'s chi-square can't
+    * do for continuous/ordinal values). Same shape as [[clsAuc]]: one keyed
+    * agg to per-value cohort counts, a running-sum window over the distinct
+    * values, then D = max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB) kept as an
+    * integer numerator until the final cast — no float ECDF division, so
+    * the argmax (`ks_at`, smallest value attaining D) is exact too. The
+    * two global totals ride the same window (full-frame), so one pass.
+    */
+  def dqKs(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("n_chars").as("v"))
+      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca0"),
+        sum(when(col("doc_id") % 2 === 0, 0L).otherwise(1L)).as("cb0"))
+    val run = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = g
+      .withColumn("ca", sum(col("ca0")).over(run))
+      .withColumn("cb", sum(col("cb0")).over(run))
+      .withColumn("na", sum(col("ca0")).over(all))
+      .withColumn("nb", sum(col("cb0")).over(all))
+      .withColumn("diff",
+        abs(col("ca").cast(dec38) * col("nb").cast(dec38) -
+          col("cb").cast(dec38) * col("na").cast(dec38)))
+    c.withColumn("md", max(col("diff")).over(all))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("diff")).as("mdx"),
+        min(when(col("diff") === col("md"), col("v"))).as("ks_at"))
+      .select(col("n_a"), col("n_b"), col("ks_at"),
+        (col("mdx").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))).as("ks"))
+  }
+
+  val dqKsOracle: String =
+    """WITH g AS (
+      |  SELECT n_chars AS v,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca0,
+      |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb0
+      |  FROM documents GROUP BY n_chars),
+      |c AS (
+      |  SELECT v,
+      |    SUM(ca0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+      |    SUM(cb0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+      |    SUM(ca0) OVER () AS na, SUM(cb0) OVER () AS nb
+      |  FROM g),
+      |dd AS (
+      |  SELECT v, na, nb,
+      |    abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS diff
+      |  FROM c),
+      |m AS (SELECT MAX(diff) AS md FROM dd)
+      |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      |  CAST(MIN(CASE WHEN diff = (SELECT md FROM m) THEN v END) AS BIGINT) AS ks_at,
+      |  CAST(MAX(diff) AS DOUBLE)
+      |    / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) AS ks
+      |FROM dd""".stripMargin
+
+  // ---- autocorrelation of a daily series -----------------------------------
+
+  /** Lag-1..7 autocorrelation of daily order revenue, integer-exact:
+    * revenue is aggregated per day in whole cents (one keyed shuffle; the
+    * resulting series has #days rows — bounded by the calendar, independent
+    * of order count), deviations are n-scaled (n·x_t − S, eliminating the
+    * rational mean), and r_k = Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)²
+    * is accumulated in DECIMAL(38,0)/HUGEINT. All 7 lags ride one window
+    * pass (lead(dev, k) over the day-ordered series) and one aggregate.
+    * Headroom: |n·x| ≤ 10⁴ days · 10¹² cents/day keeps Σdev² < 10³⁸.
+    */
+  def evtAcf(spark: SparkSession, dir: String): DataFrame = {
+    val lags = 1 to 7
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum((Dsl.dec(col("o_totalprice"), 14, 2) * 100).cast(LongType)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.orderBy(col("day"))
+    val dev = daily.crossJoin(broadcast(tot))
+      .withColumn("dev", (col("n") * col("x") - col("s")).cast(dec38))
+    val led = lags.foldLeft(dev) { (df, k) =>
+      df.withColumn(s"d$k", lead(col("dev"), k).over(w))
+    }
+    val aggd = led.agg(
+      sum(col("dev") * col("dev")).cast(DoubleType).as("den"),
+      lags.map(k => sum(col("dev") * col(s"d$k")).cast(DoubleType).as(s"n$k")): _*)
+    val stacked = lags
+      .map(k => s"CAST($k AS BIGINT), n$k / den")
+      .mkString(s"stack(${lags.length}, ", ", ", ") AS (lag, acf)")
+    aggd.selectExpr(stacked).orderBy(col("lag"))
+  }
+
+  val evtAcfOracle: String = {
+    val lags = 1 to 7
+    val leads = lags.map(k => s"lead(dev, $k) OVER (ORDER BY day) AS d$k").mkString(", ")
+    val sums = lags.map(k => s"SUM(dev * d$k) AS n$k").mkString(", ")
+    val rows = lags.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, CAST(n$k AS DOUBLE) / CAST(den AS DOUBLE) AS acf FROM a")
+      .mkString("\n UNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    SUM(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)) AS x
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+       |v AS (SELECT day, CAST(n * x - s AS HUGEINT) AS dev FROM daily, t),
+       |l AS (SELECT dev, $leads FROM v),
+       |a AS (SELECT SUM(dev * dev) AS den, $sums FROM l)
+       |$rows
+       |ORDER BY lag""".stripMargin
+  }
+
+  // ---- XML source round-trip (Spark 4 built-in xml datasource) -------------
+
+  /** XML round-trip: write the nation table with Spark 4's built-in `xml`
+    * datasource, read it back with the explicit schema (rowTag `nation`),
+    * and aggregate. The oracle recomputes the aggregate from the parquet
+    * original, so the gate proves value preservation, not just parsing —
+    * same contract as the csv/json/orc/avro round-trips here. Reference
+    * analogue: the pluggable-format surface of read_* in
+    * client/src/context.rs:196-231 (XML itself is beyond the reference's
+    * format list — a Spark-native widening).
+    */
+  def srcXml(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val p = s"${sys.props("java.io.tmpdir")}/graft_src_xml"
+    nation.write.mode("overwrite").option("rowTag", "nation").xml(p)
+    spark.read.option("rowTag", "nation").schema(nation.schema).xml(p)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(length(col("n_name"))).as("name_chars"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val srcXmlOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations,
+      |  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "cls_auc" -> ((clsAuc _, Some(clsAucOracle))),
+    "dq_ks" -> ((dqKs _, Some(dqKsOracle))),
+    "evt_acf" -> ((evtAcf _, Some(evtAcfOracle))),
+    "src_xml" -> ((srcXml _, Some(srcXmlOracle)))
+  )
+}

@@ -16,7 +16,8 @@ object Registry {
   /** All suites, concatenated. Later suites may shadow earlier names (none do). */
   def entries: Seq[(String, (QueryFn, Option[String]))] =
     Tpch.all ++ Coverage.all ++ Pipeline.all ++ Curation.all ++ Enrich.all ++
-      ModelPrep.all ++ Analytics.all ++ Quality.all ++ Graphs.all ++ SourcesDdl.all
+      ModelPrep.all ++ Analytics.all ++ Quality.all ++ Graphs.all ++
+      Evaluation.all ++ SourcesDdl.all
 
   def queries: Map[String, QueryFn] =
     entries.map { case (n, (fn, _)) => n -> fn }.toMap

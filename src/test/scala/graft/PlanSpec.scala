@@ -781,6 +781,41 @@ class PlanSpec extends SparkSpec {
       "candidates must come from the cell-keyed join:\n" + plan.take(2000))
   }
 
+  test("cls_auc: rank sums ride the distinct-score agg — no join, partial map-side combine") {
+    val plan = executedPlan("cls_auc")
+    assert(!plan.contains("Join"), "AUC needs no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"),
+      "per-score class counts must partial-aggregate before the shuffle")
+  }
+
+  test("dq_ks: one keyed agg + windows over distinct values only; no join") {
+    val plan = executedPlan("dq_ks")
+    assert(!plan.contains("Join"), "KS needs no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"),
+      "per-value cohort counts must partial-aggregate before the shuffle")
+  }
+
+  test("evt_acf: daily series aggregates map-side; totals broadcast, never shuffle-joined") {
+    val plan = executedPlan("evt_acf")
+    assert(plan.contains("partial_"),
+      "per-day revenue must partial-aggregate before the shuffle")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the 1-row totals must broadcast:\n" + plan.take(2000))
+  }
+
+  test("evaluation stats are in-range (AUC/KS in [0,1], |acf| <= 1)") {
+    val auc = SparkEntry.queries("cls_auc")(spark, sfDir)
+      .select(col("auc")).head().getDouble(0)
+    assert(auc >= 0.0 && auc <= 1.0, s"auc=$auc")
+    val ks = SparkEntry.queries("dq_ks")(spark, sfDir)
+      .select(col("ks")).head().getDouble(0)
+    assert(ks >= 0.0 && ks <= 1.0, s"ks=$ks")
+    val acfs = SparkEntry.queries("evt_acf")(spark, sfDir)
+      .select(col("acf")).collect().map(_.getDouble(0))
+    assert(acfs.length == 7 && acfs.forall(a => math.abs(a) <= 1.0 + 1e-12),
+      acfs.mkString(","))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
