@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -214,7 +215,165 @@ object Evaluation {
       |GROUP BY n_regionkey
       |ORDER BY n_regionkey""".stripMargin
 
+  // ---- SQL-standard percentile_disc --------------------------------------
+
+  /** `PERCENTILE_DISC(p) WITHIN GROUP` quartiles per order priority — the
+    * discrete (non-interpolating) percentile both engines define SQL-
+    * standard (smallest value whose cume_dist ≥ p), so the result is an
+    * actual input value and the gate is float-exact with zero arithmetic.
+    * Complements `agg_median` (continuous) and `agg_kll` (sketch). */
+  def aggPdisc(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"))
+      .orderBy(col("o_orderpriority"))
+
+  val aggPdiscOracle: String =
+    """SELECT o_orderpriority,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- effective sample size of importance weights -------------------------
+
+  /** Kish effective sample size of per-document importance weights (n_chars
+    * stands in for the DSIR-style weight column `cur_dsir` produces):
+    * ESS = (Σw)² / Σw², the standard diagnostic for how degenerate a
+    * weighted sample is before resampling. Pure keyed agg — both moments
+    * ride one map-side-combined pass; DECIMAL(38,0)/HUGEINT keeps (Σw)²
+    * exact far past int64 (Σw ≤ 10¹⁹ before the square would clip). */
+  def smpEss(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast(dec38).as("sw"),
+        sum(col("n_chars").cast(dec38) * col("n_chars").cast(dec38)).as("sw2"))
+      .select(col("source"), col("n"),
+        ((col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType))
+          .as("ess"),
+        ((col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType) /
+          col("n").cast(DoubleType)).as("ess_ratio"))
+      .orderBy(col("source"))
+
+  val smpEssOracle: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS HUGEINT) AS sw,
+      |    SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS sw2
+      |  FROM documents GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE) AS ess,
+      |  CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE) AS ess_ratio
+      |FROM s ORDER BY source""".stripMargin
+
+  // ---- Benford first-digit screen ------------------------------------------
+
+  /** Benford's-law first-digit screen over order amounts — the standard
+    * fabricated-data / unit-mixing check for numeric columns. Digits are
+    * taken from the cents integer's string form (no float log10 in the
+    * grouping path); expected proportions log10(1+1/d) are plan-time Scala
+    * literals embedded identically in the oracle SQL, so the χ² terms are
+    * the same IEEE tree on both engines. One keyed agg over 9 groups; the
+    * digit dimension is a 9-row VALUES join so digits with zero support
+    * still appear. */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val probs = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+    val dim = probs.toDF("digit", "p_exp")
+    val obs = Tables.orders(spark, dir)
+      .select(substring((Dsl.dec(col("o_totalprice"), 14, 2) * 100)
+        .cast(LongType).cast(StringType), 1, 1).cast(LongType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    broadcast(dim).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("p_exp"),
+        ((coalesce(col("n_obs"), lit(0L)).cast(DoubleType) -
+          col("n").cast(DoubleType) * col("p_exp")) *
+          (coalesce(col("n_obs"), lit(0L)).cast(DoubleType) -
+            col("n").cast(DoubleType) * col("p_exp")) /
+          (col("n").cast(DoubleType) * col("p_exp"))).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val dqBenfordOracle: String = {
+    val rows = (1 to 9)
+      // %.17e (not %.17g): an exponent makes DuckDB type the literal DOUBLE
+      // directly — a plain decimal literal becomes DECIMAL(17,17) first and
+      // the DECIMAL→DOUBLE conversion can land 1 ulp off the JVM double.
+      .map(d => s"($d, ${String.format(java.util.Locale.ROOT, "%.17e", Double.box(math.log10(1.0 + 1.0 / d)))})")
+      .mkString(", ")
+    s"""WITH dim(digit, p_exp) AS (VALUES $rows),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT SUM(n_obs) AS n FROM obs)
+       |SELECT CAST(dim.digit AS BIGINT) AS digit,
+       |  CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs, dim.p_exp,
+       |  (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) - CAST(t.n AS DOUBLE) * dim.p_exp)
+       |    * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) - CAST(t.n AS DOUBLE) * dim.p_exp)
+       |    / (CAST(t.n AS DOUBLE) * dim.p_exp) AS chi2_term
+       |FROM dim LEFT JOIN obs ON dim.digit = obs.digit, t
+       |ORDER BY digit""".stripMargin
+  }
+
+  // ---- per-document token entropy ------------------------------------------
+
+  /** Per-document Shannon entropy of the token distribution,
+    * H = ln(n) − (Σ c·ln c)/n — the information-density companion to
+    * `txt_diversity`'s Gini (a doc repeating one token scores 0; all-unique
+    * scores ln n). Token counts come from one (doc_id, token) keyed agg;
+    * the per-doc fold runs over the token-sorted count array, so the float
+    * sum has ONE defined order on both engines (Spark `aggregate` over
+    * `sort_array`, DuckDB `list_reduce` over `list(... ORDER BY tok)` —
+    * the lmscore recipe; ln is rounded to 9 decimals to absorb libm-vs-JVM
+    * ulp drift). Per-doc arrays are bounded by document vocabulary, never
+    * by corpus size. */
+  def txtEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+    toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sort_array(collect_list(struct(col("tok"), col("c").cast(DoubleType).as("cd"))))
+          .as("cs0"))
+      .select(col("doc_id"), col("n"),
+        (round(log(col("n").cast(DoubleType)), 9) -
+          aggregate(transform(col("cs0"), s => s.getField("cd")), lit(0.0),
+            (acc, x) => acc + x * round(log(x), 9)) / col("n").cast(DoubleType))
+          .as("entropy"))
+      .withColumnRenamed("n", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  val txtEntropyOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = TextFunctions.sql.tokens("norm")
+    s"""WITH tk AS (
+       |  SELECT doc_id, unnest($toks) AS tok
+       |  FROM (SELECT doc_id, $norm AS norm FROM documents)),
+       |c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tk GROUP BY doc_id, tok),
+       |n AS (
+       |  SELECT doc_id, SUM(c) AS n,
+       |    list(CAST(c AS DOUBLE) ORDER BY tok) AS cs
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  round(ln(CAST(n AS DOUBLE)), 9) -
+       |    list_reduce(list_prepend(0.0, list_transform(cs, x -> x * round(ln(x), 9))),
+       |      (a, b) -> a + b) / CAST(n AS DOUBLE) AS entropy
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "agg_pdisc" -> ((aggPdisc _, Some(aggPdiscOracle))),
+    "smp_ess" -> ((smpEss _, Some(smpEssOracle))),
+    "dq_benford" -> ((dqBenford _, Some(dqBenfordOracle))),
+    "txt_entropy" -> ((txtEntropy _, Some(txtEntropyOracle))),
     "cls_auc" -> ((clsAuc _, Some(clsAucOracle))),
     "dq_ks" -> ((dqKs _, Some(dqKsOracle))),
     "evt_acf" -> ((evtAcf _, Some(evtAcfOracle))),

@@ -816,6 +816,25 @@ class PlanSpec extends SparkSpec {
       acfs.mkString(","))
   }
 
+  test("smp_ess: both weight moments ride one map-side-combined keyed agg") {
+    val plan = executedPlan("smp_ess")
+    assert(!plan.contains("Join"), "ESS needs no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "weight moments must partial-aggregate")
+  }
+
+  test("dq_benford: digit counts partial-aggregate; dimension and total broadcast") {
+    val plan = executedPlan("dq_benford")
+    assert(plan.contains("partial_"), "digit histogram must partial-aggregate")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the 9-row dim and 1-row total must broadcast:\n" + plan.take(2000))
+  }
+
+  test("txt_entropy: token counts keyed by (doc, token); per-doc fold, no window") {
+    val plan = executedPlan("txt_entropy")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      "entropy is two keyed aggs + an array fold:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
