@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -369,7 +369,157 @@ object Evaluation {
        |FROM n ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Zipf slope of the token frequency distribution ----------------------
+
+  /** Zipf's-law fit of the corpus token distribution: regress ln(freq) on
+    * ln(rank) and report slope/intercept/r² (natural corpora slope ≈ −1;
+    * synthetic or templated text drifts off — a standard corpus-quality
+    * diagnostic). Determinism: ln values are rounded to 9 decimals and
+    * fixed-pointed to integers (×10⁹, floor(x+0.5) — Spark's double→long
+    * cast truncates while DuckDB's rounds, so the explicit floor is the
+    * only portable path), then all five regression moments are exact
+    * DECIMAL(38,0)/HUGEINT sums — order-free, so partitioning and scale
+    * can't move the hash. Rank ties break on the token string, making the
+    * rank assignment itself deterministic. The rank window runs over the
+    * distinct-token table (vocab-bounded, not corpus-bounded). */
+  def txtZipf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+    def fix9(c: Column): Column =
+      floor(round(log(c.cast(DoubleType)), 9) * 1e9 + 0.5).cast(LongType).cast(dec38)
+    val m = ranked
+      .select(fix9(col("r")).as("x"), fix9(col("c")).as("y"))
+      .agg(count(lit(1)).as("nv"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    m.select(col("nv").as("n_vocab"),
+        ((col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("nv").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("slope"),
+        (((col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("nv").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+          (col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+          (col("nv").cast(dec38) * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+          .as("r2"))
+  }
+
+  val txtZipfOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = TextFunctions.sql.tokens("norm")
+    def fix9(c: String) =
+      s"CAST(floor(round(ln(CAST($c AS DOUBLE)), 9) * 1e9 + 0.5) AS BIGINT)"
+    s"""WITH tk AS (
+       |  SELECT unnest($toks) AS tok
+       |  FROM (SELECT $norm AS norm FROM documents)),
+       |cnt AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+       |rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt),
+       |f AS (SELECT CAST(${fix9("r")} AS HUGEINT) AS x,
+       |             CAST(${fix9("c")} AS HUGEINT) AS y FROM rk),
+       |m AS (SELECT COUNT(*) AS nv, SUM(x) AS sx, SUM(y) AS sy,
+       |  SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM f)
+       |SELECT CAST(nv AS BIGINT) AS n_vocab,
+       |  CAST(nv*sxy - sx*sy AS DOUBLE) / CAST(nv*sxx - sx*sx AS DOUBLE) AS slope,
+       |  CAST(nv*sxy - sx*sy AS DOUBLE) / CAST(nv*sxx - sx*sx AS DOUBLE)
+       |    * CAST(nv*sxy - sx*sy AS DOUBLE) / CAST(nv*syy - sy*sy AS DOUBLE) AS r2
+       |FROM m""".stripMargin
+  }
+
+  // ---- population stability index drift ------------------------------------
+
+  /** PSI between the even/odd-doc_id cohorts' length distributions over 10
+    * equi-width bins — the binned-drift companion to [[dqKs]] (PSI is the
+    * score-drift metric model-monitoring stacks report). Bin edges come
+    * from broadcast global min/max in pure integer arithmetic; each bin's
+    * term (pA − pB)·ln(pA/pB) uses exact-integer cross products inside the
+    * ln (a·nB / b·nA — int→double is exact to 2⁵³ and correctly rounded
+    * past it in both engines) with the lmscore round(ln, 9) guard. Per-bin
+    * rows only — no cross-bin float total, so nothing order-dependent. */
+  def dqPsi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ext = docs.agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val binned = docs.crossJoin(broadcast(ext))
+      .select(least(lit(9L), expr("((n_chars - lo) * 10) div (hi - lo + 1)")).as("bin"),
+        (col("doc_id") % 2 === 0).as("a"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("a"), 0L).otherwise(1L)).as("nb"))
+    val tots = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    binned
+      .withColumn("ta", sum(col("na")).over(tots))
+      .withColumn("tb", sum(col("nb")).over(tots))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("bin"), col("na"), col("nb"),
+        ((col("na").cast(DoubleType) / col("ta").cast(DoubleType) -
+          col("nb").cast(DoubleType) / col("tb").cast(DoubleType)) *
+          round(log((col("na") * col("tb")).cast(DoubleType) /
+            (col("nb") * col("ta")).cast(DoubleType)), 9)).as("psi_term"))
+      .orderBy(col("bin"))
+  }
+
+  val dqPsiOracle: String =
+    """WITH ext AS (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents),
+      |b AS (
+      |  SELECT least(9, ((n_chars - lo) * 10) // (hi - lo + 1)) AS bin,
+      |    doc_id % 2 = 0 AS a
+      |  FROM documents, ext),
+      |g AS (
+      |  SELECT bin, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+      |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM g)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(na AS BIGINT) AS na,
+      |  CAST(nb AS BIGINT) AS nb,
+      |  (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+      |    - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+      |   * round(ln(CAST(na * tb AS DOUBLE) / CAST(nb * ta AS DOUBLE)), 9) AS psi_term
+      |FROM g, t WHERE na > 0 AND nb > 0
+      |ORDER BY bin""".stripMargin
+
+  // ---- graph reciprocity ---------------------------------------------------
+
+  /** Edge reciprocity of the synthesized link graph (same deterministic
+    * edge rule as `graph_pagerank`: doc i → (31·i + 7k) mod N, k = 1..3):
+    * the fraction of distinct directed edges whose reverse edge also
+    * exists — a one-line structural health metric crawl graphs report
+    * next to degree stats. One distinct + one keyed left-semi self-join
+    * on the reversed key; no cartesian anywhere. */
+  def graphRecip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1), lit(2), lit(3))).as("k"), col("n"))
+      .select(col("src"), ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
+      .distinct()
+    val recip = edges.join(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_edges"), col("n_recip"),
+        (col("n_recip").cast(DoubleType) / col("n_edges").cast(DoubleType))
+          .as("reciprocity"))
+  }
+
+  val graphRecipOracle: String =
+    """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      |e AS (
+      |  SELECT DISTINCT doc_id AS src, (doc_id * 31 + k * 7) % n AS dst
+      |  FROM documents, nn, (VALUES (1), (2), (3)) ks(k)),
+      |r AS (SELECT COUNT(*) AS n_recip FROM e
+      |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
+      |SELECT (SELECT COUNT(*) FROM e) AS n_edges, r.n_recip,
+      |  CAST(r.n_recip AS DOUBLE) / CAST((SELECT COUNT(*) FROM e) AS DOUBLE)
+      |    AS reciprocity
+      |FROM r""".stripMargin
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "txt_zipf" -> ((txtZipf _, Some(txtZipfOracle))),
+    "dq_psi" -> ((dqPsi _, Some(dqPsiOracle))),
+    "graph_recip" -> ((graphRecip _, Some(graphRecipOracle))),
     "agg_pdisc" -> ((aggPdisc _, Some(aggPdiscOracle))),
     "smp_ess" -> ((smpEss _, Some(smpEssOracle))),
     "dq_benford" -> ((dqBenford _, Some(dqBenfordOracle))),

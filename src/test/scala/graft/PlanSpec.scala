@@ -835,6 +835,25 @@ class PlanSpec extends SparkSpec {
       "entropy is two keyed aggs + an array fold:\n" + plan.take(2000))
   }
 
+  test("txt_zipf: regression moments are exact keyed sums; rank window is vocab-bounded") {
+    val plan = executedPlan("txt_zipf")
+    assert(!plan.contains("Join"), "zipf fit needs no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "token counts and moments must partial-aggregate")
+  }
+
+  test("dq_psi: extremes broadcast; bin histogram partial-aggregates") {
+    val plan = executedPlan("dq_psi")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the 1-row min/max must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "bin counts must partial-aggregate")
+  }
+
+  test("graph_recip: reverse-edge check is a keyed semi-join, no cartesian") {
+    val plan = executedPlan("graph_recip")
+    assert(plan.contains("LeftSemi"), "reverse edges via left-semi:\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
