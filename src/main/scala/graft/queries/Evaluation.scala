@@ -516,7 +516,173 @@ object Evaluation {
       |    AS reciprocity
       |FROM r""".stripMargin
 
+  // ---- Kaplan–Meier survival over user lifetimes ---------------------------
+
+  /** Kaplan–Meier survival of user lifetimes in the event stream: a user's
+    * lifetime is last−first event in whole hours; users whose last event
+    * falls within 24 hours of the stream's end are right-censored (still
+    * active). Classic KM: at each distinct lifetime t, d_t churn events
+    * against n_t at-risk, ln S(t) = Σ_{t'≤t} ln(1 − d/n). Shapes: one
+    * keyed per-user agg (the only row-count-bounded stage), then all
+    * windows run over the distinct-lifetime table (calendar-bounded). The
+    * log-survival is lmscore-style fixed-point (round(ln,9) → ×10⁹ →
+    * floor(x+0.5) → BIGINT running sum — integer addition is associative,
+    * so DuckDB's segment-tree windowed SUM and Spark's running frame
+    * agree), and the final `/1e9` is one exact-int→double op per row. The
+    * terminal timepoint where n = d (S→0, ln→−∞) is excluded by contract. */
+  def evtSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
+    val tEnd = e.agg(max(col("ts_us")).as("t_end"))
+    val users = e.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .crossJoin(broadcast(tEnd))
+      .select(expr(s"(last_us - first_us) div $HourUs").as("t"),
+        when(col("last_us") < col("t_end") - lit(24 * HourUs), 1L).otherwise(0L).as("ev"))
+    val g = users.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .filter(col("n_risk") > col("d"))
+      .withColumn("l",
+        floor(round(log((col("n_risk") - col("d")).cast(DoubleType) /
+          col("n_risk").cast(DoubleType)), 9) * 1e9 + 0.5).cast(LongType))
+      .withColumn("cum", sum(col("l")).over(wRun))
+      .filter(col("d") > 0)
+      .select(col("t").as("t_hours"), col("n_risk"), col("d"),
+        (col("cum").cast(DoubleType) / 1e9).as("ln_surv"))
+      .orderBy(col("t_hours"))
+  }
+
+  val evtSurvivalOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+      |te AS (SELECT MAX(ts_us) AS t_end FROM e),
+      |u AS (SELECT user_id, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+      |      FROM e GROUP BY user_id),
+      |lt AS (
+      |  SELECT (last_us - first_us) // 3600000000 AS t,
+      |    CASE WHEN last_us < t_end - 86400000000 THEN 1 ELSE 0 END AS ev
+      |  FROM u, te),
+      |g AS (SELECT t, SUM(ev) AS d, SUM(1 - ev) AS c FROM lt GROUP BY t),
+      |r AS (
+      |  SELECT t, d,
+      |    CAST(SUM(d + c) OVER () AS BIGINT)
+      |      - CAST(COALESCE(SUM(d + c) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n_risk
+      |  FROM g),
+      |l AS (
+      |  SELECT t, d, n_risk,
+      |    CAST(floor(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+      |      * 1e9 + 0.5) AS BIGINT) AS lv
+      |  FROM r WHERE n_risk > d),
+      |s AS (
+      |  SELECT t, d, n_risk,
+      |    CAST(SUM(lv) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum
+      |  FROM l)
+      |SELECT t AS t_hours, n_risk, CAST(d AS BIGINT) AS d,
+      |  CAST(cum AS DOUBLE) / 1e9 AS ln_surv
+      |FROM s WHERE d > 0 ORDER BY t_hours""".stripMargin
+
+  // ---- hapax / type-token lexical statistics -------------------------------
+
+  /** Corpus lexical-richness roll-up: token count, vocabulary size, hapax
+    * legomena count, type-token ratio, and hapax fraction — the one-row
+    * companion to [[txtZipf]] (a templated corpus shows low TTR and a thin
+    * hapax tail). One token-keyed agg then a 1-row reduce; the two ratios
+    * are exact-int→double divisions. */
+  def txtHapax(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("n_tokens"), col("vocab"), col("n_hapax"),
+        (col("vocab").cast(DoubleType) / col("n_tokens").cast(DoubleType)).as("ttr"),
+        (col("n_hapax").cast(DoubleType) / col("vocab").cast(DoubleType))
+          .as("hapax_ratio"))
+
+  val txtHapaxOracle: String = {
+    val norm = TextFunctions.sql.normalize("text")
+    val toks = TextFunctions.sql.tokens("norm")
+    s"""WITH tk AS (
+       |  SELECT unnest($toks) AS tok
+       |  FROM (SELECT $norm AS norm FROM documents)),
+       |c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok)
+       |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS vocab,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS ttr,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio
+       |FROM c""".stripMargin
+  }
+
+  // ---- GROUP BY ALL / ORDER BY ALL SQL surface -----------------------------
+
+  /** `GROUP BY ALL` + `ORDER BY ALL` — the modern-SQL ergonomic both Spark 4
+    * and DuckDB implement (every non-aggregate select item becomes a
+    * grouping key / sort key). The same text runs verbatim on both engines,
+    * pinning that the dialect surface, not just the algebra, matches. */
+  def sqlGroupAll(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(sqlGroupAllOracle)
+  }
+
+  val sqlGroupAllOracle: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
+  // ---- malformed-CSV robustness (DROPMALFORMED) ----------------------------
+
+  /** CSV robustness: nation rows serialized as clean CSV lines plus three
+    * injected corrupt lines (non-numeric key, wrong arity, trailing junk),
+    * read back with `mode=DROPMALFORMED` — the survivors must be exactly
+    * the valid rows, which the oracle recomputes from parquet. This is the
+    * bad-row policy surface every large-scale CSV ingest needs (the
+    * reference exposes CSV options at CsvScanExecNode; PERMISSIVE /
+    * DROPMALFORMED / FAILFAST is Spark's tri-state). */
+  def srcCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_src_csv_malformed"
+    val good = Tables.nation(spark, dir)
+      .select(concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .as("value"))
+    import spark.implicits._
+    // every injected line carries a TYPE error — Spark's csv reader pads
+    // under-arity lines with null and silently ignores extra trailing
+    // tokens, so arity alone does not mark a row malformed
+    val bad = Seq("not_a_number,BADLAND,9", "x,TOO,y,MANY,COLS", "abc,DEF,ghi")
+      .toDF("value")
+    good.union(bad).write.mode("overwrite").text(p)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType)))
+    spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(p)
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_nationkey")).as("key_sum"),
+        max(col("n_name")).as("last_name"))
+  }
+
+  val srcCsvMalformedOracle: String =
+    """SELECT COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+      |  max(n_name) AS last_name
+      |FROM nation""".stripMargin
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "evt_survival" -> ((evtSurvival _, Some(evtSurvivalOracle))),
+    "txt_hapax" -> ((txtHapax _, Some(txtHapaxOracle))),
+    "sql_groupall" -> ((sqlGroupAll _, Some(sqlGroupAllOracle))),
+    "src_csv_malformed" -> ((srcCsvMalformed _, Some(srcCsvMalformedOracle))),
     "txt_zipf" -> ((txtZipf _, Some(txtZipfOracle))),
     "dq_psi" -> ((dqPsi _, Some(dqPsiOracle))),
     "graph_recip" -> ((graphRecip _, Some(graphRecipOracle))),

@@ -854,6 +854,19 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("evt_survival: one per-user keyed agg; KM windows run on the lifetime table") {
+    val plan = executedPlan("evt_survival")
+    assert(plan.contains("partial_"), "per-user min/max must partial-aggregate")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      "stream-end total must broadcast:\n" + plan.take(2000))
+  }
+
+  test("txt_hapax: token counts partial-aggregate; single-row reduce, no window") {
+    val plan = executedPlan("txt_hapax")
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_"), "token counts must partial-aggregate")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
