@@ -678,7 +678,254 @@ object Evaluation {
       |  max(n_name) AS last_name
       |FROM nation""".stripMargin
 
+  // ---- IQR outlier screen ---------------------------------------------------
+
+  /** Tukey-fence outlier counts per order priority: quartiles via the
+    * discrete percentile (actual data values — no interpolation float), the
+    * fences Q1 − 1.5·IQR / Q3 + 1.5·IQR in exact DECIMAL arithmetic (prices
+    * are 2-decimal), and conditional counts against them. The robust-screen
+    * companion to `win_mad`, as a grouped aggregate instead of a window.
+    * Two passes over the group (quartiles, then fence counts) joined on the
+    * grouping key — both keyed, the quartile side broadcast-sized. */
+  def dqIqr(spark: SparkSession, dir: String): DataFrame = {
+    val price = Dsl.dec(col("o_totalprice"), 14, 2)
+    val q = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2))").as("q1"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2))").as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * lit(BigDecimal("1.5")))
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * lit(BigDecimal("1.5")))
+    Tables.orders(spark, dir)
+      .join(broadcast(q), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(price < col("lo") || price > col("hi"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("o_orderpriority"), col("n"), col("n_outliers"),
+        (col("n_outliers").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("outlier_rate"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val dqIqrOracle: String =
+    """WITH q AS (
+      |  SELECT o_orderpriority,
+      |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2)) AS q1,
+      |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2)) AS q3
+      |  FROM orders GROUP BY o_orderpriority),
+      |f AS (SELECT o_orderpriority, q1 - (q3 - q1) * CAST(1.5 AS DECIMAL(2,1)) AS lo,
+      |             q3 + (q3 - q1) * CAST(1.5 AS DECIMAL(2,1)) AS hi FROM q)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(14,2)) < f.lo
+      |    OR CAST(o.o_totalprice AS DECIMAL(14,2)) > f.hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DECIMAL(14,2)) < f.lo
+      |    OR CAST(o.o_totalprice AS DECIMAL(14,2)) > f.hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+      |FROM orders o JOIN f ON o.o_orderpriority = f.o_orderpriority
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
+  // ---- precision/recall threshold sweep -------------------------------------
+
+  /** Precision/recall/F1 of the "length predicts lang='en'" classifier at
+    * five fixed score thresholds — the operating-point table next to
+    * [[clsAuc]]'s ranking view (cls_calibration bins probability; this
+    * sweeps decision cutoffs). One conditional aggregate per threshold,
+    * all in a single keyed-free reduce; ratios are exact-int divisions.
+    * F1 = 2TP/(2TP+FP+FN) avoids the precision·recall float product. */
+  def clsPr(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(100L, 200L, 300L, 400L, 500L)
+    val base = Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("pos"), col("n_chars").as("sc"))
+    // all 15 counts in ONE scan + reduce; stack() pivots to 5 rows after
+    val aggd = base.agg(
+      sum(when(col("pos") && col("sc") >= thresholds.head, 1L).otherwise(0L))
+        .as(s"tp${thresholds.head}"),
+      thresholds.tail.flatMap(t => Seq(
+        sum(when(col("pos") && col("sc") >= t, 1L).otherwise(0L)).as(s"tp$t"))) ++
+        thresholds.flatMap(t => Seq(
+          sum(when(!col("pos") && col("sc") >= t, 1L).otherwise(0L)).as(s"fp$t"),
+          sum(when(col("pos") && col("sc") < t, 1L).otherwise(0L)).as(s"fn$t"))): _*)
+    val stacked = thresholds
+      .map(t => s"CAST($t AS BIGINT), tp$t, fp$t, fn$t")
+      .mkString(s"stack(${thresholds.length}, ", ", ", ") AS (threshold, tp, fp, fn)")
+    aggd.selectExpr(stacked)
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
+          .as("precision"),
+        (col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType))
+          .as("recall"),
+        ((col("tp") * 2).cast(DoubleType) /
+          (col("tp") * 2 + col("fp") + col("fn")).cast(DoubleType)).as("f1"))
+      .orderBy(col("threshold"))
+  }
+
+  val clsPrOracle: String = {
+    val per = Seq(100, 200, 300, 400, 500).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS threshold,
+         |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars >= $t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(SUM(CASE WHEN lang <> 'en' AND n_chars >= $t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(SUM(CASE WHEN lang = 'en' AND n_chars < $t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS ($per)
+       |SELECT threshold, tp, fp, fn,
+       |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
+       |FROM m ORDER BY threshold""".stripMargin
+  }
+
+  // ---- compression-codec sink round-trip ------------------------------------
+
+  /** Parquet sink with explicit zstd compression, read back and aggregated —
+    * codec choice is a first-order cost lever at 100 TB (zstd ≈ gzip ratio
+    * at snappy-ish speed) and this pins that the option plumbs through and
+    * preserves values. Oracle recomputes from the original table. */
+  def snkZstd(spark: SparkSession, dir: String): DataFrame = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_snk_zstd"
+    Tables.customer(spark, dir).write.mode("overwrite")
+      .option("compression", "zstd").parquet(p)
+    spark.read.parquet(p)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        Dsl.d(sum(Dsl.dec(col("c_acctbal"), 14, 2))).as("bal_sum"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val snkZstdOracle: String =
+    """SELECT c_nationkey, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,2))) AS DOUBLE) AS bal_sum
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---- NDCG ranking evaluation ---------------------------------------------
+
+  /** NDCG@10 of exact cosine retrieval against the embeddings table's label
+    * column as binary ground truth (relevant = shares the query's label) —
+    * the graded companion to `sim_recall`'s recall@k. Determinism: the
+    * 1/log₂(r+1) discounts are plan-time Scala constants fixed-pointed to
+    * ×10⁹ integers (and their ideal-DCG prefix sums likewise), so DCG and
+    * IDCG are exact BIGINT sums joined from two broadcast literal dims —
+    * no float accumulation at any partitioning. Label counts ride one
+    * keyed agg; ranking reuses the gated brute-force operator. */
+  def simNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 10
+    val disc9 = (1 to k).map(r =>
+      (r.toLong, math.round(1e9 / (math.log(r + 1.0) / math.log(2.0)))))
+    val cum9 = (0 to k).map(m => (m.toLong, disc9.take(m).map(_._2).sum))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id").isin(0, 1, 2))
+    val top = graft.operators.Similarity.bruteForceTopK(q, e, k)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+    val lbl = e.select(col("vec_id"), col("label"))
+    val labelCnt = lbl.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    val rel = top
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("label").as("q_lbl"))),
+        Seq("query_id"))
+      .join(lbl.select(col("vec_id").as("corpus_id"), col("label").as("c_lbl")),
+        Seq("corpus_id"))
+      .withColumn("rel", (col("q_lbl") === col("c_lbl")).cast(LongType))
+    val dcg = rel
+      .join(broadcast(disc9.toDF("rank", "disc9")), Seq("rank"))
+      .groupBy(col("query_id"), col("q_lbl"))
+      .agg(sum(col("rel") * col("disc9")).as("dcg9"), sum(col("rel")).as("n_rel10"))
+    dcg
+      .join(broadcast(labelCnt.withColumnRenamed("label", "q_lbl")), Seq("q_lbl"))
+      .withColumn("m", least(lit(k.toLong), col("n_label") - 1))
+      .join(broadcast(cum9.toDF("m", "idcg9")), Seq("m"))
+      .select(col("query_id"), col("n_rel10"),
+        when(col("idcg9") > 0,
+          col("dcg9").cast(DoubleType) / col("idcg9").cast(DoubleType))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val simNdcgOracle: String = {
+    val k = 10
+    val disc9 = (1 to k).map(r =>
+      (r, math.round(1e9 / (math.log(r + 1.0) / math.log(2.0)))))
+    val cum9 = (0 to k).map(m => (m, disc9.take(m).map(_._2).sum))
+    val discRows = disc9.map { case (r, v) => s"($r, $v)" }.mkString(", ")
+    val cumRows = cum9.map { case (m, v) => s"($m, $v)" }.mkString(", ")
+    s"""WITH disc(rank, disc9) AS (VALUES $discRows),
+       |cum(m, idcg9) AS (VALUES $cumRows),
+       |bf AS (
+       |  SELECT query_id, corpus_id, rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${Pipeline.sqlCosine("q.embedding", "c.embedding")}, 6)
+       |          DESC, c.vec_id) AS rank
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id IN (0, 1, 2) AND q.vec_id <> c.vec_id) t
+       |  WHERE rank <= $k),
+       |lc AS (SELECT label, COUNT(*) AS n_label FROM embeddings GROUP BY label),
+       |r AS (
+       |  SELECT bf.query_id, ql.label AS q_lbl, bf.rank,
+       |    CASE WHEN ql.label = cl.label THEN 1 ELSE 0 END AS rel
+       |  FROM bf
+       |  JOIN embeddings ql ON ql.vec_id = bf.query_id
+       |  JOIN embeddings cl ON cl.vec_id = bf.corpus_id),
+       |d AS (
+       |  SELECT query_id, q_lbl,
+       |    CAST(SUM(rel * disc.disc9) AS BIGINT) AS dcg9,
+       |    CAST(SUM(rel) AS BIGINT) AS n_rel10
+       |  FROM r JOIN disc ON r.rank = disc.rank
+       |  GROUP BY query_id, q_lbl)
+       |SELECT d.query_id, d.n_rel10,
+       |  CASE WHEN cum.idcg9 > 0
+       |    THEN CAST(d.dcg9 AS DOUBLE) / CAST(cum.idcg9 AS DOUBLE)
+       |    ELSE 0.0 END AS ndcg
+       |FROM d
+       |JOIN lc ON d.q_lbl = lc.label
+       |JOIN cum ON cum.m = least($k, lc.n_label - 1)
+       |ORDER BY d.query_id""".stripMargin
+  }
+
+  // ---- winsorized mean ------------------------------------------------------
+
+  /** Winsorized mean (caps at the discrete p10/p90) of order totals per
+    * priority — the clamp-don't-drop robust mean next to `agg_trimmed`'s
+    * drop-the-tails. Caps are actual data values (percentile_disc), the
+    * clamp runs in exact DECIMAL, and the sum is integer cents (scaled
+    * decimals cast to double double-round differently per engine — the
+    * verify-recipe hazard), so the mean is int→double / 100 / count with
+    * one defined rounding per op. */
+  def aggWinsor(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2))").as("lo_cap"),
+        expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2))").as("hi_cap"))
+    Tables.orders(spark, dir)
+      .join(broadcast(caps), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        Dsl.d(max(col("lo_cap"))).as("lo_cap"), Dsl.d(max(col("hi_cap"))).as("hi_cap"),
+        (sum((least(greatest(Dsl.dec(col("o_totalprice"), 14, 2), col("lo_cap")),
+          col("hi_cap")) * 100).cast(LongType)).cast(DoubleType) / 100.0 /
+          count(lit(1))).as("winsor_mean"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggWinsorOracle: String =
+    """WITH caps AS (
+      |  SELECT o_orderpriority,
+      |    CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2)) AS lo_cap,
+      |    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS DECIMAL(14,2)) AS hi_cap
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, COUNT(*) AS n,
+      |  CAST(MAX(c.lo_cap) AS DOUBLE) AS lo_cap, CAST(MAX(c.hi_cap) AS DOUBLE) AS hi_cap,
+      |  CAST(SUM(CAST(least(greatest(CAST(o.o_totalprice AS DECIMAL(14,2)), c.lo_cap),
+      |    c.hi_cap) * 100 AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS winsor_mean
+      |FROM orders o JOIN caps c ON o.o_orderpriority = c.o_orderpriority
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "sim_ndcg" -> ((simNdcg _, Some(simNdcgOracle))),
+    "agg_winsor" -> ((aggWinsor _, Some(aggWinsorOracle))),
+    "dq_iqr" -> ((dqIqr _, Some(dqIqrOracle))),
+    "cls_pr" -> ((clsPr _, Some(clsPrOracle))),
+    "snk_zstd" -> ((snkZstd _, Some(snkZstdOracle))),
     "evt_survival" -> ((evtSurvival _, Some(evtSurvivalOracle))),
     "txt_hapax" -> ((txtHapax _, Some(txtHapaxOracle))),
     "sql_groupall" -> ((sqlGroupAll _, Some(sqlGroupAllOracle))),

@@ -867,6 +867,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), "token counts must partial-aggregate")
   }
 
+  test("dq_iqr: quartile fences broadcast onto the probe scan") {
+    val plan = executedPlan("dq_iqr")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 5-row fence table must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "fence counts must partial-aggregate")
+  }
+
+  test("cls_pr: all 15 threshold counts ride ONE scan (no union of scans)") {
+    val plan = executedPlan("cls_pr")
+    assert(!plan.contains("Union"), "threshold sweep must be single-pass:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "counts must partial-aggregate")
+  }
+
+  test("sim_ndcg: discount/idcg dims broadcast; ranking has no cartesian beyond the broadcast block") {
+    val plan = executedPlan("sim_ndcg")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "all dim joins must broadcast:\n" + plan.take(2000))
+  }
+
+  test("agg_winsor: caps broadcast; clamped sum partial-aggregates in integer cents") {
+    val plan = executedPlan("agg_winsor")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("partial_"), "clamped sums must partial-aggregate")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
