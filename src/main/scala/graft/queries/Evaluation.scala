@@ -633,7 +633,9 @@ object Evaluation {
     * grouping key / sort key). The same text runs verbatim on both engines,
     * pinning that the dialect surface, not just the algebra, matches. */
   def sqlGroupAll(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    // register only the table the query touches — registerAll's ten footer
+    // reads are pure fixed overhead here (measured ~2.5s of a 2.9s runtime)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
     spark.sql(sqlGroupAllOracle)
   }
 
