@@ -922,7 +922,73 @@ object Evaluation {
       |FROM orders o JOIN caps c ON o.o_orderpriority = c.o_orderpriority
       |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
 
+  // ---- DAU/MAU stickiness ---------------------------------------------------
+
+  /** Daily-active / monthly-active stickiness per day — the product-health
+    * ratio every event pipeline reports. DAU is one (day, user) distinct
+    * keyed agg; MAU joins each day to its month's distinct-user count
+    * (month table is calendar-bounded, broadcast). The ratio is an
+    * exact-int division. */
+  def evtDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.eventsTs(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        date_trunc("month", col("ts")).as("month"), col("user_id"))
+    val dau = e.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = e.groupBy(col("month")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), Seq("month"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau").cast(DoubleType)).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val evtDauMauOracle: String =
+    """WITH e AS (
+      |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |    date_trunc('month', CAST(ts AS TIMESTAMP)) AS month, user_id
+      |  FROM events),
+      |dau AS (SELECT day, month, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY day, month),
+      |mau AS (SELECT month, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY month)
+      |SELECT dau.day, dau.dau, mau.mau,
+      |  CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+      |FROM dau JOIN mau ON dau.month = mau.month
+      |ORDER BY dau.day""".stripMargin
+
+  // ---- id-sequence completeness --------------------------------------------
+
+  /** Sequence-gap audit over event_id — the completeness check an ingest
+    * pipeline runs on a monotonically-assigned id column (kafka offsets,
+    * snowflake ids): total missing ids from the span arithmetic, and the
+    * number of gap runs via a keyed anti-join (an id starts a gap iff id+1
+    * is absent and it isn't the max) — no window over the full id space,
+    * so the check stays keyed at any scale. */
+  def dqGaps(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.events(spark, dir).select(col("event_id").as("id")).distinct()
+    val ext = ids.agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      count(lit(1)).as("n_ids"))
+    val gapStarts = ids
+      .join(ids.select((col("id") - 1).as("id")), Seq("id"), "left_anti")
+      .crossJoin(broadcast(ext)).filter(col("id") < col("hi"))
+      .agg(count(lit(1)).as("n_gap_runs"))
+    ext.crossJoin(gapStarts)
+      .select(col("lo"), col("hi"), col("n_ids"),
+        (col("hi") - col("lo") + 1 - col("n_ids")).as("n_missing"),
+        col("n_gap_runs"))
+  }
+
+  val dqGapsOracle: String =
+    """WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+      |ext AS (SELECT MIN(id) AS lo, MAX(id) AS hi, COUNT(*) AS n_ids FROM ids),
+      |g AS (
+      |  SELECT COUNT(*) AS n_gap_runs FROM ids, ext
+      |  WHERE id < hi AND NOT EXISTS (SELECT 1 FROM ids i2 WHERE i2.id = ids.id + 1))
+      |SELECT lo, hi, CAST(n_ids AS BIGINT) AS n_ids,
+      |  hi - lo + 1 - n_ids AS n_missing, CAST(n_gap_runs AS BIGINT) AS n_gap_runs
+      |FROM ext, g""".stripMargin
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "evt_daumau" -> ((evtDauMau _, Some(evtDauMauOracle))),
+    "dq_gaps" -> ((dqGaps _, Some(dqGapsOracle))),
     "sim_ndcg" -> ((simNdcg _, Some(simNdcgOracle))),
     "agg_winsor" -> ((aggWinsor _, Some(aggWinsorOracle))),
     "dq_iqr" -> ((dqIqr _, Some(dqIqrOracle))),

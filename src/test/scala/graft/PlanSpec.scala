@@ -893,6 +893,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), "clamped sums must partial-aggregate")
   }
 
+  test("evt_daumau: month totals broadcast onto the daily distinct agg") {
+    val plan = executedPlan("evt_daumau")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the calendar-bounded MAU table must broadcast:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "distinct-user counts must partial-aggregate")
+  }
+
+  test("dq_gaps: gap starts come from a keyed anti-join, never a full-id window") {
+    val plan = executedPlan("dq_gaps")
+    assert(plan.contains("LeftAnti"), "id+1 absence via left-anti:\n" + plan.take(2000))
+    assert(!plan.contains("Window"), "no window over the id space:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
