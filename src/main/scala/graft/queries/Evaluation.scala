@@ -986,7 +986,79 @@ object Evaluation {
       |  hi - lo + 1 - n_ids AS n_missing, CAST(n_gap_runs AS BIGINT) AS n_gap_runs
       |FROM ext, g""".stripMargin
 
+  // ---- Herfindahl concentration --------------------------------------------
+
+  /** Herfindahl–Hirschman concentration of order volume across clerks per
+    * priority tier — the source-concentration metric a corpus pipeline
+    * tracks (one crawl domain dominating a mixture is the risk `smp_mixture`
+    * mitigates). HHI = Σ(c_i/n)² = Σc_i²/n², kept as two exact integer
+    * moments from a two-level keyed agg; one int→double division tree at
+    * the end. 10000·HHI (the antitrust convention) rides the same ints. */
+  def aggHhi(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_custkey"))
+      .agg(count(lit(1)).as("c"))
+    per.groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_groups"),
+        sum(col("c").cast(dec38) * col("c").cast(dec38)).as("sc2"))
+      .select(col("o_orderpriority"), col("n"), col("n_groups"),
+        (col("sc2").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("n").cast(DoubleType))).as("hhi"),
+        (lit(10000.0) * col("sc2").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("n").cast(DoubleType))).as("hhi_10k"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val aggHhiOracle: String =
+    """WITH per AS (
+      |  SELECT o_orderpriority, o_custkey, COUNT(*) AS c
+      |  FROM orders GROUP BY o_orderpriority, o_custkey),
+      |m AS (
+      |  SELECT o_orderpriority, SUM(c) AS n, COUNT(*) AS n_groups,
+      |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sc2
+      |  FROM per GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, CAST(n AS BIGINT) AS n, n_groups,
+      |  CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hhi,
+      |  10000.0 * CAST(sc2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+      |    AS hhi_10k
+      |FROM m ORDER BY o_orderpriority""".stripMargin
+
+  // ---- dynamic partition overwrite -----------------------------------------
+
+  /** Dynamic partition overwrite: write nation partitioned by region, then
+    * overwrite ONE region's partition with modified rows under
+    * `partitionOverwriteMode=dynamic` — the other partitions must survive
+    * untouched (static mode would truncate the whole table). This is the
+    * idempotent-backfill primitive every partitioned lake pipeline relies
+    * on. The oracle recomputes the expected post-overwrite state from the
+    * parquet original. */
+  def snkDynpart(spark: SparkSession, dir: String): DataFrame = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_snk_dynpart"
+    val nation = Tables.nation(spark, dir)
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(p)
+    // backfill region 0 only: names lower-cased, one defined partition swap
+    nation.filter(col("n_regionkey") === 0)
+      .withColumn("n_name", lower(col("n_name")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("n_regionkey").parquet(p)
+    spark.read.parquet(p)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val snkDynpartOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations,
+      |  min(CASE WHEN n_regionkey = 0 THEN lower(n_name) ELSE n_name END)
+      |    AS first_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
   val all: Seq[(String, (QueryFn, Option[String]))] = Seq(
+    "agg_hhi" -> ((aggHhi _, Some(aggHhiOracle))),
+    "snk_dynpart" -> ((snkDynpart _, Some(snkDynpartOracle))),
     "evt_daumau" -> ((evtDauMau _, Some(evtDauMauOracle))),
     "dq_gaps" -> ((dqGaps _, Some(dqGapsOracle))),
     "sim_ndcg" -> ((simNdcg _, Some(simNdcgOracle))),

@@ -906,6 +906,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "no window over the id space:\n" + plan.take(2000))
   }
 
+  test("agg_hhi: two-level keyed agg, both levels map-side combined, no join") {
+    val plan = executedPlan("agg_hhi")
+    assert(!plan.contains("Join"), "HHI needs no join:\n" + plan.take(2000))
+    assert(plan.contains("partial_"), "both aggregation levels must partial-aggregate")
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
