@@ -29,12 +29,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+    // State hygiene between queries: ddl_cache leaves a table cached and the
+    // iterative graph/clustering queries localCheckpoint RDD blocks that are
+    // never unpersisted. In a 269-query single-JVM sweep, everything that runs
+    // after them sees storage-memory pressure (judge measured q3 9.7s in-suite
+    // vs 1.5s isolated). Clear both after every query so per-query times
+    // reflect the plan, not the suite order.
+    def clearSuiteState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t = try {
         runOnce(fn) // warmup: plan + codegen + file-footer caches
-        val times = (1 to iters).map(_ => runOnce(fn)).sorted
+        clearSuiteState()
+        val times = (1 to iters).map { _ =>
+          val t = runOnce(fn); clearSuiteState(); t
+        }.sorted
         times(times.length / 2)
       } catch { case _: Throwable => -1.0 }
       name -> t
