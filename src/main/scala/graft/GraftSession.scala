@@ -56,6 +56,11 @@ object GraftSession {
       // custom-operator planner strategies (TopKPerKey) — the same conf line
       // a cluster deployment puts in spark-defaults.conf
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // JDBC/Thrift entry point (the reference's Flight SQL lifecycle,
+      // scheduler/src/flight_sql.rs): connections share this session's
+      // state, so tables registered through the API are queryable over
+      // JDBC. Static conf — must be set before the session exists.
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.ui.enabled", "false")
 
   /** Get-or-create a configured session and register graft SQL functions. */

@@ -644,7 +644,8 @@ object Analytics {
     * exact median() buffers each group's values (ObjectHashAggregate) —
     * measured ~linear to 100x bench scale, but at 100 TB with few groups
     * swap median() for percentile_approx(col, 0.5), whose sketch is
-    * mergeable and memory-bounded; the MAD pipeline shape is unchanged. */
+    * mergeable and memory-bounded; the MAD pipeline shape is unchanged.
+    * That scale path is its own gated query: `win_mad_approx`. */
   def winMad(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
     val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
@@ -671,6 +672,51 @@ object Analytics {
       |  COUNT(*) AS n
       |FROM dev d JOIN mad m ON d.event_type = m.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  /** The 100-TB path for `win_mad`: the same two-stage MAD pipeline with
+    * the exact `median()` (which buffers every group value in an
+    * ObjectHashAggregate) swapped for `percentile_approx`, whose GK sketch
+    * is mergeable and memory-bounded — per-group state is O(accuracy)
+    * regardless of group size, so the plan survives groups that no longer
+    * fit an executor. Sketch estimates can't hash-match a cross-engine
+    * oracle, so this gate carries the `agg_kll`-style rank invariant
+    * instead: percentile_approx(·, 0.5, acc) guarantees the returned value
+    * (always an actual input value) has rank within n/acc of n/2, and the
+    * gate recounts exact ranks of both stage outputs in-plan and asserts
+    * the bound. The oracle predicts `true` for every group, so a sketch
+    * drifting past its own error bound fails the hash gate. */
+  def winMadApprox(spark: SparkSession, dir: String): DataFrame = {
+    val acc = 1000 // rank error ≤ n/acc per group
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(acc)).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("adev"), lit(0.5), lit(acc)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("med"), 1L).otherwise(0L)).as("le_med"),
+        sum(when(col("value") < col("med"), 1L).otherwise(0L)).as("lt_med"),
+        sum(when(col("adev") <= col("mad"), 1L).otherwise(0L)).as("le_mad"),
+        sum(when(col("adev") < col("mad"), 1L).otherwise(0L)).as("lt_mad"))
+      .select(col("event_type"), col("n"),
+        (col("le_med").cast(DoubleType) >= col("n") / 2.0 - col("n") / acc - 1 &&
+          col("lt_med").cast(DoubleType) <= col("n") / 2.0 + col("n") / acc + 1)
+          .as("med_ok"),
+        (col("le_mad").cast(DoubleType) >= col("n") / 2.0 - col("n") / acc - 1 &&
+          col("lt_mad").cast(DoubleType) <= col("n") / 2.0 + col("n") / acc + 1)
+          .as("mad_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val winMadApproxOracle: String =
+    """SELECT event_type, COUNT(value) AS n, true AS med_ok, true AS mad_ok
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- struct functions ------------------------------------------------------
 
@@ -1340,6 +1386,7 @@ object Analytics {
     "fn_array2" -> ((fnArray2 _, Some(fnArray2Oracle))),
     "ded_url" -> ((dedUrl _, Some(dedUrlOracle))),
     "win_mad" -> ((winMad _, Some(winMadOracle))),
+    "win_mad_approx" -> ((winMadApprox _, Some(winMadApproxOracle))),
     "fn_struct" -> ((fnStruct _, Some(fnStructOracle))),
     "udtf_ngrams" -> ((udtfNgrams _, Some(udtfNgramsOracle)))
   )

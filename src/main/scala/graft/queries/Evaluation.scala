@@ -199,7 +199,7 @@ object Evaluation {
     */
   def srcXml(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables.nation(spark, dir)
-    val p = s"${sys.props("java.io.tmpdir")}/graft_src_xml"
+    val p = SourcesDdl.tmpPath("src_xml")
     nation.write.mode("overwrite").option("rowTag", "nation").xml(p)
     spark.read.option("rowTag", "nation").schema(nation.schema).xml(p)
       .groupBy(col("n_regionkey"))
@@ -249,7 +249,7 @@ object Evaluation {
     Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(col("n_chars")).cast(dec38).as("sw"),
+        sum(col("n_chars").cast(dec38)).as("sw"),
         sum(col("n_chars").cast(dec38) * col("n_chars").cast(dec38)).as("sw2"))
       .select(col("source"), col("n"),
         ((col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType))
@@ -484,8 +484,10 @@ object Evaluation {
     * edge rule as `graph_pagerank`: doc i → (31·i + 7k) mod N, k = 1..3):
     * the fraction of distinct directed edges whose reverse edge also
     * exists — a one-line structural health metric crawl graphs report
-    * next to degree stats. One distinct + one keyed left-semi self-join
-    * on the reversed key; no cartesian anywhere. */
+    * next to degree stats. Self-loops are excluded (a loop is trivially
+    * its own reverse, inflating the standard dyadic definition). One
+    * distinct + one keyed left-semi self-join on the reversed key; no
+    * cartesian anywhere. */
   def graphRecip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val n = docs.agg(count(lit(1)).as("n"))
@@ -493,6 +495,7 @@ object Evaluation {
       .select(col("doc_id").as("src"),
         explode(array(lit(1), lit(2), lit(3))).as("k"), col("n"))
       .select(col("src"), ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
     val recip = edges.join(
       edges.select(col("dst").as("src"), col("src").as("dst")),
@@ -508,7 +511,8 @@ object Evaluation {
     """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
       |e AS (
       |  SELECT DISTINCT doc_id AS src, (doc_id * 31 + k * 7) % n AS dst
-      |  FROM documents, nn, (VALUES (1), (2), (3)) ks(k)),
+      |  FROM documents, nn, (VALUES (1), (2), (3)) ks(k)
+      |  WHERE doc_id <> (doc_id * 31 + k * 7) % n),
       |r AS (SELECT COUNT(*) AS n_recip FROM e
       |      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src))
       |SELECT (SELECT COUNT(*) FROM e) AS n_edges, r.n_recip,
@@ -656,7 +660,7 @@ object Evaluation {
     * reference exposes CSV options at CsvScanExecNode; PERMISSIVE /
     * DROPMALFORMED / FAILFAST is Spark's tri-state). */
   def srcCsvMalformed(spark: SparkSession, dir: String): DataFrame = {
-    val p = s"${sys.props("java.io.tmpdir")}/graft_src_csv_malformed"
+    val p = SourcesDdl.tmpPath("src_csv_malformed")
     val good = Tables.nation(spark, dir)
       .select(concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .as("value"))
@@ -785,7 +789,7 @@ object Evaluation {
     * at snappy-ish speed) and this pins that the option plumbs through and
     * preserves values. Oracle recomputes from the original table. */
   def snkZstd(spark: SparkSession, dir: String): DataFrame = {
-    val p = s"${sys.props("java.io.tmpdir")}/graft_snk_zstd"
+    val p = SourcesDdl.tmpPath("snk_zstd")
     Tables.customer(spark, dir).write.mode("overwrite")
       .option("compression", "zstd").parquet(p)
     spark.read.parquet(p)
@@ -1033,7 +1037,7 @@ object Evaluation {
     * on. The oracle recomputes the expected post-overwrite state from the
     * parquet original. */
   def snkDynpart(spark: SparkSession, dir: String): DataFrame = {
-    val p = s"${sys.props("java.io.tmpdir")}/graft_snk_dynpart"
+    val p = SourcesDdl.tmpPath("snk_dynpart")
     val nation = Tables.nation(spark, dir)
     nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(p)
     // backfill region 0 only: names lower-cased, one defined partition swap

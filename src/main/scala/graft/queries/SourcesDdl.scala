@@ -19,8 +19,11 @@ object SourcesDdl {
 
   type QueryFn = (SparkSession, String) => DataFrame
 
-  private def tmpPath(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_$name"
+  // Per-JVM suffix so two concurrent harness runs on one machine never
+  // share (and corrupt) each other's scratch round-trip dirs.
+  private[queries] val runSuffix: String = ProcessHandle.current().pid().toString
+  private[queries] def tmpPath(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${runSuffix}_$name"
 
   // ---- CSV scan with header + delimiter (reference: CsvScanExecNode,
   // datafusion.proto:1163-1167; has_header/delimiter options) -------------
@@ -407,6 +410,70 @@ object SourcesDdl {
     """SELECT column_name AS col_name
       |FROM (DESCRIBE SELECT * FROM lineitem)
       |ORDER BY col_name""".stripMargin
+
+  // ---- information_schema shim (reference: client/src/context.rs:364 +
+  // core/src/config.rs:43 — DataFusion exposes information_schema per
+  // session config). Spark has no built-in information_schema, so the shim
+  // materializes `tables` and `columns` snapshots of the session catalog
+  // (current database + temp views) into an `information_schema` database,
+  // making ANSI catalog queries run unmodified. Snapshot size is metadata-
+  // scale (rows ≈ #tables + #columns) — independent of data volume. -------
+
+  def installInformationSchema(spark: SparkSession): Unit = {
+    import spark.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    val tabs = spark.catalog.listTables().collect() // catalog metadata only
+    val tables = tabs.toSeq.map { t =>
+      ("spark_catalog", Option(t.database).getOrElse("session"), t.name,
+        if (t.isTemporary) "VIEW" else "BASE TABLE")
+    }.toDF("table_catalog", "table_schema", "table_name", "table_type")
+    val columns = tabs.toSeq.flatMap { t =>
+      scala.util.Try(spark.table(t.name).schema).toOption.toSeq.flatMap { sch =>
+        sch.fields.zipWithIndex.map { case (f, i) =>
+          (t.name, f.name, (i + 1).toLong, f.dataType.sql.toLowerCase,
+            if (f.nullable) "YES" else "NO")
+        }
+      }
+    }.toDF("table_name", "column_name", "ordinal_position", "data_type",
+      "is_nullable")
+    // external tables at per-JVM tmp locations: a managed saveAsTable leaves
+    // a warehouse dir that survives the in-memory catalog, so a fresh JVM
+    // hits LOCATION_ALREADY_EXISTS on re-install
+    def materialize(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val loc = tmpPath(s"infoschema_$name")
+      df.write.mode("overwrite").parquet(loc)
+      spark.sql(s"DROP TABLE IF EXISTS information_schema.$name")
+      spark.sql(s"CREATE TABLE information_schema.$name USING parquet LOCATION '$loc'")
+    }
+    materialize("tables", tables)
+    materialize("columns", columns)
+  }
+
+  /** Catalog metadata through plain ANSI SQL, checked against DuckDB's
+    * REAL information_schema over the same registered views — the shim's
+    * name/ordinal/type-classification choices must agree with an engine
+    * that implements the standard natively. */
+  def ddlInfoschema(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    installInformationSchema(spark)
+    val in = Tables.names.map(n => s"'$n'").mkString(", ")
+    spark.sql(
+      s"""SELECT c.table_name, c.column_name, c.ordinal_position
+         |FROM information_schema.columns c
+         |JOIN information_schema.tables t ON c.table_name = t.table_name
+         |WHERE t.table_name IN ($in) AND t.table_type = 'VIEW'
+         |ORDER BY c.table_name, c.ordinal_position""".stripMargin)
+  }
+
+  val ddlInfoschemaOracle: String = {
+    val in = Tables.names.map(n => s"'$n'").mkString(", ")
+    s"""SELECT c.table_name, c.column_name,
+       |  CAST(c.ordinal_position AS BIGINT) AS ordinal_position
+       |FROM information_schema.columns c
+       |JOIN information_schema.tables t ON c.table_name = t.table_name
+       |WHERE t.table_name IN ($in) AND t.table_type = 'VIEW'
+       |ORDER BY c.table_name, c.ordinal_position""".stripMargin
+  }
 
   // ---- CREATE DATABASE / qualified names (reference: CreateCatalogSchemaNode,
   // datafusion.proto:192-202) ----------------------------------------------
@@ -863,6 +930,31 @@ object SourcesDdl {
       |GROUP BY n_nationkey
       |ORDER BY n_nationkey""".stripMargin
 
+  // ---- Object-store scheme read (reference: object_store_registry/mod.rs:
+  // 27-60 — URL scheme → registered store → reader). The sandbox has no
+  // egress or connector jars, so the scheme is bound to the local-disk
+  // stand-in (ObjectStores.installLocalStandIn) and the read goes through
+  // the FULL resolution path — gs:/// URL parse, fs.gs.impl lookup,
+  // FileSystem.initialize, parquet footer + row-group reads — everything a
+  // production read does except the wire protocol behind the FileSystem
+  // interface. --------------------------------------------------------------
+
+  def srcObjstore(spark: SparkSession, dir: String): DataFrame = {
+    val p = tmpPath("src_objstore")
+    Tables.nation(spark, dir).write.mode("overwrite").parquet(p)
+    graft.sources.ObjectStores.installLocalStandIn(spark, "gs")
+    spark.read.parquet(s"gs://$p") // p is absolute → authority-less gs:///…
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("last_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  val srcObjstoreOracle: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations, max(n_name) AS last_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
   // ---- Runtime custom table provider (reference: CustomTableScanNode,
   // datafusion.proto:126-132; register_table, client/src/context.rs:254-262)
   // — a DataSource V2 TableProvider registered at runtime and queried
@@ -917,6 +1009,8 @@ object SourcesDdl {
     "ddl_external" -> ((ddlExternal _, Some(ddlExternalOracle))),
     "ddl_show" -> ((ddlShow _, Some(ddlShowOracle))),
     "ddl_columns" -> ((ddlColumns _, Some(ddlColumnsOracle))),
+    "ddl_infoschema" -> ((ddlInfoschema _, Some(ddlInfoschemaOracle))),
+    "src_objstore" -> ((srcObjstore _, Some(srcObjstoreOracle))),
     "sql_params" -> ((sqlParams _, Some(sqlParamsOracle))),
     "sql_params_pos" -> ((sqlParamsPos _, Some(sqlParamsPosOracle))),
     "sql_recursive" -> ((sqlRecursive _, Some(sqlRecursiveOracle))),

@@ -1,6 +1,31 @@
 package graft.sources
 
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.RawLocalFileSystem
 import org.apache.spark.sql.SparkSession
+
+/** Local-disk FileSystem that answers for an object-store scheme — the
+  * offline stand-in that lets the scheme→FileSystem resolution path run
+  * end-to-end (URL parse → registry lookup → FileSystem.initialize →
+  * open/list/read) in an environment without the real connector jars or
+  * network. Deployments point `fs.<scheme>.impl` at the real connector;
+  * tests point it here and read authority-less URLs (`gs:///local/path`),
+  * which resolve against local disk. Mirrors the reference's ability to
+  * register a custom store per scheme (object_store_registry/mod.rs:27-60). */
+class LocalStandInFs extends RawLocalFileSystem {
+  private var standInUri: URI = _
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    standInUri = URI.create(s"${name.getScheme}:///")
+    super.initialize(name, conf)
+  }
+  // The superclass *constructor* already calls getUri (via
+  // getInitialWorkingDirectory), before initialize() has run — fall back
+  // to file:/// until the real scheme is known.
+  override def getUri: URI =
+    if (standInUri == null) URI.create("file:///") else standInUri
+}
 
 /** Object-store registry (reference: object_store_registry/mod.rs:27-60 —
   * URL scheme → store resolution for s3/gs/abfs/hdfs).
@@ -69,4 +94,23 @@ object ObjectStores {
   def configureAbfs(spark: SparkSession, account: String, accountKey: String): Unit =
     spark.sparkContext.hadoopConfiguration
       .set(s"fs.azure.account.key.$account.dfs.core.windows.net", accountKey)
+
+  /** Bind `scheme` (which must be in the registry's resolution table) to
+    * the local-disk stand-in so a read through that scheme exercises the
+    * full resolution path offline. Cache disabled so the binding takes
+    * effect immediately and `removeLocalStandIn` fully reverts it. */
+  def installLocalStandIn(spark: SparkSession, scheme: String): Unit = {
+    connectorClass(scheme) // reject unknown schemes like the registry does
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set(s"fs.$scheme.impl", classOf[LocalStandInFs].getName)
+    c.setBoolean(s"fs.$scheme.impl.disable.cache", true)
+  }
+
+  /** Revert [[installLocalStandIn]]: the scheme resolves to its real
+    * connector class again (and fails on its absence, as in production). */
+  def removeLocalStandIn(spark: SparkSession, scheme: String): Unit = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.unset(s"fs.$scheme.impl")
+    c.unset(s"fs.$scheme.impl.disable.cache")
+  }
 }

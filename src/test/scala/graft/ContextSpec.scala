@@ -105,6 +105,59 @@ class ContextSpec extends SparkSpec {
     assert(c.get("fs.azure.account.key.acct.dfs.core.windows.net") === "b64key")
   }
 
+  // ---- JDBC entry point (reference: scheduler/src/flight_sql.rs:80-1008 —
+  // the Flight SQL lifecycle: handshake, statement execution, catalog
+  // metadata queries). Spark's analog is the Thrift/HiveServer2 endpoint:
+  // start it on the live session, connect over JDBC, and assert both a
+  // query and the catalog metadata round-trip match the in-process run.
+
+  test("JDBC/Thrift entry point: query + catalog metadata match in-process") {
+    import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+    // a cloned session isolates the server's conf side effects (it flips
+    // spark.sql.datetime.java8API.enabled on the session it's handed,
+    // which would leak into concurrently running suites)
+    val serverSession = spark.newSession()
+    Tables.registerAll(serverSession, sfDir) // temp views shared with the server
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    serverSession.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    // GraftSession sets spark.sql.hive.thriftServer.singleSession=true
+    // (static conf), so connections share the handed session's temp views
+    val server = HiveThriftServer2.startWithContext(serverSession.sqlContext)
+    try {
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      val url = s"jdbc:hive2://localhost:$port/default"
+      // the thrift endpoint comes up asynchronously — poll the handshake
+      var conn: java.sql.Connection = null
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (conn == null) {
+        try conn = java.sql.DriverManager.getConnection(url, "anonymous", "")
+        catch {
+          case e: Throwable =>
+            if (System.nanoTime > deadline) throw e
+            Thread.sleep(250)
+        }
+      }
+      try {
+        val q = "SELECT n_regionkey, COUNT(*) AS n FROM nation " +
+          "GROUP BY n_regionkey ORDER BY n_regionkey"
+        val rs = conn.createStatement().executeQuery(q)
+        val viaJdbc = Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getInt("n_regionkey"), r.getLong("n"))).toList
+        val inProc = serverSession.sql(q).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toList
+        assert(viaJdbc == inProc && viaJdbc.nonEmpty)
+        // catalog metadata over the same wire (flight_sql.rs get_tables analog)
+        val md = conn.getMetaData.getTables(null, null, "%", null)
+        val tabs = Iterator.continually(md).takeWhile(_.next())
+          .map(_.getString("TABLE_NAME")).toSet
+        assert(Tables.names.forall(tabs.contains),
+          s"JDBC metadata missing tables: ${Tables.names.filterNot(tabs.contains)}")
+      } finally conn.close()
+    } finally server.stop()
+  }
+
   test("missing connector jar fails fast with the deployment fix, not an unknown scheme") {
     import graft.sources.ObjectStores
     val e = intercept[IllegalStateException](ObjectStores.requireConnector("s3a"))
