@@ -32,3 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Separate-artifact UDF plugin (reference: ballista/core/src/plugin/udf.rs
+// loads UDF plugins from dynamic libraries in a plugin dir). Packaged as its
+// own jar with no dependency on the main artifact; ContextSpec loads it via
+// addJar + reflection and asserts the registered function resolves by name.
+lazy val udfplugin = (project in file("plugin"))
+  .settings(
+    name := "graft-udf-plugin",
+    unmanagedBase := file("/opt/spark/jars"),
+  )
+
+// Tests exercise the packaged plugin jar — build it before test compilation.
+Test / compile := (Test / compile).dependsOn(udfplugin / Compile / packageBin).value

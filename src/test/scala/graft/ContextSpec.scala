@@ -72,6 +72,31 @@ class ContextSpec extends SparkSpec {
     ctx.sql("DROP TABLE ctx_supplier_stats")
   }
 
+  // ---- dynamic UDF plugin (reference: core/src/plugin/udf.rs:29-53 —
+  // UDFPlugin implementations loaded from a plugin dir register named UDFs).
+  // Spark analog: a separate jar shipped via --jars/addJar, loaded
+  // reflectively, registering through spark.udf — after which the function
+  // resolves by name in SQL like a built-in.
+
+  test("separate-artifact UDF plugin registers a function resolvable by name") {
+    val dir = new java.io.File("plugin/target/scala-2.13")
+    val jars = Option(dir.listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".jar"))
+    assert(jars.nonEmpty, s"plugin jar not built under $dir (udfplugin/package)")
+    val jar = jars.maxBy(_.lastModified)
+    spark.sparkContext.addJar(jar.getAbsolutePath) // executor-side shipping
+    val loader = new java.net.URLClassLoader(
+      Array(jar.toURI.toURL), getClass.getClassLoader)
+    val cls = loader.loadClass("graftplugin.GraftUdfPlugin$")
+    val module = cls.getField("MODULE$").get(null)
+    cls.getMethod("register", classOf[org.apache.spark.sql.SparkSession])
+      .invoke(module, spark)
+    val out = spark.sql(
+      "SELECT graft_plugin_shout(r_name) AS s FROM parquet.`" + sfDir +
+        "/region.parquet` ORDER BY s").collect().map(_.getString(0))
+    assert(out.length == 5 && out.head == "AFRICA!" && out.forall(_.endsWith("!")))
+  }
+
   // ---- object-store registry (reference: object_store_registry/mod.rs:
   // 27-60). The connector jars are deployment-time classpath additions —
   // absent here — so these pin what IS testable without egress: the
