@@ -69,8 +69,11 @@ object Bench {
       val total = results.collect { case (_, v) if v >= 0 => v }.sum
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},$extra"queries":$qs,"sf":"$sfDir"}"""
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), jsonLine(results, "") + "\n")
+    // only full-surface runs own the committed artifact — a SPARK_GRAFT_ONLY
+    // subset run (scale ramps, spot checks) must not clobber it
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), jsonLine(results, "") + "\n")
     val budget = 1800
     // failures first (always visible), then descending cost
     val prio = results.sortBy { case (_, v) => (v >= 0, -v) }
