@@ -55,4 +55,44 @@ object ArrowTypes {
 
   def struct(fields: (String, DataType)*): DataType =
     StructType(fields.map { case (n, t) => StructField(n, t) })
+
+  /** Arrow dense/sparse Union (datafusion.proto's Union arrow type): Spark
+    * has no sum type, so the standard lowering is a tagged struct — an
+    * int8 `type_id` discriminant plus one nullable field per variant, of
+    * which exactly one is non-null per row. Round-trippable (the
+    * discriminant preserves which variant was set, including between
+    * variants of the same type) and columnar-friendly (each variant is its
+    * own column, so pruning still works). */
+  def union(variants: (String, DataType)*): DataType =
+    StructType(
+      StructField("type_id", ByteType, nullable = false) +:
+        variants.map { case (n, t) => StructField(n, t, nullable = true) })
+
+  /** FixedSizeBinary(n): Spark's BinaryType carries no length constraint,
+    * so the constraint travels in field metadata (readable by schema
+    * translation on the way back out) and is enforceable per-row with
+    * [[fixedSizeBinaryCheck]]. */
+  def fixedSizeBinaryField(name: String, byteWidth: Int,
+                           nullable: Boolean = true): StructField = {
+    require(byteWidth > 0, s"FixedSizeBinary width must be positive: $byteWidth")
+    StructField(name, BinaryType, nullable,
+      new MetadataBuilder().putLong("arrow.fixed_size_binary.byteWidth",
+        byteWidth.toLong).build())
+  }
+
+  /** Declared byte width of a field created by [[fixedSizeBinaryField]],
+    * if any. */
+  def fixedSizeBinaryWidth(field: StructField): Option[Int] =
+    if (field.metadata.contains("arrow.fixed_size_binary.byteWidth"))
+      Some(field.metadata.getLong("arrow.fixed_size_binary.byteWidth").toInt)
+    else None
+
+  /** Column predicate enforcing the FixedSizeBinary length constraint
+    * (true where the value is null or exactly `byteWidth` bytes) — the
+    * ingest-time CHECK an Arrow system's writer would apply. */
+  def fixedSizeBinaryCheck(col: org.apache.spark.sql.Column,
+                           byteWidth: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{length, lit}
+    col.isNull || (length(col) === lit(byteWidth))
+  }
 }

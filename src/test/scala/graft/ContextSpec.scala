@@ -173,6 +173,20 @@ class ContextSpec extends SparkSpec {
         val inProc = serverSession.sql(q).collect()
           .map(r => (r.getInt(0), r.getLong(1))).toList
         assert(viaJdbc == inProc && viaJdbc.nonEmpty)
+        // prepared-statement lifecycle over the same wire (flight_sql.rs
+        // :885-903 create/execute/close prepared statements): typed
+        // placeholder bound through java.sql.PreparedStatement
+        val ps = conn.prepareStatement(
+          "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > ?")
+        ps.setDouble(1, 200000.0)
+        val prs = ps.executeQuery()
+        assert(prs.next())
+        val viaPrepared = prs.getLong("n")
+        val expected = serverSession
+          .sql("SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 200000.0")
+          .collect().head.getLong(0)
+        assert(viaPrepared == expected && expected > 0)
+        ps.close()
         // catalog metadata over the same wire (flight_sql.rs get_tables analog)
         val md = conn.getMetaData.getTables(null, null, "%", null)
         val tabs = Iterator.continually(md).takeWhile(_.next())

@@ -44,4 +44,34 @@ class TypesApproxSpec extends SparkSpec {
     // the approx median must land within a tight value band of the exact
     assert(math.abs(approx - exact) <= 2.0, s"approx=$approx exact=$exact")
   }
+
+  test("union type lowers to a tagged struct with one field per variant") {
+    import org.apache.spark.sql.types._
+    val u = ArrowTypes.union("i" -> IntegerType, "s" -> StringType)
+    val st = u.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("type_id", "i", "s"))
+    assert(st("type_id").dataType == ByteType && !st("type_id").nullable)
+    assert(st("i").nullable && st("s").nullable)
+    // a tagged row is constructible and the discriminant disambiguates
+    // same-typed variants
+    import spark.implicits._
+    val df = Seq((0.toByte, Some(7), None: Option[String]),
+      (1.toByte, None: Option[Int], Some("x")))
+      .toDF("type_id", "i", "s")
+    assert(df.where(col("type_id") === 0).select("i").collect().head.getInt(0) == 7)
+  }
+
+  test("fixed-size binary: width in metadata, check catches violations") {
+    val f = ArrowTypes.fixedSizeBinaryField("h", 16)
+    assert(ArrowTypes.fixedSizeBinaryWidth(f).contains(16))
+    assert(ArrowTypes.fixedSizeBinaryWidth(
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.BinaryType)).isEmpty)
+    import spark.implicits._
+    val df = Seq(Array.fill[Byte](16)(1), Array.fill[Byte](15)(1))
+      .toDF("h")
+    val ok = df.select(ArrowTypes.fixedSizeBinaryCheck(col("h"), 16).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(ok == Seq(true, false))
+  }
 }
