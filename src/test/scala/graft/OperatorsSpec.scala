@@ -322,6 +322,25 @@ class OperatorsSpec extends SparkSpec {
     assert(uncapped > 2000L)
   }
 
+  test("edit-distance dedup collapse tier: exact dups pair at distance 0, cap counts raw membership") {
+    // 5 identical docs (one rep, distance-0 intra pairs expanded through the
+    // member map) + 1 near-dup (rep-level comparison expands to 5 cross
+    // pairs) + a cluster of 70 identical docs: ONE representative, but the
+    // cap must count raw membership (70 > 64), exactly as uncollapsed —
+    // so it contributes zero pairs.
+    val dups = (1L to 5L).map(i => (i, "identical content repeated verbatim here"))
+    val near = Seq((6L, "identical content repeated verbatim hore"))
+    val hot = (100L until 170L).map(i => (i, "hot boilerplate shared by everyone"))
+    val df = spark.createDataFrame(dups ++ near ++ hot).toDF("doc_id", "text")
+    val pairs = Dedup.editPairs(df, "doc_id", "text", blockCap = 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val intra = pairs.filter(p => p._1 <= 5 && p._2 <= 5)
+    assert(intra.length == 10 && intra.forall(_._3 == 0L), pairs.mkString(","))
+    val cross = pairs.filter(p => p._2 == 6L)
+    assert(cross.length == 5 && cross.forall(_._3 == 1L), pairs.mkString(","))
+    assert(pairs.length == 15, s"hot cluster must contribute nothing: ${pairs.length}")
+  }
+
   test("topKPerKey matches the window formulation and is partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
