@@ -17,6 +17,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+    graft.queries.SourcesDdl.cleanStaleScratch()
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -8,6 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+    graft.queries.SourcesDdl.cleanStaleScratch()
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for local iteration; driver leaves unset.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

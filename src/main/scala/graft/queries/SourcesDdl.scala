@@ -25,6 +25,28 @@ object SourcesDdl {
   private[queries] def tmpPath(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_${runSuffix}_$name"
 
+  /** Delete scratch dirs left by graft JVMs that no longer exist (the
+    * per-PID suffix keeps concurrent runs isolated, but each dead JVM
+    * leaves its round-trip outputs behind — GBs per run at large SFs).
+    * Safe under concurrency: only dirs whose owning pid is dead are
+    * removed. Called from the Verify/Bench mains at startup. */
+  def cleanStaleScratch(): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pat = "graft_(\\d+)_.*".r
+    Option(tmp.listFiles()).toSeq.flatten.foreach { f =>
+      f.getName match {
+        case pat(pid) if pid != runSuffix &&
+          !ProcessHandle.of(pid.toLong).isPresent =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).toSeq.flatten.foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        case _ =>
+      }
+    }
+  }
+
   // ---- CSV scan with header + delimiter (reference: CsvScanExecNode,
   // datafusion.proto:1163-1167; has_header/delimiter options) -------------
 
