@@ -79,7 +79,12 @@ object Similarity {
       when(VectorFunctions.dot(emb, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All-pairs raw cosine over a corpus small enough to broadcast
+  /** REFERENCE IMPLEMENTATION ONLY (OperatorsSpec equivalence baseline —
+    * not reachable from any gated `SparkEntry.queries` entry; the gated
+    * brute-force path is [[cosineAllPairsBlockJoin]], which distributes the
+    * same exact semantics as a keyed join with nothing on the driver).
+    *
+    * All-pairs raw cosine over a corpus small enough to broadcast
     * (embedding block + norms ≈ bytes-per-vector × N — 512 KB at N=2000,
     * d=64). The block is built driver-side exactly like a broadcast-join
     * build side; scoring runs as a distributed flatMap where each task
@@ -116,6 +121,53 @@ object Similarity {
         (ida, idb, dotd(emba, embb) / (nrmA * nrmB))
       }
     }.toDF("id_a", "id_b", "raw_score")
+  }
+
+  /** Exact all-pairs cosine as a distributed KEYED equi-join on block-pair
+    * buckets — the scale-shaped replacement for [[cosinePairsBlocked]]'s
+    * driver-side broadcast (reference: the block-partitioned all-pairs shape
+    * of Vernica et al., SIGMOD'10 §3, minus the similarity prefilter —
+    * brute force is exact by contract).
+    *
+    * Construction: block(v) = vec_id mod B. The unordered block pair (i, j),
+    * i <= j, becomes one join bucket; a vector in block k is replicated as
+    * the A side of buckets (k, j..B-1) — a CONTIGUOUS bucket-id range, one
+    * `sequence` — and as the B side of buckets (0..k, k) — a stride-B
+    * `sequence`. Every cross-block pair meets in exactly one bucket; a
+    * same-block bucket (i, i) holds each pair twice, deduped by id order.
+    * The join is a plain equi-join on the bucket id: O(B·N) shuffled rows,
+    * B(B+1)/2 independent tasks, no cartesian, no broadcast, NOTHING on the
+    * driver. Compute is still Θ(N²) dots — brute force is inherently
+    * quadratic; this makes it distribute, `B` trades task granularity
+    * against the (B+1)× row replication. For corpora where N² compute
+    * itself is the problem, use [[lshPairs]]/[[semanticDedup]]/[[ivfTopK]].
+    *
+    * Arithmetic: norms precomputed per vector ([[withNorm]]), dots through
+    * the codegen'd [[graft.plans.VecDot]] — per-element products commute, so
+    * emitting (least, greatest) ids yields scores bit-equal to the
+    * id-ordered form. Zero-norm vectors never pair ([[normsPositive]]). */
+  def cosineAllPairsBlockJoin(corpus: DataFrame, nBlocks: Int = 16): DataFrame = {
+    require(nBlocks >= 1, s"cosineAllPairsBlockJoin: nBlocks must be >= 1, got $nBlocks")
+    val B = lit(nBlocks)
+    val v = withNorm(corpus, "vec_id", "emb")
+      .withColumn("blk", pmod(col("vec_id"), B))
+    val a = v.select(col("vec_id").as("id_a"), col("emb").as("emb_a"),
+        col("vec_id_norm").as("norm_a"), col("blk").as("blk_a"),
+        explode(sequence(col("blk") * (B + 1), (col("blk") + 1) * B - 1)).as("bp"))
+    val b = v.select(col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("vec_id_norm").as("norm_b"), col("blk").as("blk_b"),
+        explode(sequence(col("blk"), col("blk") * (B + 1), B)).as("bp"))
+    a.join(b, Seq("bp"))
+      // same-block buckets see each pair twice — keep the id-ordered copy;
+      // cross-block buckets see it once in arbitrary id order — keep both
+      // orders out of the output by normalizing to (least, greatest) below
+      .filter(when(col("blk_a") === col("blk_b"), col("id_a") < col("id_b"))
+        .otherwise(col("id_a") =!= col("id_b")))
+      .filter(normsPositive(col("norm_a"), col("norm_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        (VectorFunctions.dot(col("emb_a"), col("emb_b")) /
+          (col("norm_a") * col("norm_b"))).as("raw_score"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., arXiv:2303.09540):

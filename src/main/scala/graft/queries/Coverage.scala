@@ -488,13 +488,13 @@ object Coverage {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
-  /** Approximate aggregates (HLL / quantile sketches) — algorithms differ per
-    * engine by design, so there is no SQL oracle (rows-only check). The
-    * checkable part is folded into the plan, as fn_nondet does for shape:
-    * exact count-distinct/median run alongside the sketches and the filter
-    * asserts relative error (HLL++ default rsd is 5%, bound 15%; the
-    * quantile sketch gets median ± max(5%, 1)). If a sketch path breaks,
-    * groups drop out and the rows-only gate fails. */
+  /** Approximate aggregates (HLL / quantile sketches) — the estimates differ
+    * per engine by design, so the HASH-GATED columns are the exact
+    * companions plus boolean error-bound invariants computed in-plan
+    * (estimate within bound of the exact value); the oracle recomputes the
+    * exact columns and expects the booleans to be `true`. This upgrades the
+    * former rows-only check to a full hash gate while still exercising
+    * approx_count_distinct / percentile_approx end-to-end. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.lineitem(spark, dir)
@@ -535,18 +535,36 @@ object Coverage {
         (col("v_lo") + (col("v_hi") - col("v_lo")) * (col("p") - floor(col("p"))))
           .as("exact_median_qty"))
     // Three ~3-row aggregates — AQE broadcasts both joins.
+    // Deterministic output = exact values + boolean error-bound invariants
+    // (the agg_hll/win_mad_approx pattern): the sketch estimates feed ONLY
+    // the booleans, so the DuckDB oracle recomputes the exact columns and
+    // expects `true` — a broken sketch flips a boolean and the hash gate
+    // fails. Three ~3-row aggregates — AQE broadcasts both joins.
     approx
       .join(exactParts, Seq("l_returnflag"))
       .join(exactMedian, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"),
-        col("approx_median_qty"), col("exact_median_qty"))
-      .filter(
-        abs(col("approx_parts") - col("exact_parts")).cast("double")
-          <= col("exact_parts").cast("double") * 0.15 &&
-        abs(col("approx_median_qty") - col("exact_median_qty")).cast("double")
+      .select(col("l_returnflag"), col("exact_parts"),
+        round(col("exact_median_qty"), 4).as("exact_median_qty"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double")
+          <= col("exact_parts").cast("double") * 0.15).as("parts_ok"),
+        (abs(col("approx_median_qty") - col("exact_median_qty")).cast("double")
           <= greatest(col("exact_median_qty").cast("double") * 0.05, lit(1.0)))
+          .as("median_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Exact companions recomputed by DuckDB; the invariant booleans are
+    * `true` literals — hash equality proves the sketch paths land inside
+    * their error bounds (HLL++ default rsd 5% vs 15% bound; quantile sketch
+    * median ± max(5%, 1)). */
+  val aggApproxOracle: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  round(median(l_quantity), 4) AS exact_median_qty,
+      |  true AS parts_ok, true AS median_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** Weighted median (the semantic behind the reference's
     * APPROX_PERCENTILE_CONT_WITH_WEIGHT, datafusion.proto:545) computed
@@ -1568,7 +1586,7 @@ object Coverage {
     "agg_gsets" -> ((aggGsets _, Some(aggGsetsOracle))),
     "agg_filter" -> ((aggFilter _, Some(aggFilterOracle))),
     "agg_array" -> ((aggArray _, Some(aggArrayOracle))),
-    "agg_approx" -> ((aggApprox _, None)),
+    "agg_approx" -> ((aggApprox _, Some(aggApproxOracle))),
     "agg_wpercentile" -> ((aggWpercentile _, Some(aggWpercentileOracle))),
     "agg_wpercentile_udaf" -> ((aggWpercentileUdaf _, Some(aggWpercentileOracle))),
     "xch_repartition" -> ((xchRepartition _, Some(xchRepartitionOracle))),

@@ -217,8 +217,13 @@ object Pipeline {
        |WHERE hamming <= 8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Embedding brute-force near-dup pairs — EXACT all-pairs, distributed as
+    * a keyed block-pair join (no driver materialization; see
+    * [[Similarity.cosineAllPairsBlockJoin]]). PlanSpec pins the plan to a
+    * keyed equi-join (no cartesian / nested-loop). */
   def dedEmbed(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairsBlocked(Tables.embeddings(spark, dir).filter(col("vec_id") < 2000))
+    Similarity.cosineAllPairsBlockJoin(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < 2000))
       // cheap raw prefilter before round(): Spark's Round allocates a
       // BigDecimal per row — running it on the N^2 candidate set instead of
       // the survivors triples the query time. 0.39999 is safely below the

@@ -251,6 +251,21 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked.exceptAll(declarative).isEmpty && declarative.exceptAll(blocked).isEmpty)
   }
 
+  test("block-join all-pairs is bit-equal to the broadcast reference, any block count") {
+    val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
+    val reference = Similarity.cosinePairsBlocked(corpus)
+    // exercise bucket bookkeeping at the degenerate (1 = everything in one
+    // same-block bucket) and non-divisor block counts
+    for (b <- Seq(1, 7, 16)) {
+      val keyed = Similarity.cosineAllPairsBlockJoin(corpus, nBlocks = b)
+      assert(keyed.exceptAll(reference).isEmpty && reference.exceptAll(keyed).isEmpty,
+        s"nBlocks=$b diverges from the broadcast reference")
+      // exactly one row per unordered pair
+      assert(keyed.groupBy(col("id_a"), col("id_b")).count()
+        .filter(col("count") > 1).isEmpty, s"nBlocks=$b emits duplicate pairs")
+    }
+  }
+
   test("blocked cosine pairs refuses a corpus over the broadcast bound") {
     val corpus = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 200)
     val e = intercept[IllegalArgumentException] {

@@ -912,6 +912,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), "both aggregation levels must partial-aggregate")
   }
 
+  test("ded_embed: exact all-pairs runs as a keyed block join, nothing on the driver") {
+    val plan = executedPlan("ded_embed")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "block-pair buckets must equi-join on the bucket id:\n" + plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      "bucket join must be a hash/merge equi-join:\n" + plan.take(2000))
+    // driver-materialization guard: every leaf is a file scan and the pair
+    // scoring stays declarative (codegen'd VecDot) — the retired
+    // cosinePairsBlocked path collected the corpus driver-side and scored
+    // through a typed flatMap (DeserializeToObject/MapPartitions)
+    assert(!plan.contains("LocalTableScan") && !plan.contains("ExternalRDD")
+      && !plan.contains("DeserializeToObject") && !plan.contains("MapPartitions"),
+      "no driver-side materialization / typed-lambda scoring:\n" + plan.take(2000))
+  }
+
   test("whole-stage codegen covers the q6 hot path") {
     val df = SparkEntry.queries("q6")(spark, sfDir)
     df.collect() // AQE finalizes the executed plan only once this QueryExecution runs
