@@ -63,10 +63,15 @@ object ArrowTypes {
     * discriminant preserves which variant was set, including between
     * variants of the same type) and columnar-friendly (each variant is its
     * own column, so pruning still works). */
-  def union(variants: (String, DataType)*): DataType =
+  def union(variants: (String, DataType)*): DataType = {
+    require(!variants.exists(_._1 == "type_id"),
+      "union variant named 'type_id' collides with the discriminant field")
+    require(variants.map(_._1).distinct.length == variants.length,
+      "union variant names must be distinct")
     StructType(
       StructField("type_id", ByteType, nullable = false) +:
         variants.map { case (n, t) => StructField(n, t, nullable = true) })
+  }
 
   /** FixedSizeBinary(n): Spark's BinaryType carries no length constraint,
     * so the constraint travels in field metadata (readable by schema

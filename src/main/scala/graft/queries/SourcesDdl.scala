@@ -38,7 +38,12 @@ object SourcesDdl {
         case pat(pid) if pid != runSuffix &&
           !ProcessHandle.of(pid.toLong).isPresent =>
           def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).toSeq.flatten.foreach(rm)
+            // never recurse THROUGH a symlink: listFiles on a dir-symlink
+            // returns the target's children, so an attacker-planted (or
+            // accidental) link inside a dead run's scratch dir would get
+            // its target's contents deleted. Unlink the symlink itself.
+            if (!java.nio.file.Files.isSymbolicLink(x.toPath))
+              Option(x.listFiles()).toSeq.flatten.foreach(rm)
             x.delete(): Unit
           }
           rm(f)
@@ -452,12 +457,13 @@ object SourcesDdl {
     val columns = tabs.toSeq.flatMap { t =>
       scala.util.Try(spark.table(t.name).schema).toOption.toSeq.flatMap { sch =>
         sch.fields.zipWithIndex.map { case (f, i) =>
-          (t.name, f.name, (i + 1).toLong, f.dataType.sql.toLowerCase,
+          ("spark_catalog", Option(t.database).getOrElse("session"), t.name,
+            f.name, (i + 1).toLong, f.dataType.sql.toLowerCase,
             if (f.nullable) "YES" else "NO")
         }
       }
-    }.toDF("table_name", "column_name", "ordinal_position", "data_type",
-      "is_nullable")
+    }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+      "ordinal_position", "data_type", "is_nullable")
     // external tables at per-JVM tmp locations: a managed saveAsTable leaves
     // a warehouse dir that survives the in-memory catalog, so a fresh JVM
     // hits LOCATION_ALREADY_EXISTS on re-install
@@ -479,10 +485,14 @@ object SourcesDdl {
     Tables.registerAll(spark, dir)
     installInformationSchema(spark)
     val in = Tables.names.map(n => s"'$n'").mkString(", ")
+    // join on (schema, name) — table_name alone is ambiguous the moment two
+    // schemas hold a table of the same name (both engines' standard
+    // information_schema allows that)
     spark.sql(
       s"""SELECT c.table_name, c.column_name, c.ordinal_position
          |FROM information_schema.columns c
-         |JOIN information_schema.tables t ON c.table_name = t.table_name
+         |JOIN information_schema.tables t
+         |  ON c.table_schema = t.table_schema AND c.table_name = t.table_name
          |WHERE t.table_name IN ($in) AND t.table_type = 'VIEW'
          |ORDER BY c.table_name, c.ordinal_position""".stripMargin)
   }
@@ -492,7 +502,8 @@ object SourcesDdl {
     s"""SELECT c.table_name, c.column_name,
        |  CAST(c.ordinal_position AS BIGINT) AS ordinal_position
        |FROM information_schema.columns c
-       |JOIN information_schema.tables t ON c.table_name = t.table_name
+       |JOIN information_schema.tables t
+       |  ON c.table_schema = t.table_schema AND c.table_name = t.table_name
        |WHERE t.table_name IN ($in) AND t.table_type = 'VIEW'
        |ORDER BY c.table_name, c.ordinal_position""".stripMargin
   }
@@ -955,7 +966,7 @@ object SourcesDdl {
   // ---- Object-store scheme read (reference: object_store_registry/mod.rs:
   // 27-60 — URL scheme → registered store → reader). The sandbox has no
   // egress or connector jars, so the scheme is bound to the local-disk
-  // stand-in (ObjectStores.installLocalStandIn) and the read goes through
+  // stand-in (ObjectStores.standInOptions, scan-scoped) and the read goes through
   // the FULL resolution path — gs:/// URL parse, fs.gs.impl lookup,
   // FileSystem.initialize, parquet footer + row-group reads — everything a
   // production read does except the wire protocol behind the FileSystem
@@ -964,8 +975,11 @@ object SourcesDdl {
   def srcObjstore(spark: SparkSession, dir: String): DataFrame = {
     val p = tmpPath("src_objstore")
     Tables.nation(spark, dir).write.mode("overwrite").parquet(p)
-    graft.sources.ObjectStores.installLocalStandIn(spark, "gs")
-    spark.read.parquet(s"gs://$p") // p is absolute → authority-less gs:///…
+    // scan-scoped scheme binding: the fs.gs.* options ride on this relation's
+    // Hadoop conf only — the session conf is untouched, so the stand-in can
+    // never shadow a real gs connector for any other query in the session
+    spark.read.options(graft.sources.ObjectStores.standInOptions("gs"))
+      .parquet(s"gs://$p") // p is absolute → authority-less gs:///…
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("last_name"))
       .orderBy(col("n_regionkey"))

@@ -106,6 +106,20 @@ object ObjectStores {
     c.setBoolean(s"fs.$scheme.impl.disable.cache", true)
   }
 
+  /** Scan-scoped form of [[installLocalStandIn]]: pass these as reader
+    * options (`spark.read.options(standInOptions("gs")).parquet("gs://…")`)
+    * and Spark folds them into THAT relation's Hadoop configuration only
+    * (`newHadoopConfWithOptions`) — the session-wide conf never changes, so
+    * nothing leaks to later queries and no revert is needed. Preferred over
+    * install/remove for lazily-executed plans, where a try/finally revert
+    * around DataFrame construction would unbind the scheme before the scan
+    * ever runs. */
+  def standInOptions(scheme: String): Map[String, String] = {
+    connectorClass(scheme) // reject unknown schemes like the registry does
+    Map(s"fs.$scheme.impl" -> classOf[LocalStandInFs].getName,
+      s"fs.$scheme.impl.disable.cache" -> "true")
+  }
+
   /** Revert [[installLocalStandIn]]: the scheme resolves to its real
     * connector class again (and fails on its absence, as in production). */
   def removeLocalStandIn(spark: SparkSession, scheme: String): Unit = {

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's baseline parser feeds the self-reconciliation gate
+  * (in-suite median >2x the BASELINE.md row triggers an isolated
+  * re-measure) — a parser that silently returns an empty map would turn
+  * reconciliation off without any visible failure, so it gets its own
+  * spec. */
+class BenchSpec extends AnyFunSuite {
+
+  private def withBaseline(content: String)(f: String => Unit): Unit = {
+    val p = java.nio.file.Files.createTempFile("baseline", ".md")
+    try {
+      java.nio.file.Files.writeString(p, content)
+      f(p.toString)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private val table =
+    """# BASELINE
+      |
+      || query | sf | wall-clock ms (median of 3) | spark conf |
+      ||---|---|---|---|
+      || agg_approx | 0.1 | 851 | local[32], shuffle.partitions=32, AQE on |
+      || ded_contain | 0.1 | 3810 | local[32], shuffle.partitions=32, AQE on |
+      |
+      |## scale ramp (must not override the 0.1 rows)
+      |
+      || query | sf | wall-clock ms | spark conf |
+      ||---|---|---|---|
+      || ded_contain | 1 | 12000 | local[32] |
+      |""".stripMargin
+
+  test("parses first sf0.1 row per query, in seconds") {
+    withBaseline(table) { path =>
+      val b = Bench.parseBaseline("/root/testdata/sf0.1", path)
+      assert(b == Map("agg_approx" -> 0.851, "ded_contain" -> 3.810))
+    }
+  }
+
+  test("trailing slash on the sf dir still pins sf0.1") {
+    withBaseline(table) { path =>
+      assert(Bench.parseBaseline("/root/testdata/sf0.1//", path).nonEmpty)
+    }
+  }
+
+  test("non-0.1 bench SF disables reconciliation (empty envelope)") {
+    withBaseline(table) { path =>
+      assert(Bench.parseBaseline("/root/testdata/sf0.01", path).isEmpty)
+      assert(Bench.parseBaseline("/tmp/sf1", path).isEmpty)
+    }
+  }
+
+  test("missing baseline file yields an empty envelope, not a crash") {
+    assert(Bench.parseBaseline("/root/testdata/sf0.1", "/nonexistent/BASELINE.md").isEmpty)
+  }
+
+  test("the committed BASELINE.md parses to a full envelope") {
+    val b = Bench.parseBaseline("/root/testdata/sf0.1", "BASELINE.md")
+    assert(b.size > 200, s"expected one row per gated query, got ${b.size}")
+    assert(b.values.forall(v => v > 0 && v < 120), "rows are positive seconds under 2 min")
+  }
+}
