@@ -135,9 +135,13 @@ object Similarity {
     * `sequence` — and as the B side of buckets (0..k, k) — a stride-B
     * `sequence`. Every cross-block pair meets in exactly one bucket; a
     * same-block bucket (i, i) holds each pair twice, deduped by id order.
-    * The join is a plain equi-join on the bucket id: O(B·N) shuffled rows,
-    * B(B+1)/2 independent tasks, no cartesian, no broadcast, NOTHING on the
-    * driver. Compute is still Θ(N²) dots — brute force is inherently
+    * The join is a plain equi-join on the bucket id: O(B·N) keyed rows,
+    * B(B+1)/2 independent buckets, no cartesian, and no driver-side
+    * collection IN THIS CODE — Spark remains free to pick a broadcast hash
+    * join when the replica side sits under the broadcast threshold (it
+    * does at gate scale, and that is the right plan there; past the
+    * threshold the same query graduates to a shuffled join untouched).
+    * Compute is still Θ(N²) dots — brute force is inherently
     * quadratic; this makes it distribute, `B` trades task granularity
     * against the (B+1)× row replication. For corpora where N² compute
     * itself is the problem, use [[lshPairs]]/[[semanticDedup]]/[[ivfTopK]].

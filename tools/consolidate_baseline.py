@@ -9,10 +9,26 @@ baseline row in-suite is re-measured isolated; see Bench.scala) plus
 per-query shuffle bytes and peak task memory, so the table now carries a
 telemetry column pair: host pollution shows up as inflated wall-clock with
 UNCHANGED shuffle bytes, a real plan regression moves both.
-Usage: python3 tools/consolidate_baseline.py
+Usage:
+  python3 tools/consolidate_baseline.py
+      full refresh — every row's wall-clock AND telemetry from BENCH_FULL
+  python3 tools/consolidate_baseline.py --telemetry-only [--update-times q1,q2]
+      keep each existing row's wall-clock ms (the table stays the fastest
+      honest isolated sweep — a uniformly slower host must not loosen the
+      2x reconciliation envelope); only fill the telemetry columns from
+      the latest sweep. --update-times lists queries whose IMPLEMENTATION
+      changed, so their old ms describes retired code and must be replaced.
+      Queries absent from the table get full rows either way.
 """
 import json
+import re
 import sys
+
+telemetry_only = "--telemetry-only" in sys.argv
+update_times = set()
+if "--update-times" in sys.argv:
+    update_times = set(
+        sys.argv[sys.argv.index("--update-times") + 1].split(","))
 
 bench = json.load(open("BENCH_FULL.json"))
 queries = bench["queries"]
@@ -24,9 +40,10 @@ HEADER = ("| query | sf | wall-clock ms (median of 3, noop sink, after warmup)"
 SEP = "|---|---|---|---|---|---|\n"
 
 
-def row(name):
+def row(name, keep_ms=None):
     v = queries[name]
-    ms = "-1" if v < 0 else str(int(round(v * 1000)))
+    ms = keep_ms if keep_ms is not None else (
+        "-1" if v < 0 else str(int(round(v * 1000))))
     d = detail.get(name) or {}
     # the stats of whichever run produced the reported figure
     stats = d.get("isolated") or d.get("in_suite") or {}
@@ -37,7 +54,7 @@ def row(name):
     else:
         tele = "| — | — "
     conf = "local[32], shuffle.partitions=32, AQE on"
-    if d.get("isolated"):
+    if keep_ms is None and d.get("isolated"):
         conf += "; isolated re-measure"
     return f"| {name} | {sf} | {ms} {tele}| {conf} |\n"
 
@@ -55,11 +72,18 @@ while i < n:
             sys.exit("per-query table header has no separator row")
         out.append(SEP)
         i += 2
-        # skip old data rows
+        # collect (and skip) old data rows, keeping their ms values
+        old_ms = {}
         while i < n and lines[i].startswith("| "):
+            m = re.match(r"\|\s*(\w+)\s*\|\s*[\d.]+\s*\|\s*(-?\d+)\s*\|",
+                         lines[i])
+            if m:
+                old_ms[m.group(1)] = m.group(2)
             i += 1
         for name in sorted(queries):
-            out.append(row(name))
+            keep = (old_ms.get(name)
+                    if telemetry_only and name not in update_times else None)
+            out.append(row(name, keep_ms=keep))
         replaced = True
         continue
     out.append(line)
