@@ -205,11 +205,13 @@ object Bench {
     }.mkString("{", ",", "}")
 
     // only full-surface runs own the committed artifact — a SPARK_GRAFT_ONLY
-    // subset run (scale ramps, spot checks) must not clobber it
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
-        jsonLine(results, "\"detail\":" + detailJson + ",") + "\n")
+    // subset run (scale ramps, spot checks) must not clobber it; its detail
+    // (shuffle/peak-mem telemetry) still lands in BENCH_SUBSET.json so a
+    // plan change can re-pin its BASELINE.md row without a full sweep
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"),
+      jsonLine(results, "\"detail\":" + detailJson + ",") + "\n")
     val budget = 1800
     // failures first (always visible), then descending cost
     val prio = results.sortBy { case (_, q) => (q.finalSec >= 0, -q.finalSec) }

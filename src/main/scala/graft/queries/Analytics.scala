@@ -636,22 +636,75 @@ object Analytics {
 
   // ---- robust outlier stats (median absolute deviation) ----------------------
 
+  /** Exact interpolated median per group WITHOUT per-group buffering: the
+    * value-domain construction (same move as agg_approx's exact
+    * companion). Group to per-(key, value) counts — hash agg, map-side
+    * partial — then a cumulative-count window over the value domain finds
+    * the two bracketing values, and `v_lo + (v_hi - v_lo)*(p - floor p)`
+    * reproduces median()/percentile(0.5) semantics exactly. Memory story
+    * at 100 TB: the window is a SPILLABLE sort of the per-key distinct
+    * values, vs median()'s ObjectHashAggregate buffering every group value
+    * on the executor heap with no spill path. Bit-exactness across
+    * engines: selection plus one identical IEEE expression — the ORACLE
+    * mirrors this construction rather than calling the engine's median()
+    * (whose even-count form `(a+b)/2` is not bit-equal to the
+    * interpolation form). Null values are excluded, as median() excludes
+    * them. */
+  private def exactMedianByKey(df: DataFrame, key: String, v: String,
+                               out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(key))
+    df.filter(col(v).isNotNull)
+      .groupBy(col(key), col(v)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        byKey.orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("p", (sum(col("cnt")).over(byKey) - 1) / 2.0)
+      .groupBy(col(key))
+      .agg(
+        min(when(col("cum") > floor(col("p")), col(v))).as("v_lo"),
+        min(when(col("cum") > ceil(col("p")), col(v))).as("v_hi"),
+        max(col("p")).as("p"))
+      .select(col(key),
+        (col("v_lo") + (col("v_hi") - col("v_lo")) * (col("p") - floor(col("p"))))
+          .as(out))
+  }
+
+  /** The oracle-side mirror of [[exactMedianByKey]] — same construction,
+    * same IEEE expression, over `src` (must expose `event_type` and the
+    * `v` column). */
+  private def exactMedianSql(src: String, v: String, out: String): String =
+    s"""SELECT event_type,
+       |    v_lo + (v_hi - v_lo) * (p - floor(p)) AS $out
+       |  FROM (
+       |    SELECT event_type,
+       |      MIN(CASE WHEN cum > floor(p) THEN $v END) AS v_lo,
+       |      MIN(CASE WHEN cum > ceil(p) THEN $v END) AS v_hi,
+       |      MAX(p) AS p
+       |    FROM (
+       |      SELECT event_type, $v,
+       |        SUM(cnt) OVER (PARTITION BY event_type ORDER BY $v
+       |                       ROWS UNBOUNDED PRECEDING) AS cum,
+       |        (SUM(cnt) OVER (PARTITION BY event_type) - 1) / 2.0 AS p
+       |      FROM (SELECT event_type, $v, COUNT(*) AS cnt FROM $src
+       |            WHERE $v IS NOT NULL GROUP BY 1, 2))
+       |    GROUP BY event_type)""".stripMargin
+
   /** Per-type robust outlier screen: median, MAD, and the count of values
     * beyond 3 MADs — the curation-pipeline alternative to z-scores that
     * heavy-tailed metrics need. Medians are selection (not summation), so
-    * doubles stay bit-exact across engines with no decimal detour. Two
-    * keyed aggregations; the per-type stats joins broadcast. Scale note:
-    * exact median() buffers each group's values (ObjectHashAggregate) —
-    * measured ~linear to 100x bench scale, but at 100 TB with few groups
-    * swap median() for percentile_approx(col, 0.5), whose sketch is
-    * mergeable and memory-bounded; the MAD pipeline shape is unchanged.
-    * That scale path is its own gated query: `win_mad_approx`. */
+    * doubles stay bit-exact across engines with no decimal detour. Both
+    * median stages run through [[exactMedianByKey]] — exact AND
+    * memory-bounded (spillable window sort over the value domain), so this
+    * query no longer trades scale safety for exactness; `win_mad_approx`
+    * remains the mergeable-sketch variant for when even the value-domain
+    * sort is unwelcome. The per-type stats joins broadcast. */
   def winMad(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
-    val med = e.groupBy(col("event_type")).agg(median(col("value")).as("med"))
+    val med = exactMedianByKey(e, "event_type", "value", "med")
     val dev = e.join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = dev.groupBy(col("event_type")).agg(median(col("adev")).as("mad"))
+    val mad = exactMedianByKey(dev, "event_type", "adev", "mad")
     dev.join(broadcast(mad), Seq("event_type"))
       .groupBy(col("event_type"))
       .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
@@ -661,11 +714,11 @@ object Analytics {
   }
 
   val winMadOracle: String =
-    """WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    s"""WITH med AS (${exactMedianSql("events", "value", "med")}),
       |dev AS (
-      |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
       |  FROM events e JOIN med m ON e.event_type = m.event_type),
-      |mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+      |mad AS (${exactMedianSql("dev", "adev", "mad")})
       |SELECT d.event_type, MIN(d.med) AS med, MIN(m.mad) AS mad,
       |  CAST(SUM(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_outliers,

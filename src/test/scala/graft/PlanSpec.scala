@@ -381,6 +381,9 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "tiny per-type stats must broadcast, never shuffle events:\n" + plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("ObjectHashAggregate"),
+      "exact medians must use the spillable value-domain window, not " +
+        "per-group buffering:\n" + plan.take(2000))
   }
 
   test("fn_struct: struct build/serialize is per-row, no shuffle-by-key or join") {
