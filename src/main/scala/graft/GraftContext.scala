@@ -78,6 +78,37 @@ class GraftContext(val spark: SparkSession) {
 
   def sql(sqlText: String, args: Map[String, Any]): DataFrame =
     spark.sql(sqlText, args)
+
+  // ---- data-cache policy layer (reference: ballista/cache crate wired
+  // through core/src/cache_layer — single-flight loading cache, byte-budget
+  // LRU, metrics). Spark-first: the cache medium is persist()'s distributed
+  // columnar storage; this adds the policy + metrics layer above it. ------
+
+  /** Policy-managed dataset cache. Lazily constructed on first use with
+    * `graft.cache.maxBytes` / `graft.cache.ttlSeconds` from the session conf
+    * (defaults: 4 GiB, no TTL) — the reference sizes its file cache the same
+    * way (executor config, executor.rs cache_capacity).
+    */
+  lazy val datasetCache: graft.cache.DatasetCache = {
+    val maxBytes = spark.conf.getOption("graft.cache.maxBytes")
+      .map(_.toLong).getOrElse(4L << 30)
+    val ttl = spark.conf.getOption("graft.cache.ttlSeconds")
+      .map(s => scala.concurrent.duration.Duration(s.toLong, "s"))
+      .getOrElse(scala.concurrent.duration.Duration.Inf)
+    new graft.cache.DatasetCache(spark, maxBytes, ttl)
+  }
+
+  /** Cache metrics as a relation (reference: cache metrics surfaced through
+    * the scheduler; here they are queryable in the engine itself). */
+  def cacheStatus: DataFrame = datasetCache.statusDf
+
+  // ---- cluster status (reference: scheduler REST status API,
+  // scheduler/src/api/handlers.rs — Spark-side the same data comes from
+  // SparkStatusTracker, exposed here as relations) ------------------------
+
+  def executorStatus: DataFrame = graft.cache.ClusterStatus.executors(spark)
+
+  def jobStatus: DataFrame = graft.cache.ClusterStatus.jobs(spark)
 }
 
 object GraftContext {

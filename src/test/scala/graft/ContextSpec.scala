@@ -36,6 +36,20 @@ class ContextSpec extends SparkSpec {
     assert(cfg("ballista.shuffle.partitions") == spark.conf.get("spark.sql.shuffle.partitions"))
   }
 
+  test("context cache + status surfaces: managed dataset round-trips, metrics and executors query") {
+    val df = ctx.datasetCache.getOrLoad("ctx_nation") {
+      ctx.readParquet(s"$sfDir/nation.parquet")
+    }
+    assert(df.count() == 25)
+    ctx.datasetCache.getOrLoad("ctx_nation")(sys.error("must be cached"))
+    val st = ctx.cacheStatus.collect()(0)
+    assert(st.getAs[Long]("hits") >= 1 && st.getAs[Long]("bytes_cached") > 0)
+    assert(ctx.executorStatus.count() >= 1)
+    assert(ctx.jobStatus.columns.toSeq == Seq("job_id", "status", "n_stages"))
+    ctx.datasetCache.invalidateAll()
+    assert(ctx.cacheStatus.collect()(0).getAs[Long]("entries") == 0)
+  }
+
   // ---- EXPLAIN / ANALYZE (reference: ExplainNode/AnalyzeNode,
   // core/proto/datafusion.proto — EXPLAIN returns the plan as rows, ANALYZE
   // executes and reports; both are engine-specific text by design, so they
