@@ -99,8 +99,22 @@ class CachingFs extends FileSystem {
     val bp = toBacking(f)
     val st = backing.getFileStatus(bp)
     val key = s"$bp@${st.getModificationTime}:${st.getLen}"
-    val copy = state.cache.get(key, () => copyDown(bp, key, st.getLen))
-    local.open(new Path(copy.getPath), bufferSize)
+    // a concurrent capacity eviction can unlink the copy between get() and
+    // open() (once open, deletion is harmless — POSIX unlinked-inode reads);
+    // the retry re-loads through the single-flight cache
+    var attempt = 0
+    while (true) {
+      val copy = state.cache.get(key, () => copyDown(bp, key, st.getLen))
+      try {
+        return local.open(new Path(copy.getPath), bufferSize)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          state.cache.invalidate(key)
+          attempt += 1
+          if (attempt >= 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Loader: one whole-file copy into the cache dir (the reference's

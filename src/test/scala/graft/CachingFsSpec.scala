@@ -92,6 +92,26 @@ class CachingFsSpec extends SparkSpec {
     } finally { fs.close(); CachingFs.purge("gs", dir); Files.delete(src) }
   }
 
+  test("fs cache: open survives a copy deleted behind the cache (eviction race)") {
+    val dir = freshDir("race")
+    val fs = newFs("gs", dir, 1L << 20)
+    try {
+      val p = new Path(s"gs://$sfDir/nation.parquet")
+      fs.open(p).close() // copy down
+      // simulate the get()->open() race: the LRU deletes the copy while the
+      // stale File handle is still what the cache returns
+      new File(dir).listFiles().filterNot(_.getName.endsWith(".tmp"))
+        .foreach(f => assert(f.delete()))
+      val in = fs.open(p) // must invalidate + re-load, not throw
+      try {
+        val buf = new Array[Byte](8192); var t = 0; var n = in.read(buf)
+        while (n >= 0) { t += n; n = in.read(buf) }
+        assert(t == fs.getFileStatus(p).getLen)
+      } finally in.close()
+      assert(CachingFs.stats("gs", dir).get.loads == 2, "retry re-loaded once")
+    } finally { fs.close(); CachingFs.purge("gs", dir) }
+  }
+
   test("fs cache: metadata and writes pass through to the backing store") {
     val dir = freshDir("meta")
     val out = freshDir("meta-data")
