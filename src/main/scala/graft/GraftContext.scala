@@ -109,6 +109,67 @@ class GraftContext(val spark: SparkSession) {
   def executorStatus: DataFrame = graft.cache.ClusterStatus.executors(spark)
 
   def jobStatus: DataFrame = graft.cache.ClusterStatus.jobs(spark)
+
+  // ---- async job lifecycle (reference: submit → poll → cancel — REST
+  // cancel_job, scheduler/src/api/handlers.rs:163-183 (404 on unknown id,
+  // `cancelled: true` reply); gRPC cancel_job, scheduler_server/grpc.rs:
+  // 588-611, fanning out to executor cancel_tasks, executor_server.rs:723).
+  // Spark-first: a submitted job is the set of Spark jobs running under its
+  // job group, and cancellation is Spark's native cooperative kill path
+  // (cancelJobGroup with interruptOnCancel — codegen'd operators poll the
+  // interrupt flag per row batch), so "cancel" reclaims executor slots
+  // mid-stage without tearing anything down — on a 1000-executor cluster
+  // that is the difference between killing a runaway 100-TB scan and
+  // waiting it out. -------------------------------------------------------
+
+  private val activeJobs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
+  private lazy val submitEc =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "graft-submit")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Run `body`'s Spark jobs asynchronously under job group `jobId`. The
+    * returned future completes with the result, or fails with Spark's
+    * cancellation error if [[cancel]] kills it first. Ids must be unique
+    * among ACTIVE jobs (the reference's task manager keys running jobs the
+    * same way).
+    */
+  def submit[T](jobId: String)(body: SparkSession => T): scala.concurrent.Future[T] = {
+    require(activeJobs.putIfAbsent(jobId, java.lang.Boolean.TRUE) == null,
+      s"job '$jobId' is already active")
+    scala.concurrent.Future {
+      spark.sparkContext.setJobGroup(jobId, s"graft job $jobId",
+        interruptOnCancel = true)
+      try body(spark)
+      finally {
+        spark.sparkContext.clearJobGroup()
+        activeJobs.remove(jobId)
+      }
+    }(submitEc)
+  }
+
+  /** Cancel a submitted job: true if `jobId` was active and its Spark jobs
+    * were told to die; false for an unknown/finished id (the handler's 404
+    * case).
+    */
+  def cancel(jobId: String): Boolean =
+    if (!activeJobs.containsKey(jobId)) false
+    else {
+      spark.sparkContext.cancelJobGroup(jobId)
+      true
+    }
+
+  /** Per-job status relation: the Spark jobs that ran under `jobId`'s group
+    * (the reference's get_job_status surface). Named distinctly from the
+    * all-jobs [[jobStatus]] relation — `jobStatus(id)` would be ambiguous
+    * with `DataFrame.apply(colName)` on it. */
+  def jobStatusFor(jobId: String): DataFrame =
+    graft.cache.ClusterStatus.jobsForGroup(spark, jobId)
 }
 
 object GraftContext {

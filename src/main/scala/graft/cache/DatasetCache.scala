@@ -138,6 +138,18 @@ object ClusterStatus {
   def jobs(spark: SparkSession): DataFrame = {
     val t = spark.sparkContext.statusTracker
     val ids = (t.getJobIdsForGroup(null) ++ t.getActiveJobIds()).distinct
+    jobRows(spark, ids)
+  }
+
+  /** The Spark jobs belonging to one submitted graft job (the per-job half
+    * of the reference's status API: `get_job_status`, queried by the job
+    * list handler with per-job completion state).
+    */
+  def jobsForGroup(spark: SparkSession, groupId: String): DataFrame =
+    jobRows(spark, spark.sparkContext.statusTracker.getJobIdsForGroup(groupId))
+
+  private def jobRows(spark: SparkSession, ids: Array[Int]): DataFrame = {
+    val t = spark.sparkContext.statusTracker
     val rows = ids.toSeq.sorted.flatMap { id =>
       t.getJobInfo(id).map(j => (id, j.status().toString, j.stageIds().length))
     }

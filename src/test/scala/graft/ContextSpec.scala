@@ -55,6 +55,37 @@ class ContextSpec extends SparkSpec {
   // executes and reports; both are engine-specific text by design, so they
   // are pinned by spec rather than a DuckDB oracle row) ---------------------
 
+  test("job lifecycle: submit runs async under its id, cancel kills it mid-stage") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    // a scan long enough to be mid-flight when the cancel lands: codegen'd
+    // range+sum polls the task interrupt flag per row batch
+    val fut = ctx.submit("ctx-cancel") { s =>
+      s.range(1L << 42).selectExpr("sum(id) AS s").collect()
+    }
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (tracker.getJobIdsForGroup("ctx-cancel").isEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(20)
+    assert(tracker.getJobIdsForGroup("ctx-cancel").nonEmpty, "job never started")
+    // duplicate ACTIVE ids are rejected (task-manager keying)
+    assertThrows[IllegalArgumentException] { ctx.submit("ctx-cancel")(_ => ()) }
+    assert(ctx.cancel("ctx-cancel"), "active job reports cancelled: true")
+    val err = intercept[Exception] { Await.result(fut, 60.seconds) }
+    assert(err.getMessage.toLowerCase.contains("cancel"), s"got: ${err.getMessage}")
+    // the per-job status relation saw the group's Spark jobs
+    val statuses = ctx.jobStatusFor("ctx-cancel").collect().map(_.getString(1))
+    assert(statuses.nonEmpty && statuses.forall(s => s == "FAILED" || s == "RUNNING"))
+    // drained id now reports false — the REST handler's 404 case
+    assert(!ctx.cancel("ctx-cancel"))
+    assert(!ctx.cancel("never-submitted"))
+    // the context stays fully usable after a cancellation
+    val ok = ctx.submit("ctx-after") { s =>
+      s.range(100).selectExpr("sum(id) AS s").collect()(0).getLong(0)
+    }
+    assert(Await.result(ok, 60.seconds) == 4950L)
+  }
+
   test("EXPLAIN through SQL returns the physical plan with pushdown visible") {
     ctx.registerParquet("ctx_lineitem", s"$sfDir/lineitem.parquet")
     val rows = ctx.sql(
