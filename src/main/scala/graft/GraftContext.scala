@@ -71,6 +71,14 @@ class GraftContext(val spark: SparkSession) {
                   delimiter: String = ","): Unit =
     registerTable(name, readCsv(path, hasHeader, delimiter))
 
+  /** Avro registration (reference: register_avro, context.rs:303-315). */
+  def registerAvro(name: String, path: String): Unit =
+    registerTable(name, readAvro(path))
+
+  def registerAvro(name: String, path: String,
+                   schema: org.apache.spark.sql.types.StructType): Unit =
+    registerTable(name, readAvro(path, schema))
+
   // ---- SQL (reference: context.rs:356-468, incl. SHOW handling gated on
   // with_information_schema — Spark serves SHOW/DESCRIBE natively) --------
 
@@ -78,6 +86,13 @@ class GraftContext(val spark: SparkSession) {
 
   def sql(sqlText: String, args: Map[String, Any]): DataFrame =
     spark.sql(sqlText, args)
+
+  /** Plan-level entry (reference: execute_logical_plan, context.rs:471):
+    * materialize a hand-built Catalyst logical plan as a DataFrame — the
+    * route custom operators (e.g. plans.TopKPerKey) take into the engine. */
+  def executeLogicalPlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark, plan)
 
   // ---- data-cache policy layer (reference: ballista/cache crate wired
   // through core/src/cache_layer — single-flight loading cache, byte-budget

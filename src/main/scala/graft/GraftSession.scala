@@ -22,11 +22,21 @@ object GraftSession {
     * reference and native to Spark.
     */
   val configMapping: Map[String, String] = Map(
+    "ballista.job.name" -> "spark.app.name",
     "ballista.shuffle.partitions" -> "spark.sql.shuffle.partitions",
     "ballista.optimizer.hash_join_single_partition_threshold" -> "spark.sql.autoBroadcastJoinThreshold",
+    // the reference's three repartition toggles all decide "re-plan the
+    // exchange at runtime?" — Spark's runtime re-planner is AQE
     "ballista.repartition.joins" -> "spark.sql.adaptive.enabled",
+    "ballista.repartition.aggregations" -> "spark.sql.adaptive.enabled",
+    "ballista.repartition.windows" -> "spark.sql.adaptive.enabled",
+    "ballista.batch.size" -> "spark.sql.parquet.columnarReaderBatchSize",
     "ballista.parquet.pruning" -> "spark.sql.parquet.filterPushdown",
-    "ballista.collect_statistics" -> "spark.sql.statistics.size.autoUpdate.enabled"
+    "ballista.collect_statistics" -> "spark.sql.statistics.size.autoUpdate.enabled",
+    // plugin jars (plugin/udf.rs dynamic loading) ride Spark's jar conf
+    "ballista.plugin_dir" -> "spark.jars",
+    // the Connect endpoint is the gRPC wire (flight_sql analog)
+    "ballista.grpc.client.max_message_size" -> "spark.connect.grpc.maxInboundMessageSize"
   )
 
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =

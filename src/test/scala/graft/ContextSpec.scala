@@ -34,6 +34,11 @@ class ContextSpec extends SparkSpec {
   test("config maps ballista keys onto live spark conf") {
     val cfg = ctx.config
     assert(cfg("ballista.shuffle.partitions") == spark.conf.get("spark.sql.shuffle.partitions"))
+    assert(cfg("ballista.job.name") == spark.conf.get("spark.app.name"))
+    assert(cfg("ballista.repartition.aggregations") ==
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    assert(cfg("ballista.batch.size") ==
+      spark.conf.get("spark.sql.parquet.columnarReaderBatchSize"))
   }
 
   test("context cache + status surfaces: managed dataset round-trips, metrics and executors query") {
@@ -54,6 +59,24 @@ class ContextSpec extends SparkSpec {
   // core/proto/datafusion.proto — EXPLAIN returns the plan as rows, ANALYZE
   // executes and reports; both are engine-specific text by design, so they
   // are pinned by spec rather than a DuckDB oracle row) ---------------------
+
+  test("register_avro + execute_logical_plan close the client API surface") {
+    val dir = java.nio.file.Files.createTempDirectory("ctx-avro").toFile
+    dir.deleteOnExit()
+    val nation = ctx.readParquet(s"$sfDir/nation.parquet")
+    ctx.writeAvro(nation, s"$dir/nation_avro")
+    ctx.registerAvro("ctx_nation_avro", s"$dir/nation_avro", nation.schema)
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM ctx_nation_avro")
+      .collect()(0).getLong(0) == 25)
+    // plan-level entry: the already-analyzed plan of a built DataFrame
+    // re-enters through executeLogicalPlan and plans identically
+    val plan = nation.filter(col("n_regionkey") === 1)
+      .select(col("n_name")).queryExecution.logical
+    val viaPlan = ctx.executeLogicalPlan(plan).collect().map(_.getString(0)).sorted
+    val direct = nation.filter(col("n_regionkey") === 1)
+      .select(col("n_name")).collect().map(_.getString(0)).sorted
+    assert(viaPlan.sameElements(direct) && viaPlan.length == 5)
+  }
 
   test("job lifecycle: submit runs async under its id, cancel kills it mid-stage") {
     import scala.concurrent.Await
