@@ -20,7 +20,12 @@ import java.util.concurrent.atomic.AtomicLong
   * code):
   *
   *  1. SELF-RECONCILIATION — after the sweep, any query whose in-suite
-  *     median exceeds 2x its BASELINE.md row is re-measured in isolation
+  *     median exceeds 2x its BASELINE.md row — or exceeds 1.5x with more
+  *     than half a second of absolute inflation (the round-8 artifact
+  *     showed the pollution also lands as 1.5-1.9x on the expensive
+  *     queries: ded_contain 6.4 s vs 3.8 s baseline stayed under the 2x
+  *     trigger while contributing 2.6 s of the total's drift) — is
+  *     re-measured in isolation
   *     (suite state cleared, fresh warmup, median of `iters`); the
   *     reconciled (isolated) figure is what BENCH_FULL.json's `queries`
   *     map and the stdout line carry, with the raw in-suite number kept
@@ -158,8 +163,10 @@ object Bench {
     // query, AFTER the whole sweep (so the re-run doesn't inherit its
     // neighbors' JVM state) with a GC between queries.
     val results: Seq[(String, QueryResult)] = {
+      def polluted(sec: Double, base: Double): Boolean =
+        sec > 2 * base || (sec > 1.5 * base && sec - base > 0.5)
       val flaggedNames = sweep.collect {
-        case (name, _, Some(r)) if baseline.get(name).exists(b => r.sec > 2 * b) => name
+        case (name, _, Some(r)) if baseline.get(name).exists(polluted(r.sec, _)) => name
       }.toSet
       if (flaggedNames.nonEmpty) {
         System.err.println(s"[bench] reconciling ${flaggedNames.size} queries >2x baseline in-suite: " +
