@@ -215,17 +215,17 @@ object Bench {
     // subset run (scale ramps, spot checks) must not clobber it; its detail
     // (shuffle/peak-mem telemetry) still lands in BENCH_SUBSET.json so a
     // plan change can re-pin its BASELINE.md row without a full sweep
+    val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"),
+      java.nio.file.Paths.get(artifact),
       jsonLine(results, "\"detail\":" + detailJson + ",") + "\n")
     val budget = 1800
     // failures first (always visible), then descending cost
     val prio = results.sortBy { case (_, q) => (q.finalSec >= 0, -q.finalSec) }
     var kept = prio
-    while (jsonLine(kept, "\"full\":\"BENCH_FULL.json\",").length > budget && kept.nonEmpty)
+    while (jsonLine(kept, s""""full":"$artifact",""").length > budget && kept.nonEmpty)
       kept = kept.dropRight(1)
-    println(jsonLine(kept, "\"full\":\"BENCH_FULL.json\","))
+    println(jsonLine(kept, s""""full":"$artifact","""))
     spark.stop()
   }
 }
