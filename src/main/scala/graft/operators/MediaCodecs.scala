@@ -150,6 +150,39 @@ object MediaCodecs {
     media.mapPartitions(_.map(r => parseWav(r.doc_id, r.media)))
   }
 
+  /** Real image resize — the operation [[Multimodal.resize]] stubs with
+    * byte truncation: decode via ImageIO, nearest-neighbor resample
+    * (deterministic — no anti-aliasing kernel to vary by JDK), re-encode
+    * PNG (lossless, so the resampled pixels round-trip exactly). Row-local
+    * binary-in/binary-out, same shape as every decoder here; undecodable
+    * payloads pass through unchanged with a `;resize=failed` type tag
+    * rather than killing the task. */
+  def resizeImage(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w > 0 && h > 0, s"resize target must be positive, got ${w}x$h")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        if (img == null) MediaRow(r.doc_id, r.media, r.media_type + ";resize=failed")
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(r.doc_id, bos.toByteArray, s"image/png;resized=${w}x$h")
+        }
+      } catch {
+        case _: Exception => MediaRow(r.doc_id, r.media, r.media_type + ";resize=failed")
+      }
+    })
+  }
+
   /** JDK-built-in image decode (`javax.imageio`: PNG, JPEG, GIF, BMP) —
     * the breadth path where the hand-rolled parser covers only BI_RGB.
     * Same exact-integer output contract; per-partition reader reuse is

@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque binary columns with typed
   * metadata, processed in partition-sized batches.
   *
-  * The decode step is a STUB (no image/audio libraries in this container):
+  * The GENERAL decode step is a STUB (no libjpeg/ffmpeg in this container):
   * [[FakeDecoder.decode]] derives deterministic dimensions from the leading
   * bytes. The Spark-side plumbing is real: binary column schema, typed
   * Dataset encoders, mapPartitions batch shape (the Scala analog of
   * mapInPandas — one decoder instance per partition, streaming iterator, no
   * per-row setup cost), and partition-count control for decoder parallelism.
+  * For the formats that need no native library the decode itself is real
+  * too — see [[MediaCodecs]]: hand-rolled BMP and RIFF/PCM-WAV parsers,
+  * JDK `javax.imageio` PNG/JPEG decode, and a real nearest-neighbor resize
+  * replacing this file's byte-truncation [[resize]] stub.
   */
 object Multimodal {
 

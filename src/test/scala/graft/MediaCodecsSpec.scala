@@ -158,6 +158,19 @@ class MediaCodecsSpec extends SparkSpec {
     assert(out(4).err != null) // truncated final chunk
   }
 
+  test("real resize: decoded dimensions change, solid color survives, failures pass through") {
+    val img = bmp(8, 6, (_, _) => (40, 90, 200)) // solid color
+    val rows = mediaDs(Seq((1L, img), (2L, "not an image".getBytes)))
+    val out = MediaCodecs.resizeImage(rows, 4, 3).collect().sortBy(_.doc_id)
+    val meta = MediaCodecs.decodeImage(mediaDs(Seq((1L, out(0).media)))).collect().head
+    assert(meta.err == null && (meta.width, meta.height) == (4L, 3L))
+    // nearest-neighbor over a solid image is the same solid image
+    assert((meta.sum_r, meta.sum_g, meta.sum_b) == (40L * 12, 90L * 12, 200L * 12))
+    assert(out(0).media_type == "image/png;resized=4x3")
+    assert(out(1).media_type.endsWith(";resize=failed") &&
+      (out(1).media sameElements "not an image".getBytes))
+  }
+
   test("decoders compose with the multimodal wrapper plumbing") {
     // asMedia wraps text bytes; real decoders classify them as non-media
     val docs = spark.createDataFrame(Seq((1L, "just text"))).toDF("doc_id", "text")
