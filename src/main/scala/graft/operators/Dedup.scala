@@ -300,6 +300,26 @@ object Dedup {
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"prefixJaccardPairs: threshold must be in (0, 1], got $threshold")
+    // Exact rational UNDER-approximation tNum/tDen <= threshold, from the
+    // double's exact binary value. Every candidate-pruning bound below runs
+    // in integer arithmetic against this rational, so it is implied by
+    // J >= threshold and candidate generation stays lossless at float
+    // boundaries — double forms of these bounds DROP true pairs whose
+    // Jaccard sits exactly on the threshold (t = 0.4 is stored as
+    // 0.4000000000000000222…, so the length filter `4 >= 0.4 * 10`
+    // evaluates false; caught by DedupLawsSpec). Verification still
+    // compares the exact double, so accepted-pair semantics are unchanged,
+    // and at the 0.5 default the rational is exact (0.5 is a binary
+    // fraction) — identical pruning, identical plans.
+    val tDen = 1L << 20
+    val tNum = (BigDecimal(threshold) * tDen)
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    // ceil(n * tNum / tDen) as exact integers; the double division is exact
+    // below 2^53 and the cast truncates toward zero (operands positive)
+    def ceilMul(n: Column, num: Long, den: Long): Column =
+      ((n * num + (den - 1)) / den).cast(LongType)
     val (reps, memb) = collapseExact(docs, idCol, textCol)
     // ONE shingle build, shared behind an explicit doc-keyed exchange: the
     // repartition gives AQE a common shuffle stage to reuse across the
@@ -328,7 +348,7 @@ object Dedup {
     val prefix = srows.join(dfreq, Seq("tok")).hint("shuffle_hash")
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("pos") <= col("n") - ceilMul(col("n"), tNum, tDen) + 1)
       .select(col("tok"), col("doc_id"), col("n"), col("pos"))
     // positional filter (the "PP" of PPJoin, Xiao et al. WWW'08): a join row
     // at prefix positions (pa, pb) can witness overlap at most
@@ -338,17 +358,17 @@ object Dedup {
     // (distinct needs one surviving witness) and prunes pairs whose only
     // shared rare token sits deep in the prefix (measured 309k → far fewer
     // candidate rows at sf0.1)
-    val alphaFrac = threshold / (1 + threshold)
+    // t/(1+t) over the same rational: tNum/(tNum + tDen), still exact
     val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"),
         col("n").as("na"), col("pos").as("pa"))
       .hint("shuffle_hash")
       .join(prefix.select(col("tok"), col("doc_id").as("rep_b"),
         col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("rep_a") < col("rep_b"))
-      .filter(least(col("na"), col("nb")).cast(DoubleType) >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+      .filter(least(col("na"), col("nb")) * tDen >=
+        greatest(col("na"), col("nb")) * tNum)
       .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
-        ceil(lit(alphaFrac) * (col("na") + col("nb"))))
+        ceilMul(col("na") + col("nb"), tNum, tNum + tDen))
       .select(col("rep_a"), col("rep_b"))
       .distinct()
     val repPairs = cand
