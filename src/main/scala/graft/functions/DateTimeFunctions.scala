@@ -15,14 +15,22 @@ object DateTimeFunctions {
   /** DATE_BIN(stride, source, origin): floor `source` into `stride`-wide bins
     * anchored at `origin`. Pure column arithmetic on epoch microseconds, so it
     * stays inside whole-stage codegen.
+    *
+    * EXACT integer form: `src − pmod(src − origin, stride)` is
+    * `origin + floorDiv(delta, stride) · stride` for positive strides, in
+    * Long arithmetic end to end. The earlier `floor(delta.toDouble /
+    * stride)` form loses to double rounding once the quotient passes ~2^33:
+    * a timestamp one microsecond before a bin boundary ~280 years from the
+    * origin divides to a quotient whose nearest double IS the boundary
+    * integer, flooring into the wrong bin (caught by DateBinLawsSpec's
+    * boundary corpus; DataFusion's own date_bin does this arithmetic in
+    * integers for the same reason). pmod keeps pre-origin timestamps
+    * flooring downward, matching floorDiv semantics.
     */
   def dateBin(strideMicros: Column, source: Column, origin: Column): Column = {
     val srcUs = unix_micros(source.cast("timestamp"))
     val orgUs = unix_micros(origin.cast("timestamp"))
-    val binned = orgUs +
-      floor((srcUs - orgUs).cast("double") / strideMicros.cast("double")).cast("long") *
-        strideMicros.cast("long")
-    timestamp_micros(binned)
+    timestamp_micros(srcUs - pmod(srcUs - orgUs, strideMicros.cast("long")))
   }
 
   def dateBin(strideMicros: Long, source: Column, origin: Column): Column =
