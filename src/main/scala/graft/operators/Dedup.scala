@@ -494,7 +494,21 @@ object Dedup {
     * any chunk become candidates — the simhash candidate scheme, which the
     * oracle replays identically), verified by Hamming distance ≤
     * `maxHamming`. Exact-duplicate payloads collapse first; intra-group
-    * pairs are Hamming 0 by construction. */
+    * pairs are Hamming 0 by construction.
+    *
+    * GUARANTEE BOUNDARY (pigeonhole over 4 chunks): candidate generation is
+    * LOSSLESS only for Hamming ≤ 3 — up to 3 differing bits cannot touch
+    * all 4 chunks. For distances 4..maxHamming the chunk join is a recall
+    * heuristic (the standard banding tradeoff: a pair whose differing bits
+    * spread across all four chunks never meets), which is appropriate for
+    * pHash because near-dup images concentrate their flips in few blocks;
+    * the gate's oracle replays the same banding, so gated results are
+    * exact BY THAT CONTRACT, not by all-pairs Hamming. A caller needing
+    * lossless Hamming ≤ h > 3 must band with h+1 chunks and accept
+    * 2^(64/(h+1))-entropy bucket keys — at 9-bit keys the bucket self-join
+    * goes quadratic in corpus/512, which is why the 16-bit/4-chunk form is
+    * the scale default (Manku et al., WWW'07 use exactly 4 chunks for
+    * h = 3). [[BandingLawsSpec]] pins both sides of the boundary. */
   def phashPairs(docs: DataFrame, idCol: String, textCol: String,
                  maxHamming: Int = 6): DataFrame = {
     val (reps, memb) = collapseExact(docs, idCol, textCol)

@@ -62,6 +62,59 @@ class BandingLawsSpec extends SparkSpec {
     }
   }
 
+  // phash mask construction: 64 chars, one per block, 'a' (97) or 'z' (122).
+  // The global mean stays strictly between them for ANY z-count in 0..63,
+  // so the signature is exactly the bitmask of 'z' positions — Hamming
+  // distances are controlled by construction.
+  private def maskDoc(mask: Long): String =
+    (0 until 64).map(b => if ((mask >> b & 1L) == 1L) 'z' else 'a').mkString
+
+  test("phash of a mask document is exactly the mask (constructed-signature identity)") {
+    val rng = new scala.util.Random(101L)
+    val masks = Seq(0L, 1L, (1L << 63) - 1) ++ Seq.fill(8)(rng.nextLong() & ~(1L << 63))
+    val docs = masks.zipWithIndex.map { case (m, i) => (i.toLong, maskDoc(m)) }
+    val got = Dedup.phash(spark.createDataFrame(docs).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, _) => assert(got(id) == masks(id.toInt),
+      s"doc $id: phash ${got(id).toBinaryString} != mask ${masks(id.toInt).toBinaryString}") }
+  }
+
+  test("phash banding is lossless at Hamming <= 3 and a documented heuristic above") {
+    val rng = new scala.util.Random(202L)
+    // corpus of mutated masks: controlled small Hamming distances
+    val base = Seq.fill(6)(rng.nextLong() & ~(1L << 63))
+    val masks = (base ++ base.flatMap { m =>
+      Seq.fill(2)(m ^ (0 until (1 + rng.nextInt(3)))
+        .map(_ => 1L << rng.nextInt(63)).reduce(_ | _))
+    }).distinct
+    val docs = masks.zipWithIndex.map { case (m, i) => (i.toLong, maskDoc(m)) }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got3 = Dedup.phashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want3 = (for {
+      (a, ma) <- masks.zipWithIndex.map(_.swap); (b, mb) <- masks.zipWithIndex.map(_.swap)
+      if a < b
+      h = java.lang.Long.bitCount(ma ^ mb).toLong if h <= 3
+    } yield (a.toLong, b.toLong) -> h).toMap
+    assert(got3 == want3, s"lossless boundary: missing ${(want3.keySet -- got3.keySet).take(5)}, " +
+      s"spurious ${(got3.keySet -- want3.keySet).take(5)}")
+
+    // above 3 the chunk join is a recall heuristic, pinned from both sides:
+    // 4 flips confined to one chunk ARE found; 4 flips spread across all
+    // four chunks share no chunk and are NOT (the documented tradeoff)
+    val boundary = Seq(
+      (100L, maskDoc(0L)),
+      (101L, maskDoc(1L | (1L << 1) | (1L << 2) | (1L << 3))), // 4 bits, chunk 0
+      (200L, maskDoc(1L << 5)),
+      (201L, maskDoc((1L << 5) ^ (1L | (1L << 16) | (1L << 32) | (1L << 48)))))
+    val bdf = spark.createDataFrame(boundary).toDF("doc_id", "text")
+    val pairs6 = Dedup.phashPairs(bdf, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs6.contains((100L, 101L)), "4 flips in one chunk must be found")
+    assert(!pairs6.contains((200L, 201L)),
+      "4 flips spread over all chunks share no chunk — the heuristic boundary moved, update the scaladoc")
+  }
+
   test("salted join equals the plain inner join with exact multiplicities, any fan-out") {
     for (seed <- Seq(31L, 77L); n <- Seq(1, 3, 8)) {
       val rng = new scala.util.Random(seed)
