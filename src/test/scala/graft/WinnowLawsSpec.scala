@@ -67,6 +67,38 @@ class WinnowLawsSpec extends SparkSpec {
     checkEquivalence(randomCorpus(seed = 97L, nDocs = 60, maxLen = 25), k = 2, w = 6)
   }
 
+  test("pair generation (cap disabled) equals brute-force fingerprint intersection") {
+    val k = 3; val w = 4
+    for ((seed, minShared) <- Seq((61L, 1L), (15L, 2L))) {
+      val rng = new scala.util.Random(seed)
+      val alphabet = Vector("a", "b", "c", "d", "e", "f")
+      def toks(n: Int) = Seq.fill(n)(alphabet(rng.nextInt(alphabet.size)))
+      // bases + planted shared runs + exact copies (collapse tier)
+      var id = -1L
+      def nid() = { id += 1; id }
+      val docs: Seq[(Long, String)] = (0 until 10).flatMap { _ =>
+        val run = toks(w + k - 1)
+        val out = Seq.newBuilder[String]
+        out += (toks(rng.nextInt(10)) ++ run ++ toks(rng.nextInt(10))).mkString(" ")
+        out += (toks(rng.nextInt(10)) ++ run ++ toks(rng.nextInt(10))).mkString(" ")
+        if (rng.nextBoolean()) out += toks(k + rng.nextInt(12)).mkString(" ")
+        val built = out.result()
+        (built ++ (if (rng.nextBoolean()) Seq(built.head) else Nil)).map(t => (nid(), t))
+      }
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val got = Winnow.pairs(df, "doc_id", "text", k, w,
+          dfCap = 1000000, minShared = minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val fps = docs.map { case (i, t) => i -> refWinnow(t.split(" ").toSeq, k, w) }.toMap
+      val want = (for {
+        (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+        shared = (fa & fb).size.toLong if shared >= minShared
+      } yield (a, b) -> shared).toMap
+      assert(got == want, s"seed=$seed minShared=$minShared: " +
+        s"missing ${(want.keySet -- got.keySet).take(5)}, spurious ${(got.keySet -- want.keySet).take(5)}")
+    }
+  }
+
   test("planted shared runs of w+k-1 tokens always share a fingerprint") {
     val k = 3; val w = 4
     val rng = new scala.util.Random(20260815L)
