@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.Sessions
+import graft.streaming.Sessions.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Randomized-epoch law for streaming sessionization.
+  *
+  * StreamingSpec feeds each operator ONE micro-batch, so session state
+  * never survives an epoch boundary — but state carried across batches is
+  * precisely what a production stream exercises on every trigger. Here a
+  * random event sequence is split at random epoch boundaries (1..5
+  * micro-batches, watermark advancing between them; global timestamps
+  * strictly increasing so nothing is late-dropped), and:
+  *
+  *  - the native session_window aggregation over the stream must equal its
+  *    own batch form on the full data, whatever the split;
+  *  - the custom flatMapGroupsWithState sessionizer must equal a direct
+  *    Scala transcription of its contract (sort per user, close when the
+  *    gap strictly exceeds 30 min, duration = last − first) — sessions
+  *    split across epochs must merge through the carried state, and
+  *    sessions closed by the event-time timeout must equal gap-closed
+  *    ones.
+  */
+class StreamingLawsSpec extends SparkSpec {
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp((minutes + 600) * 60 * 1000)
+
+  private val GapUs = 30L * 60 * 1000000
+
+  private def refSessions(evts: Seq[Event]): Set[(Long, Long, Long, Long)] =
+    evts.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+      val sessions = sorted.foldLeft(List.empty[List[Event]]) {
+        case (Nil, e) => List(List(e))
+        case (cur :: done, e) =>
+          if ((e.ts.getTime - cur.head.ts.getTime) * 1000 <= GapUs) (e :: cur) :: done
+          else List(e) :: cur :: done
+      }
+      sessions.map { s =>
+        val first = s.last; val last = s.head // lists are built reversed
+        (u, first.ts.getTime, s.size.toLong, (last.ts.getTime - first.ts.getTime) * 1000)
+      }
+    }.toSet
+
+  test("random epoch splits: both sessionizers match batch/reference semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(43L, 911L)) {
+      val rng = new scala.util.Random(seed)
+      // strictly increasing global minutes: an event equal to the advanced
+      // watermark would be late-dropped, which batch mode never does
+      val minutes = rng.shuffle((0 until 2000).toList).take(60).sorted
+      val events = minutes.zipWithIndex.map { case (m, i) =>
+        Event(1L + rng.nextInt(4), i.toLong, ts(m.toLong), rng.nextInt(10).toDouble)
+      }
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(events.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ events.size
+      val chunks = bounds.zip(bounds.tail).map { case (a, b) => events.slice(a, b) }
+
+      val memW = MemoryStream[Event]
+      val qw = Sessions.sessionWindowAgg(memW.toDF(), watermark = Some("0 seconds"))
+        .writeStream.format("memory").queryName(s"law_winagg_$seed")
+        .outputMode(OutputMode.Append()).start()
+      val memS = MemoryStream[Event]
+      val qs = Sessions.sessionizeStateful(memS.toDS())
+        .writeStream.format("memory").queryName(s"law_stateful_$seed")
+        .outputMode(OutputMode.Append()).start()
+
+      chunks.foreach { c =>
+        memW.addData(c: _*); memS.addData(c: _*)
+        qw.processAllAvailable(); qs.processAllAvailable()
+      }
+      // sentinel advances the watermark past every open session
+      val sentinel = Event(99L, 9999L, ts(100000), 0.0)
+      memW.addData(sentinel); memS.addData(sentinel)
+      qw.processAllAvailable(); qs.processAllAvailable()
+      qw.stop(); qs.stop()
+
+      val streamedW = spark.table(s"law_winagg_$seed").filter(col("user_id") < 99)
+        .select("user_id", "session_start", "n_events", "duration_us")
+      val batchW = Sessions.sessionWindowAgg(events.toDF())
+        .select("user_id", "session_start", "n_events", "duration_us")
+      assert(streamedW.exceptAll(batchW).isEmpty && batchW.exceptAll(streamedW).isEmpty,
+        s"seed=$seed epochs=${chunks.map(_.size)}: session_window stream != batch")
+
+      val gotS = spark.table(s"law_stateful_$seed").as[Session].collect()
+        .filter(_.user_id < 99)
+        .map(s => (s.user_id, s.session_start.getTime, s.n_events, s.duration_us)).toSet
+      val want = refSessions(events)
+      assert(gotS == want, s"seed=$seed epochs=${chunks.map(_.size)}: stateful " +
+        s"missing ${(want -- gotS).take(3)}, spurious ${(gotS -- want).take(3)}")
+    }
+  }
+}
