@@ -46,6 +46,74 @@ class StreamingLawsSpec extends SparkSpec {
       }
     }.toSet
 
+  test("random epoch splits: streaming dedup keeps exactly the global first occurrences") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(7L, 301L)) {
+      val rng = new scala.util.Random(seed)
+      val pool = (0 until 15).map(i =>
+        Seq.fill(4)(s"w${rng.nextInt(30)}").mkString(" ")).distinct
+      // strictly increasing minute steps keep every duplicate well inside
+      // the 1-hour watermark horizon (state never evicts mid-corpus) and
+      // nothing late
+      val docs = (0 until 50).map(i =>
+        (i.toLong, pool(rng.nextInt(pool.size)), ts(i.toLong)))
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(docs.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ docs.size
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = Sessions
+        .streamingDedup(mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts")
+        .writeStream.format("memory").queryName(s"law_dedup_$seed")
+        .outputMode(OutputMode.Append()).start()
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        mem.addData(docs.slice(a, b): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"law_dedup_$seed")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+      assert(got == want, s"seed=$seed: kept $got want $want")
+    }
+  }
+
+  test("random epoch splits: streaming anomalies equal the single-pass transcription") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(19L, 407L)) {
+      val rng = new scala.util.Random(seed)
+      // values mostly small with occasional spikes so anomalies genuinely
+      // fire once the per-user history passes minHist
+      val events = (0 until 80).map { i =>
+        val v = if (rng.nextInt(6) == 0) 40.0 + rng.nextInt(50) else 1.0 + rng.nextInt(5)
+        Event(1L + rng.nextInt(3), i.toLong, ts(i.toLong), v)
+      }
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(events.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ events.size
+      val mem = MemoryStream[Event]
+      val q = Sessions.streamingAnomalies(mem.toDS())
+        .writeStream.format("memory").queryName(s"law_anom_$seed")
+        .outputMode(OutputMode.Append()).start()
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        mem.addData(events.slice(a, b): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"law_anom_$seed").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      // transcription: per user in (ts, event_id) order, running (n, cents)
+      val want = events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+        var n = 0L; var sum = 0L
+        es.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+          val cents = math.round(e.value * 100)
+          val hit = if (n >= 5 && cents * n > 3 * sum)
+            Some((u, e.event_id, n, sum / math.max(n, 1L))) else None
+          n += 1; sum += cents
+          hit
+        }
+      }.toSet
+      assert(got == want, s"seed=$seed: missing ${(want -- got).take(3)}, spurious ${(got -- want).take(3)}")
+    }
+  }
+
   test("random epoch splits: both sessionizers match batch/reference semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
