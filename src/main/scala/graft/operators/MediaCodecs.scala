@@ -30,8 +30,10 @@ object MediaCodecs {
       n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long, format: String,
       err: String)
 
-  /** Decoded audio: exact sample count and Σ s² over centered amplitudes
-    * (RMS = sqrt(sum_sq/n) when ok). */
+  /** Decoded audio: exact per-channel frame count (`n_samples`) and Σ s²
+    * over ALL channel samples — so for multi-channel audio
+    * RMS = sqrt(sum_sq / (n_samples * channels)) when ok, not
+    * sqrt(sum_sq / n_samples), which would be inflated by sqrt(channels). */
   case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
       bits: Long, n_samples: Long, sum_sq: Long, err: String)
 
@@ -65,11 +67,17 @@ object MediaCodecs {
     if (bpp != 24) return imageErr(id, s"unsupported bpp $bpp")
     if (width <= 0 || height <= 0) return imageErr(id, "bad dimensions")
     // Long arithmetic: an adversarial width overflows `width * 3` in Int,
-    // turning the bounds check below into an out-of-bounds read
+    // turning the bounds check below into an out-of-bounds read. The checks
+    // are staged so no product can overflow Long either (width=height=2^31-1
+    // makes strideL*height ~1.4e19 > Long.Max, which would wrap negative and
+    // sail past a single combined comparison): first a row must fit, then
+    // the row count is bounded by division — both operands already <= length.
+    if (pixOff < 0 || pixOff > b.length) return imageErr(id, "truncated pixel data")
     val strideL = ((width.toLong * 3 + 3) / 4) * 4
-    if (pixOff < 0 || pixOff.toLong + strideL * height > b.length)
+    val avail = (b.length - pixOff).toLong
+    if (strideL > avail || height.toLong > avail / strideL)
       return imageErr(id, "truncated pixel data")
-    val stride = strideL.toInt // fits: stride * height <= b.length <= Int.Max
+    val stride = strideL.toInt // fits: stride <= avail <= Int.Max
     var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < height) {
@@ -136,18 +144,26 @@ object MediaCodecs {
     AudioMeta(id, rate, channels, bits, n.toLong / channels, sq, null)
   }
 
-  /** Batch BMP decode — one decoder loop per partition, streaming. */
+  /** Batch BMP decode — one decoder loop per partition, streaming. The
+    * catch-all is the err-row contract's last line of defense: a parser bug
+    * on an adversarial payload must cost one err row, never the task. */
   def decodeBmp(media: Dataset[MediaRow]): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r => parseBmp(r.doc_id, r.media)))
+    media.mapPartitions(_.map { r =>
+      try parseBmp(r.doc_id, r.media)
+      catch { case e: Exception => imageErr(r.doc_id, s"decode failed: ${e.getMessage}") }
+    })
   }
 
-  /** Batch WAV decode. */
+  /** Batch WAV decode — same err-row catch-all contract as [[decodeBmp]]. */
   def decodeWav(media: Dataset[MediaRow]): Dataset[AudioMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r => parseWav(r.doc_id, r.media)))
+    media.mapPartitions(_.map { r =>
+      try parseWav(r.doc_id, r.media)
+      catch { case e: Exception => audioErr(r.doc_id, s"decode failed: ${e.getMessage}") }
+    })
   }
 
   /** Real image resize — the operation [[Multimodal.resize]] stubs with

@@ -77,16 +77,22 @@ object ScaleLint {
   private def buildSideOf(j: BroadcastNestedLoopJoinExec): SparkPlan =
     if (j.buildSide == BuildLeft) j.left else j.right
 
-  /** A broadcast side is bounded when something beneath it caps its row
-    * count independently of input size: any aggregate (rows ≤ group
-    * cardinality, and a keyless agg is exactly one row), an explicit limit
-    * or top-k, a literal local relation, or a generated range. */
-  private def bounded(side: SparkPlan): Boolean =
-    side.exists {
-      case _: BaseAggregateExec | _: LocalTableScanExec | _: GlobalLimitExec |
-           _: TakeOrderedAndProjectExec | _: RangeExec => true
-      case _ => false
-    }
+  /** A broadcast side is bounded when its row count is capped independently
+    * of input size. The judgment is STRUCTURAL, not an `exists` over the
+    * subtree: `join(unboundedScan, aggregate)` contains an aggregate yet its
+    * output grows with the scan — a subtree-exists test classifies it
+    * bounded (false negative) and lets an unbounded broadcast lint clean.
+    * So: a node is bounded when it itself caps rows (aggregate — rows ≤
+    * group-key cardinality; limit / top-k; literal local relation; generated
+    * range), or when every row-producing child is bounded (a join or union
+    * of bounded inputs yields at most a product/sum of caps — still
+    * input-size-independent; filters/projects/exchanges pass through).
+    * A leaf that caps nothing (a file scan) is unbounded. */
+  private def bounded(side: SparkPlan): Boolean = side match {
+    case _: BaseAggregateExec | _: LocalTableScanExec | _: GlobalLimitExec |
+         _: TakeOrderedAndProjectExec | _: RangeExec => true
+    case p => p.children.nonEmpty && p.children.forall(bounded)
+  }
 
   /** The global sorts that express the query's ROOT ordering: the maximal
     * chain of pass-through nodes from the root, stopping at (and keeping)

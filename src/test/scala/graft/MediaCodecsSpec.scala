@@ -97,6 +97,32 @@ class MediaCodecsSpec extends SparkSpec {
     assert(out(4).err == "compressed BMP (1)")
   }
 
+  test("adversarial BMP dimensions that overflow Long bounds yield err rows, not a crash") {
+    // width = height = 2^31-1 makes stride*height ~1.38e19 > Long.Max: a
+    // single combined bounds product wraps negative, passes the check, and
+    // the truncated Int stride then drives an out-of-bounds pixel read that
+    // kills the task. The staged guards must reject it as truncated instead.
+    def hdr(width: Int, height: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(54)
+      out.put('B'.toByte).put('M'.toByte).put(le32(54)).put(le32(0)).put(le32(54))
+      out.put(le32(40)).put(le32(width)).put(le32(height)).put(le16(1)).put(le16(24))
+      out.put(le32(0)).put(le32(0)).put(le32(2835)).put(le32(2835)).put(le32(0)).put(le32(0))
+      out.array()
+    }
+    val cases = Seq(
+      hdr(Int.MaxValue, Int.MaxValue),  // stride*height wraps Long negative
+      hdr(Int.MaxValue, 1),             // one row alone exceeds the payload
+      hdr(2, Int.MaxValue),             // row fits; row count must be division-bounded
+      { val b = hdr(2, 2); System.arraycopy(le32(Int.MaxValue), 0, b, 10, 4); b }) // huge pixOff
+    for (b <- cases)
+      assert(MediaCodecs.parseBmp(1L, b).err == "truncated pixel data",
+        s"width=${b.slice(18, 22).toSeq} height=${b.slice(22, 26).toSeq}")
+    // and the batch path keeps the err-row contract under the same payloads
+    val out = MediaCodecs.decodeBmp(mediaDs(cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }))
+      .collect()
+    assert(out.length == 4 && out.forall(_.err == "truncated pixel data"))
+  }
+
   test("ImageIO path decodes a JDK-encoded PNG with exact sums") {
     val bi = new java.awt.image.BufferedImage(4, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (x <- 0 until 4; y <- 0 until 3)

@@ -47,6 +47,24 @@ class ScaleLintSpec extends SparkSpec {
       spark.range(100).select(col("id").as("b"))))).contains("nested-loop-join"))
   }
 
+  test("nested-loop-join: boundedness is structural, not a subtree-exists") {
+    // join(unboundedScan, aggregate) CONTAINS an aggregate but its output
+    // grows with the scan — a subtree-exists judgment classifies it bounded
+    // and lets the unbounded broadcast lint clean (the false negative).
+    val big = scanned.select(col("doc_id").as("a"))
+    val aggSide = scanned.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val growsWithScan = scanned.select(col("doc_id").as("b"), (col("doc_id") % 7).as("k"))
+      .join(aggSide, "k")
+    val flagged = big.crossJoin(broadcast(growsWithScan))
+    assert(rules(flagged).contains("nested-loop-join"),
+      s"join(scan, agg) must read unbounded, got ${ScaleLint.lint(flagged)}")
+    // whereas a join of two BOUNDED inputs is at most a product of caps —
+    // still input-size-independent, and must keep passing
+    val capped = aggSide.join(
+      scanned.groupBy(col("v")).agg(count(lit(1)).as("m")).withColumnRenamed("v", "k"), "k")
+    assert(!rules(big.crossJoin(broadcast(capped))).contains("nested-loop-join"))
+  }
+
   test("global-window: fires over raw input, quiet over aggregated input and keyed windows") {
     val df = scanned
     val raw = df.withColumn("rn", row_number().over(Window.orderBy(col("v"), col("doc_id"))))
