@@ -26,13 +26,18 @@ object Similarity {
 
   /** Brute-force top-k neighbors for each query vector. The query side is
     * expected to be small (broadcast); ranking is deterministic via
-    * (rounded score desc, id) so results are stable under partitioning. */
+    * (rounded score desc, id) so results are stable under partitioning.
+    * Zero-norm vectors are excluded on BOTH sides per the tier-wide
+    * [[normsPositive]] contract — without the guard one degenerate
+    * embedding in a 100-TB corpus kills the whole job (ANSI double
+    * division by zero throws; caught by AnnLawsSpec). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = withNorm(queries, "query_id", "q_emb")
     val c = withNorm(corpus, "corpus_id", "c_emb")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
+      .filter(normsPositive(col("query_id_norm"), col("corpus_id_norm")))
       .select(col("query_id"), col("corpus_id"),
         round(VectorFunctions.dot(col("q_emb"), col("c_emb")) /
           (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
@@ -53,6 +58,7 @@ object Similarity {
     val c = withNorm(corpus, "corpus_id", "c_emb")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
+      .filter(normsPositive(col("query_id_norm"), col("corpus_id_norm")))
       .select(col("query_id"), col("corpus_id"),
         round(VectorFunctions.dot(col("q_emb"), col("c_emb")) /
           (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
@@ -340,6 +346,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("corpus_id"))
     probes.join(assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .filter(normsPositive(col("query_id_norm"), col("corpus_id_norm")))
       .select(col("query_id"), col("corpus_id"),
         round(VectorFunctions.dot(col("q_vec"), col("c_vec")) /
           (col("query_id_norm") * col("corpus_id_norm")), 6).as("score"))
