@@ -168,6 +168,37 @@ class AnnLawsSpec extends SparkSpec {
     }
   }
 
+  test("semanticDedup equals the uncollapsed single-tier transcription") {
+    // The operator's scale story is the collapse tier: pair generation runs
+    // over distinct vectors only, with a written proof sketch that rep-level
+    // flags + the intra-group rule reproduce the uncollapsed cell join. This
+    // law checks that claim directly against a single-tier reference that
+    // assigns EVERY vector (no collapse) and searches for a lower-id
+    // same-cell witness, across thresholds including the t=1.0 boundary
+    // (intra-group cosine is ~1.0 only up to sqrt ulps — round6 must absorb
+    // them) and t>1.0 (nothing can ever be a duplicate).
+    for (seed <- Seq(19L, 53L); t <- Seq(0.8, 1.0, 1.0000001)) {
+      val rows = corpus(seed, n = 32, dim = 8)
+      val nCells = 4
+      val cents = rows.filter(_._1 < nCells)
+      val cell = rows.map { case (id, v) => id -> nearestCells(v, cents, 1).head }.toMap
+      val ref = rows.map { case (vid, v) =>
+        val dup = nrm(v) > 0 && rows.exists { case (uid, u) =>
+          uid < vid && cell(uid) == cell(vid) && nrm(u) > 0 && {
+            val raw = dot(u, v) / (nrm(u) * nrm(v))
+            raw >= t - 1e-5 && round6(raw) >= t
+          }
+        }
+        (vid, cell(vid), !dup)
+      }.toSet
+      val got = Similarity.semanticDedup(toDf(rows), nCells, t)
+        .select("vec_id", "cell_id", "is_kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got == ref, s"seed=$seed t=$t: missing ${(ref -- got).take(5)}, " +
+        s"spurious ${(got -- ref).take(5)}")
+    }
+  }
+
   test("PQ over a codeword-copy corpus reconstructs exactly; ADC top-k equals true-distance top-k") {
     // Every vector is an exact copy of one of the first kCodes vectors and
     // components are integer-valued, so codebook means are exact (n·x/n = x

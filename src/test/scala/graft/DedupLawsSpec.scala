@@ -83,6 +83,99 @@ class DedupLawsSpec extends SparkSpec {
     }
   }
 
+  // ---- edit-distance blocking law -------------------------------------------
+
+  /** Reference normalize — transcribed from TextFunctions.normalize:
+    * lowercase, strip non-[a-z0-9 ], collapse whitespace runs, trim. */
+  private def refNormalize(t: String): String =
+    t.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", "").replaceAll("\\s+", " ").trim
+
+  /** Classic O(nm) Levenshtein — independent of Spark's thresholded form. */
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    dp(b.length)
+  }
+
+  /** Corpus for the edit law: shared prefixes (blocking collisions), exact
+    * copies (the collapse tier + csize-weighted block cap), single-char
+    * edits at random positions (some inside the prefix — correctly
+    * unpaired, per the blocking contract the reference replicates), case
+    * flips and punctuation (normalize), null and empty texts. */
+  private def editCorpus(seed: Long): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    val prefixes = Seq("lorem ipsum dolor", "the quick brown", "lorem ipsum dolor")
+    val alpha = "abcdefg "
+    var id = -1L
+    def nextId() = { id += 1; id }
+    val docs = Seq.newBuilder[(Long, String)]
+    for (_ <- 0 until 10) {
+      val base = prefixes(rng.nextInt(prefixes.size)) +
+        Seq.fill(rng.nextInt(25))(alpha(rng.nextInt(alpha.length))).mkString
+      docs += ((nextId(), base))
+      for (_ <- 0 until rng.nextInt(3)) docs += ((nextId(), base)) // exact copies
+      if (rng.nextBoolean()) { // single-char edit, anywhere (incl. the prefix)
+        val pos = rng.nextInt(base.length)
+        docs += ((nextId(), base.updated(pos, alpha(rng.nextInt(alpha.length - 1)))))
+      }
+      if (rng.nextBoolean()) // case flip + punctuation: normalize must erase both
+        docs += ((nextId(), base.toUpperCase(java.util.Locale.ROOT) + "!!"))
+    }
+    docs += ((nextId(), null))
+    docs += ((nextId(), null))
+    docs += ((nextId(), "...")) // normalizes to empty
+    docs.result()
+  }
+
+  test("edit-distance pairs equal the uncollapsed blocking transcription") {
+    // The operator collapses exact duplicates first and weights the block
+    // cap by cluster size (block_n = raw corpus membership); this law runs
+    // the whole contract UNCOLLAPSED — normalize, (prefix, length-bucket)
+    // blocking, raw-count cap, prefix-bounded Levenshtein — so a collapse
+    // or cap-weighting bug surfaces as a row diff.
+    val (pfxLen, lenBucket, cmpLen, maxDist, blockCap) = (4, 8, 24, 5, 6L)
+    var capStress = false // a block over cap by RAW count but under by DISTINCT count
+    var intraSeen = false // exact-copy pairs inside a surviving block
+    for (seed <- Seq(17L, 71L)) {
+      val docs = editCorpus(seed)
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val got = Dedup.editPairs(df, "doc_id", "text",
+        pfxLen = pfxLen, lenBucket = lenBucket, cmpLen = cmpLen,
+        maxDist = maxDist, blockCap = blockCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val normed = docs.collect { case (id, t) if t != null => (id, refNormalize(t)) }
+      val blocks = normed.groupBy { case (_, s) => (s.take(pfxLen), s.length / lenBucket) }
+      val surviving = blocks.values.filter(_.size <= blockCap).toSeq
+      val want = (for {
+        block <- surviving
+        (a, sa) <- block; (b, sb) <- block if a < b
+        d = lev(sa.take(cmpLen), sb.take(cmpLen)).toLong
+        if d <= maxDist
+      } yield (a, b) -> d).toMap
+      assert(got == want, s"seed=$seed: missing ${(want.keySet -- got.keySet).take(5)}, " +
+        s"spurious ${(got.keySet -- want.keySet).take(5)}, " +
+        s"diff ${(got.keySet & want.keySet).filter(k => got(k) != want(k)).take(5)}")
+      capStress ||= blocks.values.exists(b =>
+        b.size > blockCap && b.map(_._2).distinct.size <= blockCap)
+      intraSeen ||= want.values.exists(_ == 0L)
+    }
+    // teeth check: the corpora must actually exercise the lemmas under test —
+    // a cap that counts REPS instead of raw membership only diverges on a
+    // capStress block, and the collapse tier's intra expansion only shows on
+    // surviving exact copies
+    assert(capStress, "no block stressed the csize-weighted cap; corpus drifted")
+    assert(intraSeen, "no surviving exact-copy pair; corpus drifted")
+  }
+
   test("inverted-index ngram jaccard (cap disabled) is exact vs brute force") {
     val seed = 13L
     val docs = corpus(seed)
