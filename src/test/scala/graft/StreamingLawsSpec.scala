@@ -114,6 +114,39 @@ class StreamingLawsSpec extends SparkSpec {
     }
   }
 
+  test("random epoch splits: incremental CDC apply equals the global latest-per-key") {
+    // CdcApply.applyBatch's correctness across triggers is the fold lemma
+    // latest(latest(A) ∪ B) == latest(A ∪ B) — true only because the order
+    // is TOTAL (the contract tells callers to add tiebreakers). Random
+    // change logs with deliberately DUPLICATED seq numbers per key (the
+    // unique change id breaks the tie) are folded over random micro-batch
+    // splits and compared row-for-row against the one-shot reference.
+    import spark.implicits._
+    for (seed <- Seq(13L, 89L, 211L)) {
+      val rng = new scala.util.Random(seed)
+      val ops = Seq("I", "U", "D")
+      val changes = (0 until 60).map { cid =>
+        (rng.nextInt(10).toLong, rng.nextInt(8).toLong, cid.toLong,
+          ops(rng.nextInt(3)), rng.nextInt(1000).toLong)
+      }
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(changes.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ changes.size
+      val order = Seq("seq" -> false, "cid" -> false)
+      val state = bounds.zip(bounds.tail).foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        case (st, (a, b)) =>
+          Some(graft.streaming.CdcApply.applyBatch(st,
+            changes.slice(a, b).toDF("k", "seq", "cid", "op", "payload"),
+            Seq("k"), order))
+      }.get
+      val got = state.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toSet
+      val want = changes.groupBy(_._1).values
+        .map(_.maxBy { case (_, seq, cid, _, _) => (seq, cid) }).toSet
+      assert(got == want, s"seed=$seed epochs=${bounds.size - 1}: " +
+        s"missing ${(want -- got).take(3)}, spurious ${(got -- want).take(3)}")
+    }
+  }
+
   test("random epoch splits: both sessionizers match batch/reference semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
