@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edge-parameterized iterative graph cores — the algorithms behind the
+  * gated graph queries ([[graft.queries.Graphs]] carves edge lists from the
+  * benchmark tables and delegates here), exposed over caller-supplied edge
+  * DataFrames so they compose as library operators and can be law-tested on
+  * arbitrary graphs (GraphLawsSpec runs them against independent sequential
+  * references on randomized graphs).
+  *
+  * Shared design rules (the Pregel lowering every core uses):
+  *  - one keyed join + keyed aggregation per round — never a cartesian,
+  *    never driver-side state;
+  *  - fixed round counts keep the plan depth static (bounded-hop semantics
+  *    are part of each operator's contract, not an approximation footnote);
+  *  - integer arithmetic end to end (hop counts, integer weights, BIGINT
+  *    fixed-point ranks, vote counts) so results are bit-identical at any
+  *    partitioning — no float-summation-order hazard;
+  *  - iteration outputs that feed multiple consumers in the next round are
+  *    `localCheckpoint`ed by the CALLER where lineage blowup is the hazard
+  *    (see kcorePeel, which does it internally: each round reads its input
+  *    three times).
+  */
+object GraphOps {
+
+  /** Undirected expansion of a directed (u, v, extra...) edge list into
+    * (a, b, extra...) rows both ways. */
+  def undirect(edges: DataFrame, extra: String*): DataFrame = {
+    val fwd = edges.select(col("u").as("a") +: col("v").as("b") +: extra.map(col): _*)
+    val rev = edges.select(col("v").as("a") +: col("u").as("b") +: extra.map(col): _*)
+    fwd.unionAll(rev)
+  }
+
+  /** Bounded multi-source BFS over an undirected (a, b) edge list: `hops`
+    * synchronous relax rounds (each one keyed join + one keyed min-agg), so
+    * dist(v) = exact hop distance from the nearest source over paths of at
+    * most `hops` edges. Returns (node, dist) for reached nodes only. */
+  def bfs(und: DataFrame, isSource: Column => Column, hops: Int): DataFrame = {
+    val nodes = und.select(col("a").as("node")).distinct()
+    val d0 = nodes.select(col("node"), when(isSource(col("node")), 0L).as("dist"))
+    def relax(d: DataFrame): DataFrame = {
+      val cand = und
+        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + 1).as("cand"))
+      d.join(cand, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+    }
+    Iterator.iterate(d0)(relax).drop(hops).next()
+      .filter(col("dist").isNotNull)
+  }
+
+  /** Bounded-round single/multi-source shortest paths over an undirected
+    * weighted (a, b, w) edge list — synchronous Bellman-Ford: after
+    * `rounds` rounds dist(v) is the minimum total weight over paths of at
+    * most `rounds` edges. Integer weights ⇒ exact. */
+  def sssp(und: DataFrame, isSource: Column => Column, rounds: Int): DataFrame = {
+    val nodes = und.select(col("a").as("node")).distinct()
+    val d0 = nodes.select(col("node"), when(isSource(col("node")), 0L).as("dist"))
+    def relax(d: DataFrame): DataFrame = {
+      val cand = und
+        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      d.join(cand, Seq("node"), "left")
+        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+    }
+    Iterator.iterate(d0)(relax).drop(rounds).next()
+      .filter(col("dist").isNotNull)
+  }
+
+  /** Bounded k-core peeling (Seidman 1983; Batagelj–Zaveršnik degree peel,
+    * distributed) over a (u, v) edge list stored one row per undirected
+    * edge: `rounds` synchronous rounds of "drop every node with degree < k,
+    * keep edges whose BOTH endpoints survive". Reaches the true k-core once
+    * `rounds` covers the longest peel cascade (GraphLawsSpec pins this
+    * against sequential peeling run to fixpoint). Each round reads its
+    * input three times (degree agg + two semi-joins), so every round's
+    * output is `localCheckpoint`ed — without it the input plan would
+    * replicate 3^rounds times. Returns the surviving edges. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    (1 to rounds).foldLeft(edges) { (e, _) =>
+      val und = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val keep = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("a").as("node"))
+      e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+
+  /** Deterministic synchronous label propagation over an undirected (a, b)
+    * edge list: `rounds` rounds where every node adopts the most frequent
+    * label among its neighbors, ties broken by minimum label (the argmax is
+    * one `max(struct(cnt, -label))` keyed agg — no window). Every node in
+    * the edge list has ≥ 1 neighbor by construction. Returns (node, label). */
+  def lpa(und: DataFrame, rounds: Int): DataFrame = {
+    def step(lab: DataFrame): DataFrame =
+      und.join(lab.withColumnRenamed("node", "a"), "a")
+        .groupBy(col("b"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("b").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    val l0 = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    Iterator.iterate(l0)(step).drop(rounds).next()
+  }
+
+  /** Fixed-point PageRank (damping 85/100, BIGINT fixed-point 1e6 = rank
+    * 1.0) over a directed (src, dst) edge list with PER-NODE out-degree:
+    * `iters` unrolled rounds of edges ⋈ ranks → keyed sum → left join onto
+    * the node set (zero-indegree nodes settle at the 0.15 teleport floor).
+    * All arithmetic is truncating integer `div`, bit-identical at any
+    * partitioning. Dangling nodes (no out-edges) contribute nothing — the
+    * truncating analog of dropping dangling mass. Parallel edges count in
+    * both the degree and the contribution, as multigraph semantics
+    * require. Returns (id, r). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val withDeg = edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+    def step(ranks: DataFrame): DataFrame = {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("in_sum"))
+      nodes.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"))
+    }
+    val r0 = nodes.select(col("id"), lit(1000000L).as("r"))
+    Iterator.iterate(r0)(step).drop(iters).next()
+  }
+}

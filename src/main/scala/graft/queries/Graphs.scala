@@ -45,19 +45,11 @@ object Graphs {
         explode(array(lit(1), lit(2), lit(3))).as("k"))
       .select(col("src"),
         ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
-
-    def step(ranks: DataFrame): DataFrame = {
-      val contribs = edges
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr(s"r div $PrDeg")).as("in_sum"))
-      docs.select(col("doc_id").as("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) + expr("coalesce(in_sum, 0L) * 85 div 100")).as("r"))
-    }
-    val r0 = docs.select(col("doc_id").as("id"), lit(PrOne).as("r"))
-    val r3 = Iterator.iterate(r0)(step).drop(PrIters).next()
+    // the general per-out-degree core (graft.operators.GraphOps); on this
+    // graph every node's out-degree is exactly PrDeg, so the oracle's
+    // constant `r // 3` replays it bit-for-bit
+    val r3 = graft.operators.GraphOps.pageRank(
+      docs.select(col("doc_id").as("id")), edges, PrIters)
     r3.select(col("id").as("doc_id"), col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("doc_id"))
       .limit(100)
@@ -219,20 +211,7 @@ object Graphs {
       .filter((col("u") * 31 + col("v")) % 20 === 0)
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-    val nodes = und.select(col("a").as("node")).distinct()
-    val d0 = nodes.select(col("node"),
-      when(col("node") % 10 === 0, 0L).as("dist"))
-
-    def relax(d: DataFrame): DataFrame = {
-      val cand = und
-        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b").as("node"))
-        .agg(min(col("dist") + 1).as("cand"))
-      d.join(cand, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
-    }
-    Iterator.iterate(d0)(relax).drop(BfsHops).next()
-      .filter(col("dist").isNotNull)
+    graft.operators.GraphOps.bfs(und, _ % 10 === 0, BfsHops)
       .orderBy(col("node"))
   }
 
@@ -280,18 +259,7 @@ object Graphs {
       .filter((col("u") * 31 + col("v")) % 20 === 0)
     val und = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-
-    def step(lab: DataFrame): DataFrame =
-      und.join(lab.withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("b").as("node"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("label"))
-
-    val l0 = und.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    Iterator.iterate(l0)(step).drop(LpaRounds).next()
+    graft.operators.GraphOps.lpa(und, LpaRounds)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
       .orderBy(col("n_nodes").desc, col("label"))
@@ -351,18 +319,7 @@ object Graphs {
       .filter((col("u") * 31 + col("v")) % 20 === 0)
       .localCheckpoint()
 
-    def peel(e: DataFrame): DataFrame = {
-      val und = e.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-      val keep = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= KcoreK)
-        .select(col("a").as("node"))
-      e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-    }
-    val core = (1 to KcoreRounds)
-      .foldLeft(edges)((e, _) => peel(e).localCheckpoint())
+    val core = graft.operators.GraphOps.kcorePeel(edges, KcoreK, KcoreRounds)
     core.select(col("u").as("a"), col("v").as("b"))
       .unionAll(core.select(col("v").as("a"), col("u").as("b")))
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_in_core"))
@@ -490,20 +447,7 @@ object Graphs {
         ((col("u") * 7 + col("v") * 13) % 20 + 1).as("w"))
     val und = edges.select(col("u").as("a"), col("v").as("b"), col("w"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b"), col("w")))
-    val nodes = und.select(col("a").as("node")).distinct()
-    val d0 = nodes.select(col("node"),
-      when(col("node") % 10 === 0, 0L).as("dist"))
-
-    def relax(d: DataFrame): DataFrame = {
-      val cand = und
-        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b").as("node"))
-        .agg(min(col("dist") + col("w")).as("cand"))
-      d.join(cand, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
-    }
-    Iterator.iterate(d0)(relax).drop(SsspRounds).next()
-      .filter(col("dist").isNotNull)
+    graft.operators.GraphOps.sssp(und, _ % 10 === 0, SsspRounds)
       .orderBy(col("node"))
   }
 

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Randomized differentials for the iterative graph cores against
+  * independent sequential references. The gated queries check each core on
+  * ONE synthetic graph shape (co-supply / modular-link), with oracles that
+  * replay the same round structure; these laws run the cores on random
+  * graphs with planted adversarial shapes — long chains (deeper than the
+  * round budget: the bounded-round contract must truncate identically),
+  * hubs, isolated cliques, dangling and zero-indegree nodes — and compare
+  * against direct Scala implementations of the CONTRACT (BFS level
+  * expansion, Bellman-Ford by rounds, peel-to-fixpoint, synchronous vote
+  * with (count, min-label) argmax, truncating fixed-point power iteration).
+  */
+class GraphLawsSpec extends SparkSpec {
+
+  /** Random undirected edge set over n nodes: random pairs plus a planted
+    * chain 0−1−2−…−(chainLen) (diameter control), a hub (node 1 linked
+    * everywhere), and a triangle clique at the top ids. Returned u < v,
+    * distinct. */
+  private def randomEdges(seed: Long, n: Int, m: Int, chainLen: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    val es = scala.collection.mutable.Set.empty[(Long, Long)]
+    for (_ <- 0 until m) {
+      val u = rng.nextInt(n); val v = rng.nextInt(n)
+      if (u != v) es += ((math.min(u, v).toLong, math.max(u, v).toLong))
+    }
+    for (i <- 0 until chainLen) es += ((i.toLong, (i + 1).toLong))
+    for (j <- 3 until n by 7) es += ((1L, j.toLong))
+    es += ((n - 3L, n - 2L)); es += ((n - 3L, n - 1L)); es += ((n - 2L, n - 1L))
+    es.toSeq
+  }
+
+  private def adjacency(edges: Seq[(Long, Long)]): Map[Long, Seq[Long]] =
+    (edges.map { case (u, v) => (u, v) } ++ edges.map { case (u, v) => (v, u) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+
+  private def undDf(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    GraphOps.undirect(edges.toDF("u", "v"))
+  }
+
+  test("bounded-hop BFS equals level expansion truncated at the hop budget") {
+    for (seed <- Seq(5L, 63L); hops <- Seq(2, 4)) {
+      val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
+      val adj = adjacency(edges)
+      val sources = adj.keySet.filter(_ % 5 == 0)
+      // reference: synchronous frontier expansion, `hops` levels
+      var dist = sources.map(_ -> 0L).toMap
+      for (h <- 1 to hops) {
+        val next = dist.keys.flatMap(adj(_)).filterNot(dist.contains).map(_ -> h.toLong)
+        dist = dist ++ next
+      }
+      val got = GraphOps.bfs(undDf(edges), _ % 5 === 0, hops)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == dist.toSet, s"seed=$seed hops=$hops: " +
+        s"missing ${(dist.toSet -- got).take(5)}, spurious ${(got -- dist.toSet).take(5)}")
+    }
+  }
+
+  test("bounded-round SSSP equals Bellman-Ford truncated at the round budget") {
+    for (seed <- Seq(9L, 41L); rounds <- Seq(2, 4)) {
+      val rng = new scala.util.Random(seed * 31)
+      val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
+      val w = edges.map(e => e -> (1L + rng.nextInt(20))).toMap
+      // reference: synchronous Bellman-Ford — d_{r+1}(v) = min(d_r(v),
+      // min over undirected (a,v): d_r(a) + w)
+      val undRef = edges.flatMap { case (u, v) =>
+        Seq((u, v, w((u, v))), (v, u, w((u, v))))
+      }
+      val nodes = undRef.map(_._1).distinct
+      var dist: Map[Long, Long] = nodes.filter(_ % 5 == 0).map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relaxed = undRef.flatMap { case (a, b, wt) =>
+          dist.get(a).map(da => b -> (da + wt))
+        }.groupBy(_._1).map { case (b, cs) => b -> cs.map(_._2).min }
+        dist = (dist.keySet ++ relaxed.keySet).map { v =>
+          v -> math.min(dist.getOrElse(v, Long.MaxValue), relaxed.getOrElse(v, Long.MaxValue))
+        }.toMap
+      }
+      import spark.implicits._
+      val und = GraphOps.undirect(
+        edges.map { case (u, v) => (u, v, w((u, v))) }.toDF("u", "v", "w"), "w")
+      val got = GraphOps.sssp(und, _ % 5 === 0, rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == dist.toSet, s"seed=$seed rounds=$rounds: " +
+        s"missing ${(dist.toSet -- got).take(5)}, spurious ${(got -- dist.toSet).take(5)}")
+    }
+  }
+
+  test("k-core peel with a fixpoint-covering round budget equals sequential peel-to-fixpoint") {
+    for (seed <- Seq(3L, 29L); k <- Seq(2, 3)) {
+      val edges = randomEdges(seed, n = 18, m = 12, chainLen = 10)
+      // reference: classic sequential peeling until stable — the true k-core
+      var live = edges
+      var changed = true
+      while (changed) {
+        val deg = adjacency(live).map { case (n, vs) => n -> vs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = live.filter { case (u, v) => keep(u) && keep(v) }
+        changed = next.size != live.size
+        live = next
+      }
+      // the planted chain peels one node per END per round at k=2; 18
+      // rounds cover any cascade on 18 nodes
+      import spark.implicits._
+      val got = GraphOps.kcorePeel(edges.toDF("u", "v").localCheckpoint(), k, rounds = 18)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == live.toSet, s"seed=$seed k=$k: " +
+        s"missing ${(live.toSet -- got).take(5)}, spurious ${(got -- live.toSet).take(5)}")
+    }
+  }
+
+  test("label propagation equals the synchronous (count, min-label) vote transcription") {
+    for (seed <- Seq(13L, 57L); rounds <- Seq(1, 3)) {
+      val edges = randomEdges(seed, n = 20, m = 16, chainLen = 8)
+      val adj = adjacency(edges)
+      var label = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        label = adj.map { case (node, neigh) =>
+          val votes = neigh.groupBy(label).map { case (l, xs) => (l, xs.size) }
+          // most frequent label, ties -> minimum label
+          node -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      val got = GraphOps.lpa(undDf(edges), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == label.toSet, s"seed=$seed rounds=$rounds: " +
+        s"missing ${(label.toSet -- got).take(5)}, spurious ${(got -- label.toSet).take(5)}")
+    }
+  }
+
+  test("fixed-point PageRank equals the truncating sequential power iteration") {
+    for (seed <- Seq(17L, 83L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 16
+      // DIRECTED multigraph: parallel edges and self-loops allowed; some
+      // nodes dangling (no out-edges), some with zero in-degree
+      val edges = Seq.fill(40)((rng.nextInt(n - 4).toLong, rng.nextInt(n).toLong))
+      val nodes = (0 until n).map(_.toLong)
+      val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+      var r: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 3) {
+        val inSum = edges.groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+        }
+        r = nodes.map(v => v -> (150000L + inSum.getOrElse(v, 0L) * 85L / 100L)).toMap
+      }
+      import spark.implicits._
+      val got = GraphOps.pageRank(nodes.toDF("id"), edges.toDF("src", "dst"), iters = 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got == r.toSet, s"seed=$seed: missing ${(r.toSet -- got).take(5)}, " +
+        s"spurious ${(got -- r.toSet).take(5)}")
+    }
+  }
+}
