@@ -111,6 +111,65 @@ object GraphOps {
     Iterator.iterate(l0)(step).drop(rounds).next()
   }
 
+  /** Per-node triangle counts over a (u, v) edge list stored once per
+    * undirected edge with u < v — compact-forward / Latapy 2008: every edge
+    * is oriented from its lower-(degree, id) endpoint to the higher one, so
+    * wedges are enumerated only at each triangle's minimum-degree vertex
+    * and total wedge work is arboricity-bounded (a hub of degree d that
+    * would generate d²/2 wedges under id-ordering generates none).
+    * Orientation changes wedge GENERATION only — per-node triangle counts
+    * are orientation-invariant (GraphLawsSpec pins this against brute-force
+    * triple enumeration on random hub/clique graphs). Returns
+    * (node, n_tri) for nodes in ≥ 1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    val wedges = oriented.select(col("src"), col("dst").as("w1"))
+      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+      .filter(col("w1") < col("w2"))
+    val tris = wedges.join(edges,
+      col("w1") === col("u") && col("w2") === col("v"), "left_semi")
+    tris.select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** HITS (Kleinberg 1999) over a directed (src, dst) edge list: `rounds`
+    * alternations of a ← Σ_in h, h ← Σ_out a, each one keyed join + keyed
+    * sum. Scores stay UNNORMALIZED exact BIGINTs (normalization is a
+    * monotone per-round constant, so rankings are identical and no division
+    * ever happens) ⇒ hash-exact at any partitioning. Returns
+    * (node, hub, authority) after the final round. */
+  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"hits needs at least one round, got $rounds")
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    def authStep(h: DataFrame): DataFrame = nodes
+      .join(edges.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
+    def hubStep(a: DataFrame): DataFrame = nodes
+      .join(edges.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
+    val (h, a) = (1 to rounds).foldLeft(
+      (nodes.select(col("node"), lit(1L).as("h")), Option.empty[DataFrame])) {
+      case ((hPrev, _), _) =>
+        val aNext = authStep(hPrev)
+        (hubStep(aNext), Some(aNext))
+    }
+    h.join(a.get, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Fixed-point PageRank (damping 85/100, BIGINT fixed-point 1e6 = rank
     * 1.0) over a directed (src, dst) edge list with PER-NODE out-degree:
     * `iters` unrolled rounds of edges ⋈ ranks → keyed sum → left join onto

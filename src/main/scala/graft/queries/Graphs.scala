@@ -103,24 +103,7 @@ object Graphs {
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
       .filter((col("u") * 31 + col("v")) % 20 === 0)
-    val deg = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val oriented = edges
-      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("dst"))
-    val wedges = oriented.select(col("src"), col("dst").as("w1"))
-      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
-      .filter(col("w1") < col("w2"))
-    val tris = wedges.join(edges,
-      col("w1") === col("u") && col("w2") === col("v"), "left_semi")
-    tris.select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    graft.operators.GraphOps.triangleCounts(edges)
       .orderBy(col("n_tri").desc, col("node"))
       .limit(20)
   }
@@ -629,23 +612,7 @@ object Graphs {
       .select(col("a.s").as("src"), col("b.s").as("dst"))
       .distinct()
       .filter((col("src") * 31 + col("dst")) % 20 === 0)
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
-    def authStep(h: DataFrame): DataFrame = nodes
-      .join(edges.join(h.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("s")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("s"), lit(0L)).as("a"))
-    def hubStep(a: DataFrame): DataFrame = nodes
-      .join(edges.join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("a")).as("s")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("s"), lit(0L)).as("h"))
-    val h0 = nodes.select(col("node"), lit(1L).as("h"))
-    val a1 = authStep(h0)
-    val h1 = hubStep(a1)
-    val a2 = authStep(h1)
-    val h2 = hubStep(a2)
-    h2.join(a2, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    graft.operators.GraphOps.hits(edges, rounds = 2)
       .orderBy(col("hub").desc, col("node"))
       .limit(20)
   }

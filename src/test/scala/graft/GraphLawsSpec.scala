@@ -132,6 +132,53 @@ class GraphLawsSpec extends SparkSpec {
     }
   }
 
+  test("degree-oriented triangle counts equal brute-force triple enumeration") {
+    // The scale lemma is the ORIENTATION: wedges are enumerated only at the
+    // minimum-(degree, id) vertex, so per-node counts must be invariant to
+    // it. The planted hub (node 1) is the shape where id-ordering and
+    // degree-ordering disagree most.
+    for (seed <- Seq(11L, 37L)) {
+      val edges = randomEdges(seed, n = 20, m = 30, chainLen = 6)
+      val eset = edges.toSet
+      def hasEdge(a: Long, b: Long) = eset((math.min(a, b), math.max(a, b)))
+      val nodes = adjacency(edges).keySet.toSeq.sorted
+      val want = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; l <- (j + 1) until nodes.size
+        (u, v, w) = (nodes(i), nodes(j), nodes(l))
+        if hasEdge(u, v) && hasEdge(u, w) && hasEdge(v, w)
+        n <- Seq(u, v, w)
+      } yield n).groupBy(identity).map { case (n, xs) => (n, xs.size.toLong) }.toSet
+      import spark.implicits._
+      val got = GraphOps.triangleCounts(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"seed=$seed: missing ${(want -- got).take(5)}, " +
+        s"spurious ${(got -- want).take(5)}")
+      assert(want.nonEmpty, "no triangles generated; corpus drifted")
+    }
+  }
+
+  test("unnormalized HITS equals the sequential alternation") {
+    for (seed <- Seq(7L, 91L); rounds <- Seq(1, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 14
+      val edges = Seq.fill(30)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (s, d) => s != d }.distinct
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var h: Map[Long, Long] = nodes.map(_ -> 1L).toMap
+      var a: Map[Long, Long] = Map.empty
+      for (_ <- 1 to rounds) {
+        a = nodes.map(v => v -> edges.collect { case (s, d) if d == v => h(s) }.sum).toMap
+        h = nodes.map(v => v -> edges.collect { case (s, d) if s == v => a(d) }.sum).toMap
+      }
+      val want = nodes.map(v => (v, h(v), a(v))).toSet
+      import spark.implicits._
+      val got = GraphOps.hits(edges.toDF("src", "dst"), rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"seed=$seed rounds=$rounds: " +
+        s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
+    }
+  }
+
   test("fixed-point PageRank equals the truncating sequential power iteration") {
     for (seed <- Seq(17L, 83L)) {
       val rng = new scala.util.Random(seed)
