@@ -574,29 +574,25 @@ object Curation {
         expr("element_at(a, i + 1)")).as("pair"), col("wfreq"))
       .groupBy(col("pair")).agg(sum(col("wfreq")).as("pair_count"))
 
-  /** Three rounds of the BPE trainer LOOP: count pairs over the vocabulary,
-    * pick the argmax pair (count desc, pair asc — fully deterministic),
-    * apply the merge, recount. Output is the top-5 pair table per round;
-    * each round's rank-1 row IS the chosen merge, so the result pins both
-    * the merge choices and the post-merge statistics.
+  /** The BPE trainer LOOP over an initial (sym, wfreq) vocabulary, `rounds`
+    * rounds: count adjacent pairs, pick the argmax pair (count desc, pair
+    * asc — fully deterministic), apply the merge, recount. Output is the
+    * top-5 pair table per round; each round's rank-1 row IS the chosen
+    * merge, so the result pins both the merge choices and the post-merge
+    * statistics.
     *
     * Per round the driver collects exactly ONE row (the argmax pair) and
     * stamps it into the next round's plan — the same driver-per-round shape
-    * as k-means centroid refresh; the corpus-sized work (word counting) runs
-    * once, and each round touches only the vocabulary. Merge application is
-    * sentinel-padded left-to-right non-overlapping `replace` — identical
-    * semantics in the engine and the oracle, and the standard greedy BPE
-    * scan. At production scale rounds run to a vocab budget (~50k merges);
-    * 3 here keeps the oracle's unrolled CTE chain reviewable. */
-  def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-      .filter(length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
-    var vocab = words
-      .select(trim(array_join(split(col("word"), ""), " ")).as("sym"), col("wfreq"))
-      .localCheckpoint()
-    val perRound = (1 to 3).map { round =>
+    * as k-means centroid refresh; each round touches only the vocabulary.
+    * Merge application is sentinel-padded left-to-right non-overlapping
+    * `replace`, scanning continuing AFTER each replacement — so a run
+    * "a a a a" merges to "aa a a", not "aa aa" — identical semantics in the
+    * engine and the oracle, and the standard greedy BPE scan;
+    * CurationLawsSpec pins the convention against an independent reference.
+    * At production scale rounds run to a vocab budget (~50k merges). */
+  private[graft] def bpeTrainRounds(vocab0: DataFrame, rounds: Int): DataFrame = {
+    var vocab = vocab0.localCheckpoint()
+    val perRound = (1 to rounds).map { round =>
       val counts = bpePairCounts(vocab).localCheckpoint()
       val top = counts.orderBy(col("pair_count").desc, col("pair"))
         .limit(1).collect()(0).getString(0)
@@ -608,6 +604,16 @@ object Curation {
         .select(lit(round.toLong).as("round"), col("pair"), col("pair_count"))
     }
     perRound.reduce(_ unionByName _)
+  }
+
+  def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wfreq"))
+    bpeTrainRounds(words
+      .select(trim(array_join(split(col("word"), ""), " ")).as("sym"), col("wfreq")),
+      rounds = 3)
       .orderBy(col("round"), col("pair_count").desc, col("pair"))
   }
 
