@@ -132,6 +132,36 @@ class GraphLawsSpec extends SparkSpec {
     }
   }
 
+  test("both connected-components variants equal union-find on random graphs") {
+    // CurationSpec asserts the two variants agree with EACH OTHER; this law
+    // adds the independent reference (union-find with path compression,
+    // roots kept at the component minimum), on graphs with a chain longer
+    // than the dense-cluster diameters the dedup gates produce.
+    for (seed <- Seq(19L, 73L)) {
+      val edges = randomEdges(seed, n = 26, m = 18, chainLen = 14)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val want = adjacency(edges).keySet.map(n => (n, find(n)))
+      import spark.implicits._
+      val df = edges.toDF("u", "v")
+      val gotMin = graft.operators.Clustering.connectedComponents(df, "u", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotAlt = graft.operators.Clustering.connectedComponentsAlternating(df, "u", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotMin == want, s"seed=$seed min-label: missing ${(want -- gotMin).take(5)}, " +
+        s"spurious ${(gotMin -- want).take(5)}")
+      assert(gotAlt == want, s"seed=$seed alternating: missing ${(want -- gotAlt).take(5)}, " +
+        s"spurious ${(gotAlt -- want).take(5)}")
+    }
+  }
+
   test("degree-oriented triangle counts equal brute-force triple enumeration") {
     // The scale lemma is the ORIENTATION: wedges are enumerated only at the
     // minimum-(degree, id) vertex, so per-node counts must be invariant to
