@@ -199,6 +199,37 @@ class AnnLawsSpec extends SparkSpec {
     }
   }
 
+  test("lshPairs equals the uncollapsed bucket-join transcription") {
+    // The collapse tier's expansion logic (cross pairs via the member map,
+    // intra pairs at literal score 1.0, csize/norm gating) must reproduce
+    // the single-tier form: bucket every RAW vector on the same hyperplane
+    // signs, join within bucket, score, threshold. The intra literal is
+    // only sound because round6 absorbs the sqrt ulps of x·x/(‖x‖·‖x‖) —
+    // the reference computes the raw score and must land on exactly 1.0.
+    val dim = 8; val nPlanes = 4
+    val planes = Array.tabulate(nPlanes, dim)((j, i) =>
+      Similarity.planeWeightValue(j, i + 1)) // column indices are 1-based
+    def bucket(v: Vec): Long =
+      (0 until nPlanes).map { j =>
+        var s = 0.0; var i = 0
+        while (i < dim) { s += v(i).toDouble * planes(j)(i); i += 1 }
+        if (s >= 0) 1L << j else 0L
+      }.sum
+    for (seed <- Seq(31L, 67L); t <- Seq(0.3, 0.9)) {
+      val rows = corpus(seed, n = 30, dim = dim)
+      val ref = (for {
+        (a, va) <- rows; (b, vb) <- rows
+        if a < b && bucket(va) == bucket(vb) && nrm(va) > 0 && nrm(vb) > 0
+        s = round6(dot(va, vb) / (nrm(va) * nrm(vb)))
+        if s >= t
+      } yield (bucket(va), a, b, s)).toSet
+      val got = Similarity.lshPairs(toDf(rows), dim, nPlanes, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == ref, s"seed=$seed t=$t: missing ${(ref -- got).take(5)}, " +
+        s"spurious ${(got -- ref).take(5)}")
+    }
+  }
+
   test("PQ over a codeword-copy corpus reconstructs exactly; ADC top-k equals true-distance top-k") {
     // Every vector is an exact copy of one of the first kCodes vectors and
     // components are integer-valued, so codebook means are exact (n·x/n = x
