@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Edge-parameterized iterative graph cores — the algorithms behind the
   * gated graph queries ([[graft.queries.Graphs]] carves edge lists from the
@@ -140,6 +141,80 @@ object GraphOps {
       col("w1") === col("u") && col("w2") === col("v"), "left_semi")
     tris.select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node — 2·T(v) / (d(v)·(d(v)−1)) over
+    * a (u, v) u<v edge list, via the same degree-oriented wedge enumeration
+    * as [[triangleCounts]] (hub cost stays arboricity-bounded). The
+    * coefficient is ONE IEEE division of exact integers ⇒ bit-exact; nodes
+    * with d < 2 are excluded (undefined denominator). Returns
+    * (node, d, n_tri, coeff). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("id"))
+      .unionAll(edges.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val triCounts = triangleCounts(edges).withColumnRenamed("node", "id")
+    deg.filter(col("d") >= 2)
+      .join(triCounts, Seq("id"), "left")
+      .select(col("id").as("node"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .select(col("node"), col("d"), col("n_tri"),
+        ((col("n_tri") * 2).cast(DoubleType) /
+          (col("d") * (col("d") - 1)).cast(DoubleType)).as("coeff"))
+  }
+
+  /** Jaccard link prediction (Liben-Nowell & Kleinberg CIKM'03) over a
+    * (u, v) u<v edge list: score non-adjacent node pairs at distance 2 by
+    * neighbor-set overlap, cn / (deg u + deg v − cn). Wedge MIDDLES are
+    * degree-capped at `cap` (the stop-shingle pattern — a hub of degree d
+    * contributes d² candidate pairs while adding little signal; pass
+    * Long.MaxValue to disable); endpoint degrees in the score stay
+    * UNCAPPED. Existing edges drop via a keyed anti-join. Returns
+    * (u, v, cn, jaccard); top-k/ordering is the caller's. */
+  def jaccardLinkPred(edges: DataFrame, cap: Long): DataFrame = {
+    val und = undirect(edges)
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val w1 = und.join(deg.filter(col("deg") <= cap).select(col("a")), Seq("a"))
+    val cand = w1.select(col("a"), col("b").as("u"))
+      .join(w1.select(col("a"), col("b").as("v")), Seq("a"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .join(edges, Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast(DoubleType) /
+          (col("du") + col("dv") - col("cn")).cast(DoubleType)).as("jaccard"))
+  }
+
+  /** Degree assortativity (Newman 2002) over a (u, v) u<v edge list: the
+    * Pearson correlation of endpoint degrees over the symmetrized edges.
+    * Degree sums/moments are exact integers in ONE map-side-combined agg;
+    * the coefficient is then a fixed IEEE sequence over their double casts.
+    * A degree-regular (or empty) graph has zero variance — emits NULL, not
+    * a divide-by-zero (ANSI mode throws on a zero divisor). Returns one row
+    * (n_dir_edges, assortativity). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = undirect(edges)
+    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val ed = und
+      .join(deg.select(col("id").as("a"), col("d").as("dx")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("dy")), "b")
+    val m = ed.agg(count(lit(1)).as("m"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    val d = DoubleType
+    m.select(col("m").as("n_dir_edges"),
+        ((col("m").cast(d) * col("sxy").cast(d) - col("sx").cast(d) * col("sy").cast(d)))
+          .as("num"),
+        sqrt((col("m").cast(d) * col("sxx").cast(d) - col("sx").cast(d) * col("sx").cast(d)) *
+             (col("m").cast(d) * col("syy").cast(d) - col("sy").cast(d) * col("sy").cast(d)))
+          .as("den"))
+      .select(col("n_dir_edges"),
+        when(col("den") > 0.0, col("num") / col("den")).as("assortativity"))
   }
 
   /** HITS (Kleinberg 1999) over a directed (src, dst) edge list: `rounds`

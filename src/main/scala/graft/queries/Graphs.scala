@@ -355,21 +355,7 @@ object Graphs {
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
       .filter((col("u") * 31 + col("v")) % 20 === 0)
-    val und = edges.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    val w1 = und.join(deg.filter(col("deg") <= LinkpredCap).select(col("a")), Seq("a"))
-    val cand = w1.select(col("a"), col("b").as("u"))
-      .join(w1.select(col("a"), col("b").as("v")), Seq("a"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .join(edges, Seq("u", "v"), "left_anti")
-    cand
-      .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(col("u"), col("v"), col("cn"),
-        (col("cn").cast(DoubleType) /
-          (col("du") + col("dv") - col("cn")).cast(DoubleType)).as("jaccard"))
+    graft.operators.GraphOps.jaccardLinkPred(edges, LinkpredCap)
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(50)
   }
@@ -470,32 +456,7 @@ object Graphs {
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
       .filter((col("u") * 31 + col("v")) % 20 === 0)
-    val deg = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val oriented = edges
-      .join(deg.select(col("id").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
-      .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("dst"))
-    val wedges = oriented.select(col("src"), col("dst").as("w1"))
-      .join(oriented.select(col("src"), col("dst").as("w2")), "src")
-      .filter(col("w1") < col("w2"))
-    val tris = wedges.join(edges,
-      col("w1") === col("u") && col("w2") === col("v"), "left_semi")
-    val triCounts = tris
-      .select(explode(array(col("src"), col("w1"), col("w2"))).as("id"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
-    deg.filter(col("d") >= 2)
-      .join(triCounts, Seq("id"), "left")
-      .select(col("id").as("node"), col("d"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .select(col("node"), col("d"), col("n_tri"),
-        ((col("n_tri") * 2).cast(DoubleType) /
-          (col("d") * (col("d") - 1)).cast(DoubleType)).as("coeff"))
+    graft.operators.GraphOps.clusteringCoefficients(edges)
       .orderBy(col("coeff").desc, col("node"))
       .limit(100)
   }
@@ -542,28 +503,7 @@ object Graphs {
       .select(col("a.s").as("u"), col("b.s").as("v"))
       .distinct()
       .filter((col("u") * 31 + col("v")) % 20 === 0)
-    val und = edges.select(col("u").as("a"), col("v").as("b"))
-      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-    val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
-    val ed = und
-      .join(deg.select(col("id").as("a"), col("d").as("dx")), "a")
-      .join(deg.select(col("id").as("b"), col("d").as("dy")), "b")
-    val m = ed.agg(count(lit(1)).as("m"),
-      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-      sum(col("dx") * col("dy")).as("sxy"),
-      sum(col("dx") * col("dx")).as("sxx"),
-      sum(col("dy") * col("dy")).as("syy"))
-    val d = DoubleType
-    // a degree-regular (or empty) graph has zero variance — emit NULL, not a
-    // divide-by-zero (ANSI mode throws; hit at sf0.001's degenerate sample)
-    m.select(col("m").as("n_dir_edges"),
-        ((col("m").cast(d) * col("sxy").cast(d) - col("sx").cast(d) * col("sy").cast(d)))
-          .as("num"),
-        sqrt((col("m").cast(d) * col("sxx").cast(d) - col("sx").cast(d) * col("sx").cast(d)) *
-             (col("m").cast(d) * col("syy").cast(d) - col("sy").cast(d) * col("sy").cast(d)))
-          .as("den"))
-      .select(col("n_dir_edges"),
-        when(col("den") > 0.0, col("num") / col("den")).as("assortativity"))
+    graft.operators.GraphOps.degreeAssortativity(edges)
   }
 
   val assortOracle: String =

@@ -187,6 +187,82 @@ class GraphLawsSpec extends SparkSpec {
     }
   }
 
+  test("clustering coefficients equal the per-node formula over brute-force triangles") {
+    for (seed <- Seq(21L, 77L)) {
+      val edges = randomEdges(seed, n = 18, m = 26, chainLen = 5)
+      val eset = edges.toSet
+      def hasEdge(a: Long, b: Long) = eset((math.min(a, b), math.max(a, b)))
+      val adj = adjacency(edges)
+      val want = adj.collect { case (n, neigh) if neigh.size >= 2 =>
+        val ns = neigh.distinct
+        val tri = (for { i <- ns.indices; j <- (i + 1) until ns.size
+                         if hasEdge(ns(i), ns(j)) } yield 1).size.toLong
+        val d = neigh.size.toLong
+        (n, d, tri, tri.toDouble * 2 / (d * (d - 1)).toDouble)
+      }.toSet
+      import spark.implicits._
+      val got = GraphOps.clusteringCoefficients(edges.toDF("u", "v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == want, s"seed=$seed: missing ${(want -- got).take(5)}, " +
+        s"spurious ${(got -- want).take(5)}")
+    }
+  }
+
+  test("link prediction equals brute-force distance-2 Jaccard; the middle cap prunes exactly") {
+    for (seed <- Seq(33L, 85L)) {
+      val edges = randomEdges(seed, n = 18, m = 20, chainLen = 6)
+      val eset = edges.toSet
+      val adj = adjacency(edges)
+      def ref(cap: Long): Set[(Long, Long, Long, Double)] = {
+        val mids = adj.filter { case (_, ns) => ns.size <= cap }.keySet
+        (for {
+          u <- adj.keySet; v <- adj.keySet
+          if u < v && !eset((u, v))
+          cn = adj(u).toSet.intersect(adj(v).toSet).count(mids)
+          if cn > 0
+        } yield (u, v, cn.toLong,
+          cn.toDouble / (adj(u).size + adj(v).size - cn).toDouble)).toSet
+      }
+      import spark.implicits._
+      val df = edges.toDF("u", "v")
+      // cap disabled: exact distance-2 Jaccard
+      val gotAll = GraphOps.jaccardLinkPred(df, Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotAll == ref(Long.MaxValue), s"seed=$seed uncapped: " +
+        s"missing ${(ref(Long.MaxValue) -- gotAll).take(5)}, spurious ${(gotAll -- ref(Long.MaxValue)).take(5)}")
+      // tight cap: the planted hub (node 1) is excluded as a wedge middle
+      // but its own degree still enters scores uncapped
+      val cap = 4L
+      val gotCap = GraphOps.jaccardLinkPred(df, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(gotCap == ref(cap), s"seed=$seed cap=$cap: " +
+        s"missing ${(ref(cap) -- gotCap).take(5)}, spurious ${(gotCap -- ref(cap)).take(5)}")
+      assert(gotCap != gotAll, "cap never engaged; corpus drifted")
+    }
+  }
+
+  test("degree assortativity equals the sequential Pearson over endpoint degrees") {
+    for (seed <- Seq(25L, 49L)) {
+      val edges = randomEdges(seed, n = 16, m = 18, chainLen = 5)
+      val adj = adjacency(edges)
+      val dirs = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      val (m, sx, sy, sxy, sxx, syy) = dirs.foldLeft((0L, 0L, 0L, 0L, 0L, 0L)) {
+        case ((m, sx, sy, sxy, sxx, syy), (a, b)) =>
+          val (dx, dy) = (adj(a).size.toLong, adj(b).size.toLong)
+          (m + 1, sx + dx, sy + dy, sxy + dx * dy, sxx + dx * dx, syy + dy * dy)
+      }
+      val num = m.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val den = math.sqrt((m.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        (m.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+      val want = if (den > 0.0) Some(num / den) else None
+      import spark.implicits._
+      val row = GraphOps.degreeAssortativity(edges.toDF("u", "v")).collect().head
+      assert(row.getLong(0) == m)
+      val got = if (row.isNullAt(1)) None else Some(row.getDouble(1))
+      assert(got == want, s"seed=$seed: got $got want $want")
+    }
+  }
+
   test("unnormalized HITS equals the sequential alternation") {
     for (seed <- Seq(7L, 91L); rounds <- Seq(1, 3)) {
       val rng = new scala.util.Random(seed)
