@@ -147,6 +147,102 @@ class StreamingLawsSpec extends SparkSpec {
     }
   }
 
+  test("random epoch splits: stream-stream interval join equals batch and the pair reference") {
+    // Matches can span epochs (a click in a later micro-batch joining an
+    // impression buffered in join state from an earlier one) — the case the
+    // single-batch spec never exercises. Globally increasing timestamps
+    // keep every valid match inside the 30-min watermark horizon by
+    // construction (a click at t only matches impressions ≥ t−15min, and
+    // the watermark trails max-event-time by 30min).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var anyCross = false
+    for (seed <- Seq(11L, 203L)) {
+      val rng = new scala.util.Random(seed)
+      val evts = (0 until 50).map { i =>
+        (1L + rng.nextInt(3), 100L + i, ts(i.toLong * 2), rng.nextBoolean())
+      } // (user, id, ts, isClick)
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(evts.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ evts.size
+      val memL = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val memR = MemoryStream[(Long, Long, java.sql.Timestamp)]
+      val q = Sessions.intervalJoin(
+          memL.toDF().toDF("user_id", "imp_id", "ts"),
+          memR.toDF().toDF("user_id", "click_id", "click_ts"),
+          keys = Seq("user_id"), leftTs = "ts", rightTs = "click_ts")
+        .select(col("imp_id"), col("click_id"))
+        .writeStream.format("memory").queryName(s"law_ivj_$seed")
+        .outputMode(OutputMode.Append()).start()
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        val slice = evts.slice(a, b)
+        memL.addData(slice.collect { case (u, id, t, false) => (u, id, t) }: _*)
+        memR.addData(slice.collect { case (u, id, t, true) => (u, id, t) }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"law_ivj_$seed")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (u1, imp, t1, f1) <- evts if !f1
+        (u2, click, t2, f2) <- evts if f2
+        if u1 == u2 && t2.getTime >= t1.getTime && t2.getTime <= t1.getTime + 15 * 60 * 1000
+      } yield (imp, click)).toSet
+      assert(got == want, s"seed=$seed epochs=${bounds.size - 1}: " +
+        s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
+      // teeth bookkeeping: a match crossing an epoch boundary is the case
+      // the single-batch spec never exercises
+      val epochOf = evts.zipWithIndex.map { case (e, i) =>
+        e._2 -> bounds.tail.indexWhere(i < _)
+      }.toMap
+      anyCross ||= (for {
+        (u1, imp, t1, f1) <- evts if !f1
+        (u2, click, t2, f2) <- evts if f2
+        if u1 == u2 && t2.getTime >= t1.getTime &&
+          t2.getTime <= t1.getTime + 15 * 60 * 1000 && epochOf(imp) != epochOf(click)
+      } yield (imp, click)).nonEmpty
+    }
+    assert(anyCross, "no seed produced a cross-epoch match; corpus drifted")
+  }
+
+  test("random epoch splits: watermarked windowed aggregation equals the reference") {
+    // Window state accumulates across micro-batches until the watermark
+    // closes the window; integer-valued doubles make the per-window average
+    // order-independent (exact sum), so stream == batch == reference
+    // exactly, whatever the split.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    for (seed <- Seq(17L, 401L)) {
+      val rng = new scala.util.Random(seed)
+      val types = Seq("view", "click", "buy")
+      val rows = (0 until 60).map { i =>
+        (ts(i.toLong * 7), types(rng.nextInt(3)), rng.nextInt(10).toDouble)
+      }
+      val cuts = Seq.fill(rng.nextInt(4))(1 + rng.nextInt(rows.size - 1)).distinct.sorted
+      val bounds = (0 +: cuts) :+ rows.size
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = Sessions.windowedTypeCounts(mem.toDF().toDF("ts", "event_type", "value"))
+        .writeStream.format("memory").queryName(s"law_wagg_$seed")
+        .outputMode(OutputMode.Append()).start()
+      bounds.zip(bounds.tail).foreach { case (a, b) =>
+        mem.addData(rows.slice(a, b): _*); q.processAllAvailable()
+      }
+      mem.addData((ts(1000000L), "sentinel", 0.0)); q.processAllAvailable() // flush all windows
+      q.stop()
+      val got = spark.table(s"law_wagg_$seed").filter(col("event_type") =!= "sentinel")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val hourMs = 3600L * 1000
+      val want = rows.groupBy { case (t, typ, _) => (t.getTime / hourMs * hourMs, typ) }
+        .map { case ((w, typ), xs) =>
+          val n = xs.size.toLong
+          (w, typ, n, new java.math.BigDecimal(java.lang.Double.toString(
+            xs.map(_._3).sum / n)).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+        }.toSet
+      assert(got == want, s"seed=$seed epochs=${bounds.size - 1}: " +
+        s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
+    }
+  }
+
   test("random epoch splits: both sessionizers match batch/reference semantics") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
