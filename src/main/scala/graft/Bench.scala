@@ -73,6 +73,12 @@ object Bench {
     }
   }
 
+  /** The reconciliation trigger: in-suite median over 2x its baseline row,
+    * or over 1.5x with more than half a second of absolute inflation (the
+    * expensive-query pollution signature that slips a 2x-only gate). */
+  private[graft] def polluted(sec: Double, base: Double): Boolean =
+    sec > 2 * base || (sec > 1.5 * base && sec - base > 0.5)
+
   /** One measured execution: wall-clock + the telemetry it generated. */
   private[graft] final case class RunStats(sec: Double, shuffleRead: Long,
       shuffleWrite: Long, peakTaskMem: Long)
@@ -174,8 +180,6 @@ object Bench {
     // query, AFTER the whole sweep (so the re-run doesn't inherit its
     // neighbors' JVM state) with a GC between queries.
     val results: Seq[(String, QueryResult)] = {
-      def polluted(sec: Double, base: Double): Boolean =
-        sec > 2 * base || (sec > 1.5 * base && sec - base > 0.5)
       val flaggedNames = sweep.collect {
         case (name, _, Some(r)) if baseline.get(name).exists(polluted(r.sec, _)) => name
       }.toSet

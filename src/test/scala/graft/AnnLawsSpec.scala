@@ -196,6 +196,11 @@ class AnnLawsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       assert(got == ref, s"seed=$seed t=$t: missing ${(ref -- got).take(5)}, " +
         s"spurious ${(got -- ref).take(5)}")
+      // teeth: below the boundary the corpus must actually flag duplicates
+      // (planted copies) while keeping the zero-norm rows
+      if (t <= 1.0) assert(ref.exists(!_._3) && ref.exists(r => r._3 && (r._1 == 5L || r._1 == 7L)),
+        s"seed=$seed t=$t: no flagged duplicate or kept zero-norm row; corpus drifted")
+      if (t > 1.0) assert(ref.forall(_._3), s"t=$t must keep everything")
     }
   }
 
@@ -227,6 +232,11 @@ class AnnLawsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
       assert(got == ref, s"seed=$seed t=$t: missing ${(ref -- got).take(5)}, " +
         s"spurious ${(got -- ref).take(5)}")
+      // teeth: planted copies must surface as intra pairs at exactly 1.0,
+      // and (at the lower threshold) some non-identical pair must survive
+      assert(ref.exists(_._4 == 1.0), s"seed=$seed t=$t: no intra pair; corpus drifted")
+      if (t <= 0.3) assert(ref.exists(_._4 < 1.0),
+        s"seed=$seed t=$t: no cross pair; corpus drifted")
     }
   }
 

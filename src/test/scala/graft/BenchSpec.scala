@@ -62,6 +62,16 @@ class BenchSpec extends AnyFunSuite {
     assert(b.values.forall(v => v > 0 && v < 120), "rows are positive seconds under 2 min")
   }
 
+  test("the reconciliation trigger fires at >2x, or >1.5x with >0.5s inflation") {
+    assert(Bench.polluted(2.1, 1.0))    // plain 2x breach
+    assert(Bench.polluted(1.9, 1.0))    // 1.9x with 0.9s inflation — the widened arm
+    assert(Bench.polluted(6.4, 3.81))   // round-8 ded_contain: 1.68x, +2.6s — must fire
+    assert(!Bench.polluted(1.4, 1.0))   // under both arms
+    assert(!Bench.polluted(1.6, 1.2))   // 1.33x — ratio arm not met despite +0.4s
+    assert(!Bench.polluted(0.35, 0.2))  // cheap query, 1.75x but only +0.15s absolute
+    assert(Bench.polluted(0.45, 0.2))   // cheap query past plain 2x still fires
+  }
+
   // Reconciliation reports the FASTER of the in-suite and isolated medians:
   // both measure the identical plan and pollution only inflates, so taking
   // the isolated figure unconditionally lets a polluted RE-MEASURE replace a
