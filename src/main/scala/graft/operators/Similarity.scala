@@ -380,8 +380,14 @@ object Similarity {
     def dotD(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
         lit(0.0), (acc, x) => acc + x)
-    def cosD(a: Column, b: Column): Column =
-      dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+    // guarded like nearestCells: ANSI mode throws on a zero divisor even for
+    // doubles, so one zero-norm vector (or an all-cancelling centroid) in a
+    // 100-TB corpus must yield NULL cscores (assigned to the lowest cell id,
+    // deterministic), never a dead training job — AnnLawsSpec plants one
+    def cosD(a: Column, b: Column): Column = {
+      val nrmProd = sqrt(dotD(a, a)) * sqrt(dotD(b, b))
+      when(nrmProd > 0, dotD(a, b) / nrmProd)
+    }
 
     var cents = corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell_id"),

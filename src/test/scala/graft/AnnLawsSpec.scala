@@ -204,6 +204,46 @@ class AnnLawsSpec extends SparkSpec {
     }
   }
 
+  test("k-means training equals the sequential Lloyd transcription") {
+    // The trainer's determinism contract — cosine assignment rounded to
+    // 6dp with cell_id tie-break, centroid components summed in vec_id
+    // order (left-to-right double adds), empty cells dropped — transcribed
+    // sequentially. The planted zero-norm vector gets NULL cscores and the
+    // lowest cell id (the guard AnnLawsSpec forced into cosD: ANSI throws
+    // on double division by zero).
+    for (seed <- Seq(29L, 71L); iters <- Seq(1, 2)) {
+      val rows = corpus(seed, n = 26, dim = 8)
+      val k = 4
+      var cents: Seq[(Long, Seq[Double], Long)] = rows.filter(_._1 < k)
+        .map { case (id, v) => (id, v.map(_.toDouble).toSeq, 1L) }
+      def dotD(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      for (_ <- 1 to iters) {
+        val assigned = rows.map { case (vid, v) =>
+          val vd = v.map(_.toDouble).toSeq
+          val best = cents.map { case (cid, c, _) =>
+            val p = math.sqrt(dotD(vd, vd)) * math.sqrt(dotD(c, c))
+            (cid, if (p > 0) Some(round6(dotD(vd, c) / p)) else None)
+          }.sortBy { case (cid, s) => (s.isEmpty, s.map(-_).getOrElse(0.0), cid) }(
+            Ordering.Tuple3(Ordering.Boolean, sparkDouble, Ordering.Long)).head._1
+          (best, vid, v)
+        }
+        cents = assigned.groupBy(_._1).toSeq.map { case (cid, members) =>
+          val ordered = members.sortBy(_._2)
+          val n = ordered.size
+          val cent = (0 until 8).map { pos =>
+            ordered.foldLeft(0.0) { case (s, (_, _, v)) => s + v(pos).toDouble } / n
+          }
+          (cid, cent, n.toLong)
+        }.sortBy(_._1)
+      }
+      val got = Similarity.kmeansCells(toDf(rows), k, iters)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq, r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      assert(got == cents, s"seed=$seed iters=$iters:\n got $got\nwant $cents")
+    }
+  }
+
   test("lshPairs equals the uncollapsed bucket-join transcription") {
     // The collapse tier's expansion logic (cross pairs via the member map,
     // intra pairs at literal score 1.0, csize/norm gating) must reproduce
