@@ -51,7 +51,11 @@ class DedupLawsSpec extends SparkSpec {
     df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
 
   test("prefix-filtered jaccard join is lossless vs brute force on random corpora") {
-    for (seed <- Seq(5L, 81L); t <- Seq(0.4, 0.7)) {
+    // thresholds chosen to SIT ON achievable jaccard rationals (1/2, 1/3,
+    // 2/3, 2/5) — the exact-boundary regime where the round-8 bug lived
+    // (double 0.4 is 0.4000…0222, so a double-arithmetic length bound
+    // silently dropped true pairs at j == 2/5)
+    for (seed <- Seq(5L, 81L); t <- Seq(0.4, 0.5, 1.0 / 3.0, 2.0 / 3.0, 0.7)) {
       val docs = corpus(seed)
       val df = spark.createDataFrame(docs).toDF("doc_id", "text")
       val got = collectPairs(Dedup.prefixJaccardPairs(df, "doc_id", "text", threshold = t))
@@ -68,7 +72,7 @@ class DedupLawsSpec extends SparkSpec {
   }
 
   test("containment join is lossless vs brute force on random corpora") {
-    for (seed <- Seq(7L, 42L); (tNum, tDen) <- Seq((4, 5), (1, 2))) {
+    for (seed <- Seq(7L, 42L); (tNum, tDen) <- Seq((4, 5), (1, 2), (1, 3), (2, 3), (3, 4))) {
       val docs = corpus(seed)
       val df = spark.createDataFrame(docs).toDF("doc_id", "text")
       val got = collectPairs(Dedup.containmentPairs(df, "doc_id", "text", tNum, tDen))
