@@ -34,43 +34,77 @@ object GraphOps {
     fwd.unionAll(rev)
   }
 
+  private def initialDistances(und: DataFrame, isSource: Column => Column): DataFrame =
+    und.select(col("a").as("node")).distinct()
+      .select(col("node"), when(isSource(col("node")), 0L).as("dist"))
+
+  /** One synchronous relax round: every reached node offers dist + `cost`
+    * to its neighbors, each node keeps its minimum (one keyed join + one
+    * keyed min-agg + one left-join merge). */
+  private def relaxRound(und: DataFrame, d: DataFrame, cost: Column): DataFrame = {
+    val cand = und
+      .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
+      .groupBy(col("b").as("node"))
+      .agg(min(col("dist") + cost).as("cand"))
+    d.join(cand, Seq("node"), "left")
+      .select(col("node"), least(col("dist"), col("cand")).as("dist"))
+  }
+
+  /** Relax until a fixpoint: distances checkpointed per round (the
+    * iteration reads them twice next round), convergence probed with one
+    * cheap distributed anti-comparison — the [[graft.operators.Clustering]]
+    * control-loop shape, no row data on the driver. */
+  private def relaxToFixpoint(und: DataFrame, isSource: Column => Column,
+                              cost: Column, maxRounds: Int): DataFrame = {
+    var d = initialDistances(und, isSource).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = relaxRound(und, d, cost).localCheckpoint()
+      converged = next.alias("n").join(d.alias("p"), Seq("node"))
+        .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
+      d = next
+      i += 1
+    }
+    require(converged, s"no shortest-path fixpoint after $maxRounds rounds")
+    d.filter(col("dist").isNotNull)
+  }
+
   /** Bounded multi-source BFS over an undirected (a, b) edge list: `hops`
     * synchronous relax rounds (each one keyed join + one keyed min-agg), so
     * dist(v) = exact hop distance from the nearest source over paths of at
-    * most `hops` edges. Returns (node, dist) for reached nodes only. */
-  def bfs(und: DataFrame, isSource: Column => Column, hops: Int): DataFrame = {
-    val nodes = und.select(col("a").as("node")).distinct()
-    val d0 = nodes.select(col("node"), when(isSource(col("node")), 0L).as("dist"))
-    def relax(d: DataFrame): DataFrame = {
-      val cand = und
-        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b").as("node"))
-        .agg(min(col("dist") + 1).as("cand"))
-      d.join(cand, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
-    }
-    Iterator.iterate(d0)(relax).drop(hops).next()
+    * most `hops` edges. Returns (node, dist) for reached nodes only. Use
+    * [[bfsToFixpoint]] when full reachability is wanted and the diameter
+    * is unknown. */
+  def bfs(und: DataFrame, isSource: Column => Column, hops: Int): DataFrame =
+    Iterator.iterate(initialDistances(und, isSource))(relaxRound(und, _, lit(1)))
+      .drop(hops).next()
       .filter(col("dist").isNotNull)
-  }
+
+  /** [[bfs]] run to a FIXPOINT — exact hop distances over the whole
+    * reachable set, no round budget to tune; `maxRounds` (≥ any diameter
+    * you'd meet: rounds used = eccentricity of the source set + 1) is a
+    * runaway guard only. */
+  def bfsToFixpoint(und: DataFrame, isSource: Column => Column,
+                    maxRounds: Int = 200): DataFrame =
+    relaxToFixpoint(und, isSource, lit(1), maxRounds)
 
   /** Bounded-round single/multi-source shortest paths over an undirected
     * weighted (a, b, w) edge list — synchronous Bellman-Ford: after
     * `rounds` rounds dist(v) is the minimum total weight over paths of at
-    * most `rounds` edges. Integer weights ⇒ exact. */
-  def sssp(und: DataFrame, isSource: Column => Column, rounds: Int): DataFrame = {
-    val nodes = und.select(col("a").as("node")).distinct()
-    val d0 = nodes.select(col("node"), when(isSource(col("node")), 0L).as("dist"))
-    def relax(d: DataFrame): DataFrame = {
-      val cand = und
-        .join(d.filter(col("dist").isNotNull).withColumnRenamed("node", "a"), "a")
-        .groupBy(col("b").as("node"))
-        .agg(min(col("dist") + col("w")).as("cand"))
-      d.join(cand, Seq("node"), "left")
-        .select(col("node"), least(col("dist"), col("cand")).as("dist"))
-    }
-    Iterator.iterate(d0)(relax).drop(rounds).next()
+    * most `rounds` edges. Integer weights ⇒ exact. Use [[ssspToFixpoint]]
+    * for true shortest paths with no round budget. */
+  def sssp(und: DataFrame, isSource: Column => Column, rounds: Int): DataFrame =
+    Iterator.iterate(initialDistances(und, isSource))(relaxRound(und, _, col("w")))
+      .drop(rounds).next()
       .filter(col("dist").isNotNull)
-  }
+
+  /** [[sssp]] run to a FIXPOINT — true shortest paths (Bellman-Ford
+    * terminates within |V|−1 effective rounds on nonnegative weights;
+    * GraphLawsSpec pins equality with Dijkstra). */
+  def ssspToFixpoint(und: DataFrame, isSource: Column => Column,
+                     maxRounds: Int = 200): DataFrame =
+    relaxToFixpoint(und, isSource, col("w"), maxRounds)
 
   /** Bounded k-core peeling (Seidman 1983; Batagelj–Zaveršnik degree peel,
     * distributed) over a (u, v) edge list stored one row per undirected
@@ -93,6 +127,27 @@ object GraphOps {
         .select(col("u"), col("v"))
         .localCheckpoint()
     }
+
+  /** [[kcorePeel]] iterated to a FIXPOINT — the TRUE k-core, no round
+    * budget to tune (the bounded form needs rounds ≥ the longest peel
+    * cascade, which a chain makes O(n)): peel until no edge drops,
+    * convergence probed with one count per round (each round's output is
+    * already checkpointed by [[kcorePeel]]). */
+  def kcoreToFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
+    var e = edges.localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val next = kcorePeel(e, k, rounds = 1)
+      val m = next.count()
+      converged = m == n
+      e = next; n = m
+      i += 1
+    }
+    require(converged, s"no k-core fixpoint after $maxRounds rounds")
+    e
+  }
 
   /** Deterministic synchronous label propagation over an undirected (a, b)
     * edge list: `rounds` rounds where every node adopts the most frequent

@@ -90,6 +90,84 @@ class GraphLawsSpec extends SparkSpec {
     }
   }
 
+  test("fixpoint BFS and SSSP equal full BFS and Dijkstra — no round budget") {
+    // The fixpoint variants remove the bounded-round caveat, so the
+    // references are the REAL algorithms: full level expansion and a
+    // textbook Dijkstra. The planted chain makes eccentricities larger
+    // than any small fixed budget, proving the convergence probe runs as
+    // many rounds as the graph needs.
+    for (seed <- Seq(15L, 53L)) {
+      val rng = new scala.util.Random(seed * 7)
+      val edges = randomEdges(seed, n = 24, m = 10, chainLen = 18)
+      val adj = adjacency(edges)
+      val sources = adj.keySet.filter(_ % 11 == 0) // sparse sources, long reach
+      // full BFS level expansion, to exhaustion
+      var dist = sources.map(_ -> 0L).toMap
+      var level = 0L
+      var cur = sources
+      while (cur.nonEmpty) {
+        level += 1
+        val next = cur.flatMap(adj(_)).filterNot(dist.contains)
+        next.foreach(v => dist += v -> level)
+        cur = next
+      }
+      import spark.implicits._
+      val und = undDf(edges)
+      val gotBfs = GraphOps.bfsToFixpoint(und, _ % 11 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotBfs == dist.toSet, s"seed=$seed bfs: missing ${(dist.toSet -- gotBfs).take(5)}, " +
+        s"spurious ${(gotBfs -- dist.toSet).take(5)}")
+
+      // Dijkstra over the same graph with random positive weights
+      val w = edges.map(e => e -> (1L + rng.nextInt(20))).toMap
+      val wAdj = edges.flatMap { case (u, v) =>
+        Seq((u, (v, w((u, v)))), (v, (u, w((u, v)))))
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val dj = scala.collection.mutable.Map[Long, Long](sources.toSeq.map(_ -> 0L): _*)
+      val settled = scala.collection.mutable.Set.empty[Long]
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
+        Ordering.by[(Long, Long), Long](-_._1))
+      sources.foreach(s => pq.enqueue((0L, s)))
+      while (pq.nonEmpty) {
+        val (dd, u) = pq.dequeue()
+        if (!settled(u)) {
+          settled += u
+          for ((v, wt) <- wAdj.getOrElse(u, Nil) if dj.getOrElse(v, Long.MaxValue) > dd + wt) {
+            dj(v) = dd + wt; pq.enqueue((dd + wt, v))
+          }
+        }
+      }
+      val undW = GraphOps.undirect(
+        edges.map { case (u, v) => (u, v, w((u, v))) }.toDF("u", "v", "w"), "w")
+      val gotSssp = GraphOps.ssspToFixpoint(undW, _ % 11 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotSssp == dj.toSet, s"seed=$seed sssp: missing ${(dj.toSet -- gotSssp).take(5)}, " +
+        s"spurious ${(gotSssp -- dj.toSet).take(5)}")
+    }
+  }
+
+  test("fixpoint k-core equals sequential peeling on a cascade-deep chain") {
+    for (seed <- Seq(9L, 47L); k <- Seq(2, 3)) {
+      // chainLen 14 makes the k=2 peel cascade one node per chain end per
+      // round — far past any small fixed budget
+      val edges = randomEdges(seed, n = 20, m = 10, chainLen = 14)
+      var live = edges
+      var changed = true
+      while (changed) {
+        val deg = adjacency(live).map { case (n, vs) => n -> vs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = live.filter { case (u, v) => keep(u) && keep(v) }
+        changed = next.size != live.size
+        live = next
+      }
+      import spark.implicits._
+      val got = GraphOps.kcoreToFixpoint(edges.toDF("u", "v"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == live.toSet, s"seed=$seed k=$k: " +
+        s"missing ${(live.toSet -- got).take(5)}, spurious ${(got -- live.toSet).take(5)}")
+    }
+  }
+
   test("k-core peel with a fixpoint-covering round budget equals sequential peel-to-fixpoint") {
     for (seed <- Seq(3L, 29L); k <- Seq(2, 3)) {
       val edges = randomEdges(seed, n = 18, m = 12, chainLen = 10)
