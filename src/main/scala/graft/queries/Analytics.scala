@@ -244,24 +244,10 @@ object Analytics {
     * events never count (the sequential-funnel semantics product analytics
     * engines implement natively). Three keyed aggregations + two keyed
     * joins on user_id; the final counts are single-row aggregates. */
-  def evtFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val s1 = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = e.join(s1, Seq("user_id"))
-      .filter(col("event_type") === "click" && col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = e.join(s2, Seq("user_id"))
-      .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    def stageCount(df: DataFrame, name: String, n: Long): DataFrame =
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(name).as("stage"), lit(n).as("stage_n"), col("n_users"))
-    stageCount(s1, "view", 1L)
-      .unionAll(stageCount(s2, "view>click", 2L))
-      .unionAll(stageCount(s3, "view>click>purchase", 3L))
+  def evtFunnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.counts(Tables.events(spark, dir),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
       .orderBy(col("stage_n"))
-  }
 
   val evtFunnelOracle: String =
     """WITH s1 AS (
