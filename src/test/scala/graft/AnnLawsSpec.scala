@@ -112,7 +112,7 @@ class AnnLawsSpec extends SparkSpec {
   // ---- laws ------------------------------------------------------------------
 
   test("IVF with every cell probed equals brute force equals the exhaustive reference") {
-    for (seed <- Seq(11L, 97L)) {
+    for (seed <- Seq(11L, 97L, 251L)) {
       val rows = corpus(seed, n = 36, dim = 8)
       val queries = rows.filter(_._1 % 5 == 0)
       val (c, q) = (toDf(rows), toDf(queries))

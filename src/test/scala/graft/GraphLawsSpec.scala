@@ -43,7 +43,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("bounded-hop BFS equals level expansion truncated at the hop budget") {
-    for (seed <- Seq(5L, 63L); hops <- Seq(2, 4)) {
+    for (seed <- Seq(5L, 63L, 131L); hops <- Seq(2, 4)) {
       val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
       val adj = adjacency(edges)
       val sources = adj.keySet.filter(_ % 5 == 0)
@@ -61,7 +61,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("bounded-round SSSP equals Bellman-Ford truncated at the round budget") {
-    for (seed <- Seq(9L, 41L); rounds <- Seq(2, 4)) {
+    for (seed <- Seq(9L, 41L, 119L); rounds <- Seq(2, 4)) {
       val rng = new scala.util.Random(seed * 31)
       val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
       val w = edges.map(e => e -> (1L + rng.nextInt(20))).toMap
@@ -192,7 +192,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("label propagation equals the synchronous (count, min-label) vote transcription") {
-    for (seed <- Seq(13L, 57L); rounds <- Seq(1, 3)) {
+    for (seed <- Seq(13L, 57L, 223L); rounds <- Seq(1, 3)) {
       val edges = randomEdges(seed, n = 20, m = 16, chainLen = 8)
       val adj = adjacency(edges)
       var label = adj.keySet.map(n => n -> n).toMap
@@ -364,7 +364,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("fixed-point PageRank equals the truncating sequential power iteration") {
-    for (seed <- Seq(17L, 83L)) {
+    for (seed <- Seq(17L, 83L, 311L)) {
       val rng = new scala.util.Random(seed)
       val n = 16
       // DIRECTED multigraph: parallel edges and self-loops allowed; some
