@@ -268,35 +268,43 @@ object Coverage {
        |ORDER BY o_orderpriority""".stripMargin
   }
 
-  /** Linear-regression aggregates (regr_slope/intercept/r2 family). The
-    * hash-gated output is derived from exact DECIMAL moment sums cast to
-    * DOUBLE with an identical arithmetic tree on both engines (the Dsl
-    * strategy — bit-equal at any partitioning, i.e. at any scale); Spark's
-    * native `regr_slope`/`regr_count` run in the same aggregate and an
-    * in-plan filter asserts they agree (rows vanish → gate fails), so the
-    * built-in regression surface is exercised without hash-pinning its
+  /** Linear-regression aggregates (regr_slope/intercept/r2 family). All
+    * moments and the composite terms A = nΣxy−ΣxΣy, B = nΣx²−(Σx)²,
+    * C = nΣy²−(Σy)² are EXACT integers over cents-scaled inputs
+    * (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — values stay ≤ ~1e29 at
+    * sf10, far inside both), so the only float operations are the single
+    * correctly-rounded scale-0 casts of A/B/C and one shared IEEE division
+    * tree — bit-equal at any partitioning AND any data magnitude. (The
+    * previous form cast each raw moment to DOUBLE first; the composite
+    * subtractions then double-rounded differently per engine at small-SF
+    * magnitudes — a latent 1-ulp hazard under testdata regeneration.)
+    * The cents scaling cancels in slope and r2 (A,B,C all carry 10⁴) and
+    * is divided back out of the intercept. Spark's native
+    * `regr_slope`/`regr_count` run in the same aggregate and an in-plan
+    * filter asserts they agree (rows vanish → gate fails), so the built-in
+    * regression surface is exercised without hash-pinning its
     * float-summation order. */
   def aggRegr(spark: SparkSession, dir: String): DataFrame = {
-    val x = dec(col("l_quantity"))
-    val y = dec(col("l_extendedprice"), 14, 2)
-    val s = Tables.lineitem(spark, dir)
+    val dec38 = DecimalType(38, 0)
+    val xc = (dec(col("l_quantity")) * 100).cast(LongType)
+    val yc = (dec(col("l_extendedprice"), 14, 2) * 100).cast(LongType)
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        d(sum(x)).as("sx"), d(sum(y)).as("sy"),
-        d(sum(x * x)).as("sxx"), d(sum(y * y)).as("syy"),
-        d(sum(x * y)).as("sxy"),
+        sum(xc.cast(dec38)).as("sx"), sum(yc.cast(dec38)).as("sy"),
+        sum((xc * xc).cast(dec38)).as("sxx"), sum((yc * yc).cast(dec38)).as("syy"),
+        sum((xc * yc).cast(dec38)).as("sxy"),
         regr_slope(col("l_extendedprice"), col("l_quantity")).as("native_slope"),
         regr_count(col("l_extendedprice"), col("l_quantity")).as("native_n"))
-      .withColumn("n", col("n_rows").cast(DoubleType))
-      .withColumn("slope",
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")))
-    s.withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
-      .withColumn("r2",
-        ((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))))
+      .withColumn("n38", col("n_rows").cast(dec38))
+      .withColumn("a", col("n38") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("b", col("n38") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("c", col("n38") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", d(col("a")) / d(col("b")))
+      .withColumn("intercept",
+        (d(col("sy")) - col("slope") * d(col("sx"))) /
+          (col("n_rows").cast(DoubleType) * 100.0))
+      .withColumn("r2", (d(col("a")) * d(col("a"))) / (d(col("b")) * d(col("c"))))
       .filter(abs(col("native_slope") - col("slope")) < 1e-6 &&
         col("native_n") === col("n_rows"))
       .select(col("l_returnflag"), col("n_rows"), col("slope"), col("intercept"), col("r2"))
@@ -305,21 +313,33 @@ object Coverage {
 
   val aggRegrOracle: String = {
     import sql._
+    // cents-integer moments: SUM(BIGINT) is HUGEINT in DuckDB, the
+    // composite terms stay exact int128, and HUGEINT→DOUBLE is correctly
+    // rounded — mirroring the Spark side's DECIMAL(38,0) construction
     val x = dec("l_quantity")
     val y = dec("l_extendedprice", 14, 2)
-    s"""WITH s AS (
+    s"""WITH t AS (
        |  SELECT l_returnflag,
-       |    COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
-       |    ${dsum(x)} AS sx, ${dsum(y)} AS sy,
-       |    ${dsum(s"$x * $x")} AS sxx, ${dsum(s"$y * $y")} AS syy,
-       |    ${dsum(s"$x * $y")} AS sxy
-       |  FROM lineitem GROUP BY l_returnflag)
+       |    CAST($x * 100 AS BIGINT) AS xc,
+       |    CAST($y * 100 AS BIGINT) AS yc
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT l_returnflag, COUNT(*) AS n_rows,
+       |    SUM(xc) AS sx, SUM(yc) AS sy,
+       |    SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy, SUM(xc * yc) AS sxy
+       |  FROM t GROUP BY l_returnflag),
+       |m AS (
+       |  SELECT l_returnflag, n_rows,
+       |    CAST(n_rows * sxy - sx * sy AS DOUBLE) AS a,
+       |    CAST(n_rows * sxx - sx * sx AS DOUBLE) AS b,
+       |    CAST(n_rows * syy - sy * sy AS DOUBLE) AS c,
+       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+       |  FROM s)
        |SELECT l_returnflag, n_rows,
-       |  (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-       |  (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept,
-       |  ((n*sxy - sx*sy) * (n*sxy - sx*sy))
-       |    / ((n*sxx - sx*sx) * (n*syy - sy*sy)) AS r2
-       |FROM s ORDER BY l_returnflag""".stripMargin
+       |  a / b AS slope,
+       |  (syd - a / b * sxd) / (n_rows * 100.0) AS intercept,
+       |  (a * a) / (b * c) AS r2
+       |FROM m ORDER BY l_returnflag""".stripMargin
   }
 
   /** Mergeable HLL distinct sketches (Datasketches HllSketch — the 100 TB
