@@ -26,7 +26,7 @@ object Clustering {
     * rounds at O(log n) with the same per-round shuffle shape — the loop
     * below is the standard production form for dedup workloads.
     *
-    * Lineage is truncated with `localCheckpoint` every iteration so the plan
+    * Lineage is truncated via [[Lineage.truncate]] every iteration so the plan
     * stays O(1) deep regardless of iteration count (without it, each round
     * re-plans all prior rounds and the driver OOMs on plan depth long before
     * data size matters). The convergence probe (`isEmpty` on changed labels)
@@ -42,15 +42,13 @@ object Clustering {
     // both edge directions from ONE evaluation of the (possibly expensive)
     // pair-generation subtree — a union of two selects over `pairs` would
     // recompute it per branch
-    val edges = pairs.select(explode(array(
+    val edges = Lineage.truncate(pairs.select(explode(array(
         struct(col(aCol).as("a"), col(bCol).as("b")),
         struct(col(bCol).as("a"), col(aCol).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+      .distinct())
+    var labels = Lineage.truncate(edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -59,12 +57,12 @@ object Clustering {
       // the node's previous label rides through the min-aggregate (own=1 rows
       // are exactly the old assignment, unique per node), so convergence is a
       // filter over the already-materialized result — not a join job
-      val next = labels.select(col("node"), col("label"), lit(1).as("own"))
-        .unionByName(propagated)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"),
-          min(when(col("own") === 1, col("label"))).as("prev"))
-        .localCheckpoint()
+      val next = Lineage.truncate(
+        labels.select(col("node"), col("label"), lit(1).as("own"))
+          .unionByName(propagated)
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("own") === 1, col("label"))).as("prev")))
       converged = next.filter(col("label") =!= col("prev")).isEmpty
       labels = next.select(col("node"), col("label"))
       iter += 1
@@ -96,15 +94,13 @@ object Clustering {
   def connectedComponentsAlternating(pairs: DataFrame, aCol: String, bCol: String,
                                      maxRounds: Int = 20): DataFrame = {
     // canonical undirected form (lo, hi), self-loops dropped
-    var edges = pairs
+    var edges = Lineage.truncate(pairs
       .select(least(col(aCol), col(bCol)).as("lo"), greatest(col(aCol), col(bCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .localCheckpoint()
-    val allNodes = edges.select(col("lo").as("node"))
+      .distinct())
+    val allNodes = Lineage.truncate(edges.select(col("lo").as("node"))
       .unionByName(edges.select(col("hi").as("node")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     def largeStar(e: DataFrame): DataFrame = {
       // neighborhoods over both directions; m(u) = min(Γ(u) ∪ {u})
@@ -136,7 +132,7 @@ object Clustering {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = Lineage.truncate(smallStar(largeStar(edges)))
       converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       edges = next
       round += 1

@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.DoubleType
   *  - integer arithmetic end to end (hop counts, integer weights, BIGINT
   *    fixed-point ranks, vote counts) so results are bit-identical at any
   *    partitioning — no float-summation-order hazard;
-  *  - iteration outputs that feed multiple consumers in the next round are
-  *    `localCheckpoint`ed by the CALLER where lineage blowup is the hazard
+  *  - iteration outputs that feed multiple consumers in the next round get
+  *    their lineage truncated ([[Lineage.truncate]] — localCheckpoint by
+  *    default, durable `checkpoint()` under the opt-in reliable mode) by the
+  *    CALLER where lineage blowup is the hazard
   *    (see kcorePeel, which does it internally: each round reads its input
   *    three times).
   */
@@ -56,17 +58,38 @@ object GraphOps {
     * control-loop shape, no row data on the driver. */
   private def relaxToFixpoint(und: DataFrame, isSource: Column => Column,
                               cost: Column, maxRounds: Int): DataFrame = {
-    var d = initialDistances(und, isSource).localCheckpoint()
+    var d = Lineage.truncate(initialDistances(und, isSource))
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val next = relaxRound(und, d, cost).localCheckpoint()
+      val next = Lineage.truncate(relaxRound(und, d, cost))
       converged = next.alias("n").join(d.alias("p"), Seq("node"))
         .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
       d = next
       i += 1
     }
     require(converged, s"no shortest-path fixpoint after $maxRounds rounds")
+    d.filter(col("dist").isNotNull)
+  }
+
+  /** `relaxRound` references the previous round's DataFrame twice
+    * (candidate join + left-join merge), so a LAZY composed loop roughly
+    * doubles the logical plan per round — fine up to [[LazyRoundLimit]]
+    * rounds (2^4 = 16 subtree references, the shape the gated queries
+    * measure), a blowup beyond it. Larger budgets truncate lineage per
+    * round instead, exactly as the fixpoint variants always have. */
+  private val LazyRoundLimit = 4
+
+  private def relaxBounded(und: DataFrame, isSource: Column => Column,
+                           cost: Column, rounds: Int): DataFrame = {
+    val d0 = initialDistances(und, isSource)
+    val d =
+      if (rounds <= LazyRoundLimit)
+        Iterator.iterate(d0)(relaxRound(und, _, cost)).drop(rounds).next()
+      else
+        (1 to rounds).foldLeft(Lineage.truncate(d0)) { (d, _) =>
+          Lineage.truncate(relaxRound(und, d, cost))
+        }
     d.filter(col("dist").isNotNull)
   }
 
@@ -77,9 +100,7 @@ object GraphOps {
     * [[bfsToFixpoint]] when full reachability is wanted and the diameter
     * is unknown. */
   def bfs(und: DataFrame, isSource: Column => Column, hops: Int): DataFrame =
-    Iterator.iterate(initialDistances(und, isSource))(relaxRound(und, _, lit(1)))
-      .drop(hops).next()
-      .filter(col("dist").isNotNull)
+    relaxBounded(und, isSource, lit(1), hops)
 
   /** [[bfs]] run to a FIXPOINT — exact hop distances over the whole
     * reachable set, no round budget to tune; `maxRounds` (≥ any diameter
@@ -95,9 +116,7 @@ object GraphOps {
     * most `rounds` edges. Integer weights ⇒ exact. Use [[ssspToFixpoint]]
     * for true shortest paths with no round budget. */
   def sssp(und: DataFrame, isSource: Column => Column, rounds: Int): DataFrame =
-    Iterator.iterate(initialDistances(und, isSource))(relaxRound(und, _, col("w")))
-      .drop(rounds).next()
-      .filter(col("dist").isNotNull)
+    relaxBounded(und, isSource, col("w"), rounds)
 
   /** [[sssp]] run to a FIXPOINT — true shortest paths (Bellman-Ford
     * terminates within |V|−1 effective rounds on nonnegative weights;
@@ -113,7 +132,7 @@ object GraphOps {
     * `rounds` covers the longest peel cascade (GraphLawsSpec pins this
     * against sequential peeling run to fixpoint). Each round reads its
     * input three times (degree agg + two semi-joins), so every round's
-    * output is `localCheckpoint`ed — without it the input plan would
+    * output gets its lineage truncated — without it the input plan would
     * replicate 3^rounds times. Returns the surviving edges. */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
     (1 to rounds).foldLeft(edges) { (e, _) =>
@@ -122,10 +141,10 @@ object GraphOps {
       val keep = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .select(col("a").as("node"))
-      e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+      Lineage.truncate(
+        e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u"), col("v")))
     }
 
   /** [[kcorePeel]] iterated to a FIXPOINT — the TRUE k-core, no round
@@ -134,7 +153,7 @@ object GraphOps {
     * convergence probed with one count per round (each round's output is
     * already checkpointed by [[kcorePeel]]). */
   def kcoreToFixpoint(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
-    var e = edges.localCheckpoint()
+    var e = Lineage.truncate(edges)
     var n = e.count()
     var converged = false
     var i = 0
@@ -277,9 +296,30 @@ object GraphOps {
     * sum. Scores stay UNNORMALIZED exact BIGINTs (normalization is a
     * monotone per-round constant, so rankings are identical and no division
     * ever happens) ⇒ hash-exact at any partitioning. Returns
-    * (node, hub, authority) after the final round. */
+    * (node, hub, authority) after the final round.
+    *
+    * Overflow contract: from h₀ = 1 the max score multiplies by at most
+    * (max in-degree × max out-degree) per alternation, so
+    * hᵣ ≤ (dIn·dOut)^rounds. That worst case is checked against the signed
+    * 64-bit range UP FRONT (one small degree agg over the edge list, ~the
+    * cost of one of the 4 keyed aggs each round already runs) — failing
+    * fast with the actionable bound instead of an ANSI overflow (or a
+    * silent wrap in non-ANSI mode) mid-round. */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs at least one round, got $rounds")
+    val degRow = edges.select(col("src").as("node"), lit(1).as("is_out"))
+      .unionAll(edges.select(col("dst").as("node"), lit(0).as("is_out")))
+      .groupBy(col("node"), col("is_out")).agg(count(lit(1)).as("c"))
+      .agg(max(when(col("is_out") === 1, col("c"))).as("dout"),
+           max(when(col("is_out") === 0, col("c"))).as("din"))
+      .collect()(0)
+    val degProduct = BigInt(if (degRow.isNullAt(0)) 1L else degRow.getLong(0)) *
+      BigInt(if (degRow.isNullAt(1)) 1L else degRow.getLong(1))
+    require(degProduct.pow(rounds) <= BigInt(Long.MaxValue),
+      s"hits: unnormalized BIGINT scores can overflow 64 bits — worst-case " +
+        s"bound (maxOutDeg*maxInDeg)^rounds = $degProduct^$rounds exceeds " +
+        s"Long.MaxValue; lower rounds (ranking typically stabilizes in 2-3) " +
+        s"or pre-aggregate the graph")
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
     def authStep(h: DataFrame): DataFrame = nodes

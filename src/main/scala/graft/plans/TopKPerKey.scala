@@ -1,12 +1,15 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 import scala.collection.mutable
 
@@ -39,12 +42,25 @@ case class TopKPerKey(
 }
 
 /** Plans [[TopKPerKey]] as partial → (exchange inserted by
-  * EnsureRequirements) → final. */
+  * EnsureRequirements) → final. The in-memory row budget is captured from
+  * the session conf at planning time (executors never read session confs). */
 object GraftStrategies extends SparkStrategy {
+  /** Max rows retained across all per-key heaps in ONE task (≈ distinct
+    * keys × k for that task) before [[TopKPerKeyExec]] abandons the
+    * hash-of-heaps and falls back to a spillable external sort. The default
+    * bounds the map at ~4M retained row copies per task — a few hundred MB
+    * worst case — where a billion-distinct-key pass (e.g. latest-per-key
+    * CDC over a 100 TB corpus) would otherwise OOM the executor. */
+  val MaxRowsKey = "spark.graft.topk.maxRowsInMemory"
+  val MaxRowsDefault: Int = 4 * 1024 * 1024
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, ordering, k, child) =>
-      val partial = TopKPerKeyExec(keys, ordering, k, planLater(child), partial = true)
-      TopKPerKeyExec(keys, ordering, k, partial, partial = false) :: Nil
+      val maxRows = SQLConf.get.getConfString(MaxRowsKey, MaxRowsDefault.toString).toInt
+      val partial = TopKPerKeyExec(keys, ordering, k, planLater(child),
+        partial = true, maxRowsInMemory = maxRows)
+      TopKPerKeyExec(keys, ordering, k, partial,
+        partial = false, maxRowsInMemory = maxRows) :: Nil
     case _ => Nil
   }
 }
@@ -53,13 +69,33 @@ object GraftStrategies extends SparkStrategy {
   * whatever partitioning arrives (map-side combine); the final copy
   * requires a clustered distribution on the keys, so EnsureRequirements
   * inserts exactly one hash exchange between the two — over at most
-  * keys*k rows per upstream partition. */
+  * keys*k rows per upstream partition.
+  *
+  * MEMORY CONTRACT: the hash-of-heaps holds at most `maxRowsInMemory` row
+  * copies. The task that exceeds it (distinct-key cardinality beyond the
+  * budget) falls back to Spark's spillable external sort — the pruned heap
+  * contents plus the rest of the input are sorted by (keys, rank order) and
+  * the first k rows of each key group are streamed out. The fallback is
+  * LOSSLESS: a row evicted from its heap was strictly worse than k rows of
+  * its key that stayed retained (the heap keeps the best k seen so far, and
+  * retained rows are only ever replaced by better ones), so no evicted row
+  * can belong to the final top k. Stock Spark bounds the same shape the
+  * same way — hash aggregate falls back to sort-based aggregation, and the
+  * window formulation this operator replaces sorts spillably; without the
+  * fallback this was the one memory-unbounded structure in the engine.
+  * The fallback path requires the key types to be orderable (true of every
+  * practical grouping key; same requirement as Spark's own sort fallback).
+  * `fallbackTasks` in the node's SQL metrics counts the tasks that took it.
+  */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
     child: SparkPlan,
-    partial: Boolean) extends UnaryExecNode {
+    partial: Boolean,
+    maxRowsInMemory: Int = GraftStrategies.MaxRowsDefault) extends UnaryExecNode {
+  require(maxRowsInMemory >= 1,
+    s"${GraftStrategies.MaxRowsKey} must be >= 1, got $maxRowsInMemory")
 
   override def output: Seq[Attribute] = child.output
 
@@ -69,32 +105,90 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "fallbackTasks" -> SQLMetrics.createMetric(sparkContext,
+      "tasks that fell back to spillable sort"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortExprs = ordering
     val attrs = output
     val limit = k
+    val maxRows = maxRowsInMemory
+    val schema = DataTypeUtils.fromAttributes(attrs)
+    val fallbackTasks = longMetric("fallbackTasks")
     child.execute().mapPartitions { iter =>
       val keyGen = UnsafeProjection.create(keyExprs, attrs)
       // codegen'd comparator; compare(a, b) < 0 means a ranks before b
       val ord = RowOrdering.create(sortExprs, attrs)
       // max-heap w.r.t. the rank order: head is the worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyGen(row)
-        heaps.get(key) match {
+      var retained = 0L
+      var overflow = false
+      while (iter.hasNext && !overflow) {
+        val row = iter.next()
+        heaps.get(keyGen(row)) match {
           case Some(heap) =>
-            if (heap.size < limit) heap.enqueue(row.copy())
+            if (heap.size < limit) { heap.enqueue(row.copy()); retained += 1 }
             else if (ord.compare(row, heap.head) < 0) {
               heap.dequeue(); heap.enqueue(row.copy())
             }
           case None =>
             val heap = new mutable.PriorityQueue[InternalRow]()(ord)
             heap.enqueue(row.copy())
-            heaps.update(key.copy(), heap)
+            heaps.update(keyGen(row).copy(), heap)
+            retained += 1
+        }
+        if (retained > maxRows) overflow = true
+      }
+      if (!overflow) heaps.iterator.flatMap(_._2.iterator)
+      else {
+        fallbackTasks += 1
+        // Spill path: external-sort (heap remnants ++ remaining input) by
+        // (keys asc, rank order), then stream each key group's first k rows.
+        // Constant zero prefixes push every comparison to the full row
+        // comparator — correct for arbitrary (multi-column) grouped orders.
+        val groupedOrder: Seq[SortOrder] =
+          keyExprs.map(SortOrder(_, Ascending)) ++ sortExprs
+        val sortOrd = RowOrdering.create(groupedOrder, attrs)
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val zero = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            zero.isNull = false; zero.value = 0L; zero
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          schema, sortOrd, PrefixComparators.LONG, prefixComputer,
+          4L * 1024 * 1024, /* canUseRadixSort = */ false)
+        val toUnsafe = UnsafeProjection.create(attrs, attrs)
+        heaps.valuesIterator.foreach(_.foreach(r => sorter.insertRow(toUnsafe(r))))
+        heaps.clear()
+        while (iter.hasNext) sorter.insertRow(toUnsafe(iter.next()))
+        val sorted = sorter.sort()
+        // The sorter's iterator reuses one row buffer per next(), so the
+        // lookahead copies EMITTED rows only (≤ keys*k; skipped rows are
+        // never copied).
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = _
+          private var curCount = 0
+          private var ready: InternalRow = _
+          private def advance(): Unit = {
+            ready = null
+            while (ready == null && sorted.hasNext) {
+              val row = sorted.next()
+              val key = keyGen(row)
+              if (curKey == null || key != curKey) {
+                curKey = key.copy()
+                curCount = 0
+              }
+              if (curCount < limit) { curCount += 1; ready = row.copy() }
+            }
+          }
+          advance()
+          override def hasNext: Boolean = ready != null
+          override def next(): InternalRow = { val r = ready; advance(); r }
         }
       }
-      heaps.iterator.flatMap(_._2.iterator)
     }
   }
 

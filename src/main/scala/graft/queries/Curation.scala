@@ -591,19 +591,34 @@ object Curation {
     * CurationLawsSpec pins the convention against an independent reference.
     * At production scale rounds run to a vocab budget (~50k merges). */
   private[graft] def bpeTrainRounds(vocab0: DataFrame, rounds: Int): DataFrame = {
-    var vocab = vocab0.localCheckpoint()
-    val perRound = (1 to rounds).map { round =>
-      val counts = bpePairCounts(vocab).localCheckpoint()
-      val top = counts.orderBy(col("pair_count").desc, col("pair"))
-        .limit(1).collect()(0).getString(0)
-      val merged = top.replace(" ", "")
-      vocab = vocab.select(
-        trim(expr(s"replace(concat(' ', sym, ' '), ' $top ', ' $merged ')")).as("sym"),
-        col("wfreq")).localCheckpoint()
-      counts.orderBy(col("pair_count").desc, col("pair")).limit(5)
-        .select(lit(round.toLong).as("round"), col("pair"), col("pair_count"))
+    var vocab = graft.operators.Lineage.truncate(vocab0)
+    val perRound = scala.collection.mutable.Buffer.empty[DataFrame]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val counts = graft.operators.Lineage.truncate(bpePairCounts(vocab))
+      // a vocabulary can run out of adjacent pairs before the round budget
+      // (every word reduced to a single symbol) — stop at the rounds
+      // actually completed instead of failing on the missing argmax
+      counts.orderBy(col("pair_count").desc, col("pair"))
+        .limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(argmax) =>
+          val top = argmax.getString(0)
+          val merged = top.replace(" ", "")
+          vocab = graft.operators.Lineage.truncate(vocab.select(
+            trim(expr(s"replace(concat(' ', sym, ' '), ' $top ', ' $merged ')")).as("sym"),
+            col("wfreq")))
+          perRound += counts.orderBy(col("pair_count").desc, col("pair")).limit(5)
+            .select(lit(round.toLong).as("round"), col("pair"), col("pair_count"))
+          round += 1
+      }
     }
-    perRound.reduce(_ unionByName _)
+    // zero completed rounds (vocab already all single symbols): the empty
+    // result with the round/pair/pair_count schema, not an exception
+    perRound.reduceOption(_ unionByName _).getOrElse(
+      bpePairCounts(vocab).limit(0)
+        .select(lit(0L).as("round"), col("pair"), col("pair_count")))
   }
 
   def txtBpeTrain(spark: SparkSession, dir: String): DataFrame = {

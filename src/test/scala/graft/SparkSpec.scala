@@ -12,6 +12,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   // The product session config (GraftSession) — specs must observe the same
-  // optimizer/session tuning the engine ships with.
-  lazy val session: SparkSession = GraftSession.getOrCreate("local[4]", 4)
+  // optimizer/session tuning the engine ships with. local[4,2] = 4 threads
+  // with spark.task.maxFailures=2 (plain local[N] pins maxFailures to 1),
+  // so RetryLawsSpec can inject first-attempt task failures and assert the
+  // retried run is bit-identical — the cluster regime, where task retries
+  // are routine. Every other suite is unaffected: a deterministic failure
+  // still fails the job, just after one extra attempt.
+  lazy val session: SparkSession = GraftSession.getOrCreate("local[4,2]", 4)
 }

@@ -1,22 +1,32 @@
 package graft
 
 import graft.operators.TopK
+import graft.plans.{GraftStrategies, TopKPerKeyExec}
 import org.apache.spark.sql.functions._
 
 /** Randomized differential test of the custom bounded-heap TopKPerKey
   * physical operator against the window-rank formulation it replaces.
   *
   * The operator is the riskiest custom code in the engine — a hand-written
-  * SparkPlan with its own partial/final phases, heap ordering, and keyed
-  * exchange — and its existing specs pin fixed fixtures. Here the data,
+  * SparkPlan with its own partial/final phases, heap ordering, keyed
+  * exchange, and (since round 10) a spillable sort fallback for
+  * distinct-key cardinalities past the in-memory row budget. Here the data,
   * tie structure, k, sort directions, and input partitioning all vary per
   * seeded case; the window reference (`row_number` over the same order)
   * is independent machinery end to end. The trailing unique-id sort column
   * makes both sides deterministic, so results must match as exact row
-  * sets — any heap-comparator inversion, partial-phase overflow, or
-  * per-partition boundary bug shows up as a set difference.
+  * sets — any heap-comparator inversion, partial-phase overflow,
+  * per-partition boundary bug, or fallback group-boundary bug shows up as
+  * a set difference. EVERY law runs twice: once on the default heap path
+  * and once with the row budget forced to 1 so both phases take the
+  * external-sort fallback.
   */
 class TopKLawsSpec extends SparkSpec {
+
+  private def withMaxRows[A](maxRows: String)(body: => A): A = {
+    spark.conf.set(GraftStrategies.MaxRowsKey, maxRows)
+    try body finally spark.conf.unset(GraftStrategies.MaxRowsKey)
+  }
 
   test("random corpora: heap top-k equals the window-rank reference under any partitioning") {
     import org.apache.spark.sql.expressions.Window
@@ -31,8 +41,9 @@ class TopKLawsSpec extends SparkSpec {
       val k = 1 + rng.nextInt(7)
       val scoreAsc = rng.nextBoolean()
 
-      val got = TopK.perKey(df, Seq("key"), Seq("score" -> scoreAsc, "id" -> true), k)
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      def run(): Set[(Int, Int, Long)] =
+        TopK.perKey(df, Seq("key"), Seq("score" -> scoreAsc, "id" -> true), k)
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
 
       val order = Seq(if (scoreAsc) col("score").asc else col("score").desc, col("id").asc)
       val want = df.withColumn("rk",
@@ -40,12 +51,65 @@ class TopKLawsSpec extends SparkSpec {
         .filter(col("rk") <= k).drop("rk")
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
 
-      assert(got == want,
-        s"seed=$seed k=$k scoreAsc=$scoreAsc: heap-only ${got.diff(want).take(5)}, window-only ${want.diff(got).take(5)}")
-      // and the group-size contract: exactly min(k, |group|) rows per key
-      val sizes = got.groupBy(_._1).view.mapValues(_.size)
-      val groupN = rows.groupBy(_._1).view.mapValues(_.size)
-      assert(sizes.forall { case (key, s) => s == math.min(k, groupN(key)) })
+      for ((label, got) <- Seq("heap" -> run(), "fallback" -> withMaxRows("1")(run()))) {
+        assert(got == want,
+          s"seed=$seed k=$k scoreAsc=$scoreAsc path=$label: " +
+            s"${label}-only ${got.diff(want).take(5)}, window-only ${want.diff(got).take(5)}")
+        // and the group-size contract: exactly min(k, |group|) rows per key
+        val sizes = got.groupBy(_._1).view.mapValues(_.size)
+        val groupN = rows.groupBy(_._1).view.mapValues(_.size)
+        assert(sizes.forall { case (key, s) => s == math.min(k, groupN(key)) })
+      }
     }
+  }
+
+  test("spill fallback provably runs past the row budget and never on the default path") {
+    val rng = new scala.util.Random(99)
+    // high distinct-key cardinality relative to the forced budget — the
+    // 100-TB latest-per-key shape (billions of keys vs a fixed budget),
+    // scaled down: 1000 keys against a budget of 8 retained rows
+    val rows = (0 until 4000).map(i => (rng.nextInt(1000), rng.nextInt(50), i.toLong))
+    val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(7)
+
+    def run(maxRows: String): (Set[(Int, Int, Long)], Long) = {
+      // AQE off for this run only, so the executed plan exposes the exec
+      // nodes (and their SQL metrics) without query-stage wrapping
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try withMaxRows(maxRows) {
+        val out = TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 3)
+        val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+        val fallbacks = out.queryExecution.executedPlan.collect {
+          case t: TopKPerKeyExec => t.metrics("fallbackTasks").value
+        }.sum
+        (got, fallbacks)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+
+    val (heapGot, heapFallbacks) = run(Int.MaxValue.toString)
+    val (spillGot, spillFallbacks) = run("8")
+    assert(heapFallbacks == 0L,
+      s"default path must stay on the heap, saw $heapFallbacks fallback tasks")
+    assert(spillFallbacks > 0L,
+      "forced budget of 8 rows must drive tasks onto the external-sort fallback")
+    assert(spillGot == heapGot,
+      s"fallback-only ${spillGot.diff(heapGot).take(5)}, heap-only ${heapGot.diff(spillGot).take(5)}")
+    // ground truth: every key keeps exactly its 3 best (score, id) rows
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(r => (r._2, r._3)).take(3)
+    }.toSet
+    assert(heapGot == want)
+  }
+
+  test("fallback survives k larger than some groups and single-row partitions") {
+    val rows = (0 until 60).map(i => (i % 7, i % 3, i.toLong))
+    val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(40)
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(r => (r._2, r._3)).take(20)
+    }.toSet // k=20 > every group size: the operator must pass groups through whole
+    val got = withMaxRows("1") {
+      TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 20)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    assert(got == want)
   }
 }
