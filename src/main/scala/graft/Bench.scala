@@ -160,21 +160,30 @@ object Bench {
         listener.peakTaskMem.get)
     }
 
-    /** warmup (plan + codegen + file-footer caches) then median-of-iters;
+    /** warmup (plan + codegen + file-footer caches) then median-of-n;
       * telemetry is the median-time run's. */
-    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[RunStats] =
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                n: Int): Option[RunStats] =
       try {
         runOnce(fn)
         clearSuiteState()
-        val runs = (1 to iters).map { _ =>
+        val runs = (1 to n).map { _ =>
           val r = runOnce(fn); clearSuiteState(); r
         }.sortBy(_.sec)
         Some(runs(runs.length / 2))
       } catch { case _: Throwable => None }
 
+    // The expensive queries (baseline row >= 2 s) are exactly the ones a
+    // transient host-load spike can push past the reconciliation trigger —
+    // ded_contain tripped it four rounds running on an unchanged plan. A
+    // median over 5 runs instead of 3 needs 2 polluted runs (not 1) to
+    // drift, at a cost of a few extra minutes on <10 queries.
+    def itersFor(name: String): Int =
+      if (baseline.get(name).exists(_ >= 2.0)) math.max(iters, 5) else iters
+
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) => (name, fn, measure(fn)) }
+      .map { case (name, fn) => (name, fn, measure(fn, itersFor(name))) }
 
     // Reconciliation pass: isolated re-measure of every >2x-of-baseline
     // query, AFTER the whole sweep (so the re-run doesn't inherit its
@@ -192,7 +201,7 @@ object Bench {
       sweep.map { case (name, fn, inSuite) =>
         val isolated = if (flaggedNames.contains(name)) {
           System.gc()
-          measure(fn)
+          measure(fn, itersFor(name))
         } else None
         name -> QueryResult(inSuite, isolated)
       }

@@ -201,19 +201,32 @@ object Curation {
     * pipeline keys by shard for the same reason: a GLOBAL ordering would
     * serialize through one partition at 100 TB, a keyed one scales with
     * shard count). */
-  def packTokens(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
+  /** The packing core over any (doc_id, lang, n_tok) table: docs in id
+    * order within each lang shard are assigned to the bin their running
+    * START offset falls in — bin_id = (cum − n_tok) div budget. Contract
+    * (CurationLawsSpec pins all three against a sequential reference):
+    * every doc except a bin's LAST starts inside the bin's budget window
+    * (a bin overruns only by its final straddling doc — and a doc larger
+    * than the whole budget makes the following bin ids skip, by design);
+    * per-shard token totals are conserved; and the result is invariant
+    * under input partitioning/row order (the window re-sorts by doc_id). */
+  private[graft] def packBins(docs: DataFrame, budget: Long): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        TextFunctions.bpeTokenCount(col("text")).as("n_tok"))
+    docs
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("bin_id", expr(s"(cum - n_tok) DIV $budget"))
       .groupBy(col("lang"), col("bin_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
-      .orderBy(col("lang"), col("bin_id"))
   }
+
+  def packTokens(spark: SparkSession, dir: String): DataFrame =
+    packBins(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_tok")),
+      budget = 2048L)
+      .orderBy(col("lang"), col("bin_id"))
 
   val packTokensOracle: String = {
     val ntok = TextFunctions.sql.bpeTokenCount("text")

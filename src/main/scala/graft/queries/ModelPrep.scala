@@ -204,14 +204,20 @@ object ModelPrep {
     * spans is the shuffle-friendly formulation). Reassembly sorts a
     * per-doc-bounded struct array (seg_idx unique within doc), never a
     * global sort. */
-  def dedSpans(spark: SparkSession, dir: String): DataFrame = {
-    val seg = Tables.documents(spark, dir)
+  /** The span-cut core over any (doc_id, text) table with a parameterized
+    * span width: fixed non-overlapping `width`-token segments, a segment
+    * whose exact text occurs ≥ 2 times corpus-wide is cut, survivors
+    * re-join in seg_idx order (CurationLawsSpec pins the whole pipeline —
+    * segmentation grid, corpus-wide counting, cut, reassembly — against a
+    * sequential transcription on random corpora with planted repeats). */
+  private[graft] def cutRepeatedSpans(docs: DataFrame, width: Int): DataFrame = {
+    val seg = docs
       .filter(col("text").isNotNull) // see txtChunks — null text must drop
       // identically on both sides, not fabricate empty segments via size()=-1
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0L), ceil(size(col("t")) / lit(10.0)) - 1),
-          i => array_join(slice(col("t"), (i * 10 + 1).cast(IntegerType), lit(10)), " ")))
+        transform(sequence(lit(0L), ceil(size(col("t")) / lit(width.toDouble)) - 1),
+          i => array_join(slice(col("t"), (i * width + 1).cast(IntegerType), lit(width)), " ")))
         .as(Seq("seg_idx", "seg")))
     val cnt = seg.groupBy(col("seg")).agg(count(lit(1)).as("n"))
     seg.join(cnt, Seq("seg"))
@@ -224,8 +230,11 @@ object ModelPrep {
       .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
         (col("n_dup_segments").cast(DoubleType) / col("n_segments")).as("dup_frac"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
   }
+
+  def dedSpans(spark: SparkSession, dir: String): DataFrame =
+    cutRepeatedSpans(Tables.documents(spark, dir), width = 10)
+      .orderBy(col("doc_id"))
 
   val dedSpansOracle: String = {
     val toks = TextFunctions.sql.tokens("text")

@@ -167,6 +167,33 @@ class ConnectSpec extends SparkSpec {
     }
   }
 
+  test("schema + column metadata over the wire equal the in-process catalog") {
+    // the Connect-side mirror of the reference's Flight SQL catalog
+    // breadth (scheduler/src/flight_sql.rs:669-903 serves schemas and
+    // column metadata, not just tables): SHOW SCHEMAS and DESCRIBE over
+    // the wire must agree with the host session's catalog object-for-object
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_connect")
+    spark.sql("DROP TABLE IF EXISTS graft_connect.nation")
+    spark.sql("CREATE TABLE graft_connect.nation USING parquet " +
+      s"OPTIONS (path '$sfDir/nation.parquet')")
+    val inProcDbs = spark.catalog.listDatabases().collect().map(_.name).toSet
+    val inProcCols = spark.sql("DESCRIBE TABLE graft_connect.nation").collect()
+      .map(r => (r.getString(0), r.getString(1))).toList
+    withConnection { conn =>
+      val st = conn.createStatement()
+      try {
+        val wireDbs = collectRows(st.executeQuery("SHOW SCHEMAS"))
+          .map(_.head.toString).toSet
+        assert(inProcDbs.subsetOf(wireDbs),
+          s"wire SHOW SCHEMAS missing ${inProcDbs.diff(wireDbs)} (wire: $wireDbs)")
+        val wireCols = collectRows(st.executeQuery("DESCRIBE TABLE graft_connect.nation"))
+          .map(r => (r(0).toString, r(1).toString)).toList
+        assert(wireCols == inProcCols,
+          s"wire DESCRIBE mismatch: wire=$wireCols inProc=$inProcCols")
+      } finally st.close()
+    }
+  }
+
   test("graft TopK strategy applies inside the isolated Connect session") {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_connect")
     spark.sql("DROP TABLE IF EXISTS graft_connect.orders")

@@ -261,6 +261,41 @@ class ContextSpec extends SparkSpec {
           .map(_.getString("TABLE_NAME")).toSet
         assert(Tables.names.forall(tabs.contains),
           s"JDBC metadata missing tables: ${Tables.names.filterNot(tabs.contains)}")
+        // getSchemas (flight_sql.rs get_flight_info_schemas analog): the
+        // wire's schema list must equal the in-process catalog's databases
+        val srs = conn.getMetaData.getSchemas()
+        val wireSchemas = Iterator.continually(srs).takeWhile(_.next())
+          .map(_.getString("TABLE_SCHEM")).toSet
+        val inProcDbs = serverSession.catalog.listDatabases().collect().map(_.name).toSet
+        assert(inProcDbs.subsetOf(wireSchemas),
+          s"JDBC getSchemas missing databases: ${inProcDbs.diff(wireSchemas)} (wire: $wireSchemas)")
+        // getColumns (get_flight_info_columns analog) against a real catalog
+        // table: names, order, and JDBC type mapping must match the
+        // in-process schema
+        serverSession.sql("DROP TABLE IF EXISTS graft_md_nation")
+        serverSession.sql("CREATE TABLE graft_md_nation USING parquet " +
+          s"OPTIONS (path '$sfDir/nation.parquet')")
+        try {
+          val crs = conn.getMetaData.getColumns(null, "default", "graft_md_nation", "%")
+          val wireCols = Iterator.continually(crs).takeWhile(_.next())
+            .map(r => (r.getInt("ORDINAL_POSITION"), r.getString("COLUMN_NAME"),
+              r.getString("TYPE_NAME").toLowerCase)).toList.sortBy(_._1)
+          val inProcCols = serverSession.table("graft_md_nation").schema.fields.toList
+            .zipWithIndex.map { case (f, i) => (i + 1, f.name, f.dataType.simpleString) }
+          // JDBC TYPE_NAME uses the SQL DDL spelling (INT/BIGINT/STRING) —
+          // DataType.simpleString, not typeName ("integer")
+          assert(wireCols == inProcCols,
+            s"JDBC getColumns mismatch: wire=$wireCols inProc=$inProcCols")
+        } finally serverSession.sql("DROP TABLE IF EXISTS graft_md_nation")
+        // getTypeInfo (get_flight_info_sql_info's type table analog): the
+        // server must advertise the engine's type system
+        val trs = conn.getMetaData.getTypeInfo
+        val wireTypes = Iterator.continually(trs).takeWhile(_.next())
+          .map(_.getString("TYPE_NAME").toUpperCase).toSet
+        val expectTypes = Set("BIGINT", "INT", "DOUBLE", "STRING", "TIMESTAMP",
+          "DATE", "DECIMAL", "BOOLEAN", "BINARY", "ARRAY", "MAP", "STRUCT")
+        assert(expectTypes.subsetOf(wireTypes),
+          s"JDBC getTypeInfo missing types: ${expectTypes.diff(wireTypes)} (wire: $wireTypes)")
       } finally conn.close()
     } finally server.stop()
   }

@@ -111,4 +111,136 @@ class CurationLawsSpec extends SparkSpec {
         s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
     }
   }
+
+  test("packBins equals the sequential start-offset packing reference, conserves tokens, and ignores input order") {
+    import graft.queries.Curation
+    for (seed <- Seq(5L, 71L, 20260815L)) {
+      val rng = new scala.util.Random(seed)
+      val budget = 50L + rng.nextInt(100)
+      val langs = Seq("en", "zh", "de")
+      // token counts span the regimes that matter: tiny docs, docs that
+      // straddle a budget boundary, and GIANT docs bigger than the whole
+      // budget (which must make following bin ids skip)
+      val docs = (0 until (30 + rng.nextInt(60))).map { i =>
+        val n = rng.nextInt(4) match {
+          case 0 => 1L + rng.nextInt(5)
+          case 3 => budget + 1L + rng.nextInt(200) // giant
+          case _ => 1L + rng.nextInt(budget.toInt)
+        }
+        (i.toLong, langs(rng.nextInt(langs.size)), n)
+      }
+
+      // independent sequential reference: walk docs in id order per shard,
+      // carrying the running start offset imperatively (no window algebra)
+      val want = scala.collection.mutable.Map.empty[(String, Long), (Long, Long)]
+      docs.groupBy(_._2).foreach { case (lang, ds) =>
+        var off = 0L
+        var lastTok = scala.collection.mutable.Map.empty[Long, Long]
+        ds.sortBy(_._1).foreach { case (_, _, n) =>
+          val bin = off / budget
+          val (c, t) = want.getOrElse((lang, bin), (0L, 0L))
+          want((lang, bin)) = (c + 1, t + n)
+          lastTok(bin) = n
+          off += n
+        }
+        // the packing contract: a bin overruns its budget only by its final
+        // straddling doc — everything before the last doc fits the window
+        want.foreach { case ((l, bin), (_, t)) =>
+          if (l == lang) assert(t - lastTok(bin) < budget,
+            s"seed=$seed: bin ($l,$bin) holds $t tokens with last doc ${lastTok(bin)} — " +
+              s"non-straddling overrun past budget $budget")
+        }
+      }
+
+      val df = spark.createDataFrame(docs).toDF("doc_id", "lang", "n_tok")
+      for (parts <- Seq(1, 7)) {
+        // permuted row order + partitioning: the keyed window must re-sort
+        val shuffled = spark.createDataFrame(rng.shuffle(docs))
+          .toDF("doc_id", "lang", "n_tok").repartition(parts)
+        val got = Curation.packBins(shuffled, budget)
+          .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+          .toMap
+        assert(got == want.toMap, s"seed=$seed parts=$parts budget=$budget: " +
+          s"missing ${(want.toMap.toSet -- got.toSet).take(5)}, spurious ${(got.toSet -- want.toMap.toSet).take(5)}")
+        // conservation: every shard's tokens land in exactly one bin each
+        val totGot = got.groupBy(_._1._1).view.mapValues(_.values.map(_._2).sum)
+        val totWant = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        assert(totGot.toMap == totWant.toMap)
+      }
+      val _ = df
+    }
+  }
+
+  test("cutRepeatedSpans equals the sequential transcription on corpora with planted repeats") {
+    import graft.queries.ModelPrep
+    for ((seed, width) <- Seq((11L, 10), (43L, 3), (20260815L, 5))) {
+      val rng = new scala.util.Random(seed)
+      val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+        "eta", "theta", "iota", "kappa", "mu", "nu")
+      def randTokens(n: Int): Vector[String] = Vector.fill(n)(words(rng.nextInt(words.size)))
+      val plant = (0 until width).map(i => s"plant$i").toVector // one exact span
+      val base = (0 until (10 + rng.nextInt(15))).map { i =>
+        (i.toLong, randTokens(1 + rng.nextInt(4 * width)))
+      }
+      // plant the block GRID-ALIGNED in three docs (exact-span collision —
+      // must be cut from all three) and MISALIGNED in one (a fixed
+      // segmentation grid must NOT see it as a repeated span)
+      val planted = base.map {
+        case (id, t) if id <= 2 =>
+          val pad = randTokens(width * (1 + rng.nextInt(2)))
+          (id, pad ++ plant ++ t)
+        case (id, t) if id == 3 =>
+          (id, randTokens(1 + rng.nextInt(width - 1).max(0)) ++ plant ++ t)
+        case other => other
+      }
+      val docs = planted.map { case (id, t) => (id, t.mkString(" ")) }
+
+      // sequential transcription of the whole pipeline
+      val segsPerDoc = docs.map { case (id, text) =>
+        val t = text.trim.split("\\s+", -1).toVector
+        val nSeg = math.ceil(t.size / width.toDouble).toInt
+        id -> (0 until nSeg).map(i => t.slice(i * width, i * width + width).mkString(" "))
+      }
+      val cnt = segsPerDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      val want = segsPerDoc.map { case (id, ss) =>
+        val nd = ss.count(cnt(_) >= 2)
+        (id, ss.size.toLong, nd.toLong, nd.toDouble / ss.size,
+          ss.filter(cnt(_) < 2).mkString(" "))
+      }.toSet
+
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text").repartition(5)
+      val got = ModelPrep.cutRepeatedSpans(df, width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+        .toSet
+      assert(got == want, s"seed=$seed width=$width: " +
+        s"missing ${(want -- got).take(3)}, spurious ${(got -- want).take(3)}")
+
+      // teeth: the aligned plants were really cut; the misaligned one survived
+      val plantSeg = plant.mkString(" ")
+      val byId = got.map(r => r._1 -> r).toMap
+      for (id <- 0L to 2L)
+        assert(!byId(id)._5.contains(plantSeg) && byId(id)._3 >= 1,
+          s"seed=$seed width=$width: aligned plant not cut from doc $id")
+      assert(segsPerDoc.toMap.apply(3L).count(_ == plantSeg) == 0,
+        s"seed=$seed width=$width: misaligned plant accidentally grid-aligned — weak corpus")
+    }
+  }
+
+  test("BPE trainer stops gracefully when the vocabulary runs out of pairs") {
+    import graft.queries.Curation
+    import spark.implicits._
+    // two 2-symbol words: exactly two merges exist; a 5-round budget must
+    // return the 2 completed rounds, not throw on the missing round-3 argmax
+    val vocab = Seq(("a b", 3L), ("c d", 2L)).toDF("sym", "wfreq")
+    val out = Curation.bpeTrainRounds(vocab, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty && out.map(_._1).max == 2L,
+      s"expected exactly 2 completed rounds, got ${out.toSeq}")
+    assert(out.filter(_._1 == 1L).map(_._2).contains("a b"))
+    // and a vocabulary that is ALL single symbols: zero rounds, empty result
+    val singles = Seq(("a", 3L), ("b", 2L)).toDF("sym", "wfreq")
+    val empty = Curation.bpeTrainRounds(singles, rounds = 3)
+    assert(empty.columns.toSeq == Seq("round", "pair", "pair_count"))
+    assert(empty.count() == 0L)
+  }
 }
