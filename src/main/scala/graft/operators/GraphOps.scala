@@ -300,26 +300,32 @@ object GraphOps {
     *
     * Overflow contract: from h₀ = 1 the max score multiplies by at most
     * (max in-degree × max out-degree) per alternation, so
-    * hᵣ ≤ (dIn·dOut)^rounds. That worst case is checked against the signed
-    * 64-bit range UP FRONT (one small degree agg over the edge list, ~the
-    * cost of one of the 4 keyed aggs each round already runs) — failing
-    * fast with the actionable bound instead of an ANSI overflow (or a
-    * silent wrap in non-ANSI mode) mid-round. */
+    * hᵣ ≤ (dIn·dOut)^rounds. For rounds ≥ 3 — the regime where that bound
+    * makes overflow PROBABLE rather than adversarial — the worst case is
+    * checked against the signed 64-bit range UP FRONT (one small degree
+    * agg over the edge list), failing fast with the actionable bound
+    * instead of an overflow mid-round. At rounds ≤ 2 (the gated usage —
+    * rankings typically stabilize by then) the check is skipped to keep
+    * the plan one job: overflow there needs dIn·dOut > 2^31.5 (two ~55k+
+    * hubs pointing at each other), and the session's ANSI mode turns that
+    * into a loud ARITHMETIC_OVERFLOW rather than a silent wrap. */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs at least one round, got $rounds")
-    val degRow = edges.select(col("src").as("node"), lit(1).as("is_out"))
-      .unionAll(edges.select(col("dst").as("node"), lit(0).as("is_out")))
-      .groupBy(col("node"), col("is_out")).agg(count(lit(1)).as("c"))
-      .agg(max(when(col("is_out") === 1, col("c"))).as("dout"),
-           max(when(col("is_out") === 0, col("c"))).as("din"))
-      .collect()(0)
-    val degProduct = BigInt(if (degRow.isNullAt(0)) 1L else degRow.getLong(0)) *
-      BigInt(if (degRow.isNullAt(1)) 1L else degRow.getLong(1))
-    require(degProduct.pow(rounds) <= BigInt(Long.MaxValue),
-      s"hits: unnormalized BIGINT scores can overflow 64 bits — worst-case " +
-        s"bound (maxOutDeg*maxInDeg)^rounds = $degProduct^$rounds exceeds " +
-        s"Long.MaxValue; lower rounds (ranking typically stabilizes in 2-3) " +
-        s"or pre-aggregate the graph")
+    if (rounds >= 3) {
+      val degRow = edges.select(col("src").as("node"), lit(1).as("is_out"))
+        .unionAll(edges.select(col("dst").as("node"), lit(0).as("is_out")))
+        .groupBy(col("node"), col("is_out")).agg(count(lit(1)).as("c"))
+        .agg(max(when(col("is_out") === 1, col("c"))).as("dout"),
+             max(when(col("is_out") === 0, col("c"))).as("din"))
+        .collect()(0)
+      val degProduct = BigInt(if (degRow.isNullAt(0)) 1L else degRow.getLong(0)) *
+        BigInt(if (degRow.isNullAt(1)) 1L else degRow.getLong(1))
+      require(degProduct.pow(rounds) <= BigInt(Long.MaxValue),
+        s"hits: unnormalized BIGINT scores can overflow 64 bits — worst-case " +
+          s"bound (maxOutDeg*maxInDeg)^rounds = $degProduct^$rounds exceeds " +
+          s"Long.MaxValue; lower rounds (ranking typically stabilizes in 2-3) " +
+          s"or pre-aggregate the graph")
+    }
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
     def authStep(h: DataFrame): DataFrame = nodes

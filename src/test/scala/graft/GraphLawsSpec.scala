@@ -361,6 +361,16 @@ class GraphLawsSpec extends SparkSpec {
       assert(got == want, s"seed=$seed rounds=$rounds: " +
         s"missing ${(want -- got).take(5)}, spurious ${(got -- want).take(5)}")
     }
+    // teeth for the overflow guard: a double-ended hub (dIn = dOut = 2000
+    // at node 0) has (dIn·dOut)^3 = 6.4e19 > Long.MaxValue — rounds=3 must
+    // fail FAST with the actionable bound, not overflow mid-round
+    import spark.implicits._
+    val hub = ((1L to 2000L).map(v => (0L, v)) ++ (1L to 2000L).map(v => (v, 0L)))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](GraphOps.hits(hub, rounds = 3))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    // ...and rounds=2 on the same graph stays within bounds and runs
+    assert(GraphOps.hits(hub, rounds = 2).count() == 2001L)
   }
 
   test("fixed-point PageRank equals the truncating sequential power iteration") {
