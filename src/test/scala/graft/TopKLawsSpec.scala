@@ -112,4 +112,68 @@ class TopKLawsSpec extends SparkSpec {
     }
     assert(got == want)
   }
+
+  test("gated TopK-consumer queries are bit-identical through the forced spill fallback") {
+    // end-to-end: the real gated pipelines (latest-per-key CDC, DISTINCT ON,
+    // theta sketch K-min, kNN graph, IVF-PQ ranking, group top-k) with every
+    // TopKPerKey task forced onto the external-sort path — the 100-TB
+    // billion-key regime, exercised on the full query plans rather than a
+    // synthetic frame. All six are hash-gated against DuckDB, so exact
+    // row-multiset equality is the right bar.
+    for (name <- Seq("cdc_apply", "sort_distinct_on", "agg_theta",
+                     "sim_knng", "sim_ivfpq", "topk_group")) {
+      val fn = SparkEntry.queries(name)
+      def run(): Seq[String] = fn(spark, sfDir).collect().map(_.toString).toSeq.sorted
+      val want = run()
+      val got = withMaxRows("1")(run())
+      assert(got == want,
+        s"$name differs through the fallback: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+      assert(want.nonEmpty, s"$name returned no rows at $sfDir")
+    }
+  }
+
+  test("null keys and null scores: both paths equal the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    for (seed <- Seq(3L, 777L)) {
+      val rng = new scala.util.Random(seed)
+      val n = 400 + rng.nextInt(800)
+      // ~20% null keys (one extra group) and ~25% null scores — the heap
+      // comparator, the fallback's key-grouping UnsafeRow equality, AND its
+      // (keys asc, rank order) sort must all agree with the window's
+      // null-group / nulls-first semantics
+      val rows = (0 until n).map { i =>
+        (if (rng.nextInt(5) == 0) None else Some(rng.nextInt(5)),
+         if (rng.nextInt(4) == 0) None else Some(rng.nextInt(12)),
+         i.toLong)
+      }
+      val df = rows.toDF("key", "score", "id").repartition(1 + rng.nextInt(9))
+      val k = 1 + rng.nextInt(5)
+      val scoreAsc = rng.nextBoolean()
+
+      def run(): Set[(Option[Int], Option[Int], Long)] =
+        TopK.perKey(df, Seq("key"), Seq("score" -> scoreAsc, "id" -> true), k)
+          .collect().map(r => (
+            if (r.isNullAt(0)) None else Some(r.getInt(0)),
+            if (r.isNullAt(1)) None else Some(r.getInt(1)),
+            r.getLong(2))).toSet
+
+      // SortOrder(_, Ascending) is NULLS FIRST, Descending is NULLS LAST —
+      // exactly col.asc / col.desc in the window formulation
+      val order = Seq(if (scoreAsc) col("score").asc else col("score").desc, col("id").asc)
+      val want = df.withColumn("rk",
+          row_number().over(Window.partitionBy(col("key")).orderBy(order: _*)))
+        .filter(col("rk") <= k).drop("rk")
+        .collect().map(r => (
+          if (r.isNullAt(0)) None else Some(r.getInt(0)),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          r.getLong(2))).toSet
+
+      for ((label, got) <- Seq("heap" -> run(), "fallback" -> withMaxRows("1")(run()))) {
+        assert(got == want, s"seed=$seed k=$k scoreAsc=$scoreAsc path=$label: " +
+          s"${label}-only ${got.diff(want).take(5)}, window-only ${want.diff(got).take(5)}")
+        assert(got.exists(_._1.isEmpty), s"seed=$seed: corpus lost its null-key group")
+      }
+    }
+  }
 }
