@@ -43,7 +43,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("bounded-hop BFS equals level expansion truncated at the hop budget") {
-    for (seed <- Seq(5L, 63L, 131L); hops <- Seq(2, 4)) {
+    for (seed <- Seq(5L, 63L, 131L); hops <- Seq(2, 4, 7)) { // 7 > LazyRoundLimit: the truncating branch
       val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
       val adj = adjacency(edges)
       val sources = adj.keySet.filter(_ % 5 == 0)
@@ -61,7 +61,7 @@ class GraphLawsSpec extends SparkSpec {
   }
 
   test("bounded-round SSSP equals Bellman-Ford truncated at the round budget") {
-    for (seed <- Seq(9L, 41L, 119L); rounds <- Seq(2, 4)) {
+    for (seed <- Seq(9L, 41L, 119L); rounds <- Seq(2, 4, 7)) { // 7 > LazyRoundLimit: the truncating branch
       val rng = new scala.util.Random(seed * 31)
       val edges = randomEdges(seed, n = 24, m = 14, chainLen = 12)
       val w = edges.map(e => e -> (1L + rng.nextInt(20))).toMap
