@@ -54,13 +54,21 @@ object GraftStrategies extends SparkStrategy {
   val MaxRowsKey = "spark.graft.topk.maxRowsInMemory"
   val MaxRowsDefault: Int = 4 * 1024 * 1024
 
+  /** TEST-ONLY: force the fallback's external sorter to spill every N
+    * inserted records (0 = off, production default). The same hook Spark's
+    * own sort tests use — it lets TopKLawsSpec prove the disk-spill path
+    * end-to-end instead of trusting that the sorter would spill under real
+    * memory pressure. */
+  val TestSpillFrequencyKey = "spark.graft.topk.testSpillFrequency"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, ordering, k, child) =>
       val maxRows = SQLConf.get.getConfString(MaxRowsKey, MaxRowsDefault.toString).toInt
+      val spillFreq = SQLConf.get.getConfString(TestSpillFrequencyKey, "0").toInt
       val partial = TopKPerKeyExec(keys, ordering, k, planLater(child),
-        partial = true, maxRowsInMemory = maxRows)
+        partial = true, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq)
       TopKPerKeyExec(keys, ordering, k, partial,
-        partial = false, maxRowsInMemory = maxRows) :: Nil
+        partial = false, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq) :: Nil
     case _ => Nil
   }
 }
@@ -93,7 +101,8 @@ case class TopKPerKeyExec(
     k: Int,
     child: SparkPlan,
     partial: Boolean,
-    maxRowsInMemory: Int = GraftStrategies.MaxRowsDefault) extends UnaryExecNode {
+    maxRowsInMemory: Int = GraftStrategies.MaxRowsDefault,
+    testSpillFrequency: Int = 0) extends UnaryExecNode {
   require(maxRowsInMemory >= 1,
     s"${GraftStrategies.MaxRowsKey} must be >= 1, got $maxRowsInMemory")
 
@@ -115,6 +124,7 @@ case class TopKPerKeyExec(
     val attrs = output
     val limit = k
     val maxRows = maxRowsInMemory
+    val spillFreq = testSpillFrequency
     val schema = DataTypeUtils.fromAttributes(attrs)
     val fallbackTasks = longMetric("fallbackTasks")
     child.execute().mapPartitions { iter =>
@@ -160,6 +170,15 @@ case class TopKPerKeyExec(
         val sorter = UnsafeExternalRowSorter.create(
           schema, sortOrd, PrefixComparators.LONG, prefixComputer,
           4L * 1024 * 1024, /* canUseRadixSort = */ false)
+        if (spillFreq > 0) {
+          // package-private test hook (same one SortExec's tests use):
+          // spill to disk every spillFreq records so the disk path is
+          // law-testable without fabricating executor memory pressure
+          val m = classOf[UnsafeExternalRowSorter]
+            .getDeclaredMethod("setTestSpillFrequency", classOf[Int])
+          m.setAccessible(true)
+          m.invoke(sorter, Integer.valueOf(spillFreq))
+        }
         val toUnsafe = UnsafeProjection.create(attrs, attrs)
         heaps.valuesIterator.foreach(_.foreach(r => sorter.insertRow(toUnsafe(r))))
         heaps.clear()

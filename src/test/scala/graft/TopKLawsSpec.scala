@@ -176,4 +176,38 @@ class TopKLawsSpec extends SparkSpec {
       }
     }
   }
+
+  test("fallback with forced DISK spills: identical results, real spill bytes observed") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import java.util.concurrent.atomic.AtomicLong
+    val spilled = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          spilled.addAndGet(te.taskMetrics.diskBytesSpilled)
+        }
+    }
+    val rng = new scala.util.Random(4242)
+    val rows = (0 until 6000).map(i => (rng.nextInt(1200), rng.nextInt(40), i.toLong))
+    val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(4)
+    def run(): Set[(Int, Int, Long)] =
+      TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val want = run() // default heap path, no spills
+    spark.sparkContext.addSparkListener(listener)
+    spark.conf.set(GraftStrategies.TestSpillFrequencyKey, "64") // spill every 64 inserts
+    try {
+      val got = withMaxRows("1")(run())
+      assert(got == want,
+        s"disk-spill path diverged: spill-only ${got.diff(want).take(5)}, heap-only ${want.diff(got).take(5)}")
+      // settle the async listener bus, then require REAL disk spill bytes
+      var waited = 0
+      while (spilled.get() == 0L && waited < 10000) { Thread.sleep(50); waited += 50 }
+      assert(spilled.get() > 0L,
+        "no diskBytesSpilled reported — the forced-spill hook never reached the sorter")
+    } finally {
+      spark.conf.unset(GraftStrategies.TestSpillFrequencyKey)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }
