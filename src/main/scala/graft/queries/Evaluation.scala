@@ -42,21 +42,32 @@ object Evaluation {
     * classifier (SURVEY §6 pipeline tier); AUC itself is standard
     * (Hanley–McNeil 1982).
     */
-  def clsAuc(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .groupBy(col("n_chars").as("sc"))
-      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
-        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("n_neg"))
+  /** The AUC core over any (sc: numeric score, pos: boolean) table —
+    * EvalLawsSpec pins it against brute-force concordant/tied pair counting
+    * on random tie-heavy corpora. A single-class input (P·N = 0) yields a
+    * NULL auc instead of an ANSI DIVIDE_BY_ZERO killing the job (the
+    * degreeAssortativity / normsPositive degenerate-input contract — a
+    * 100-TB corpus slice CAN be all one label). */
+  private[graft] def aucCore(scored: DataFrame): DataFrame = {
+    val g = scored
+      .groupBy(col("sc"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("n_neg"))
     val w = Window.orderBy(col("sc")).rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("cnb", coalesce(sum(col("n_neg")).over(w), lit(0L)))
       .agg(sum(col("n_pos")).as("pos_n"), sum(col("n_neg")).as("neg_n"),
         sum(col("n_pos").cast(dec38) *
           (col("cnb") * 2 + col("n_neg")).cast(dec38)).as("u2"))
       .select(col("pos_n"), col("neg_n"),
-        (col("u2").cast(DoubleType) /
-          (lit(2.0) * col("pos_n").cast(DoubleType) * col("neg_n").cast(DoubleType)))
+        when(col("pos_n") > 0 && col("neg_n") > 0,
+          col("u2").cast(DoubleType) /
+            (lit(2.0) * col("pos_n").cast(DoubleType) * col("neg_n").cast(DoubleType)))
           .as("auc"))
   }
+
+  def clsAuc(spark: SparkSession, dir: String): DataFrame =
+    aucCore(Tables.documents(spark, dir)
+      .select(col("n_chars").as("sc"), (col("lang") === "en").as("pos")))
 
   val clsAucOracle: String =
     """WITH g AS (
@@ -86,11 +97,16 @@ object Evaluation {
     * the argmax (`ks_at`, smallest value attaining D) is exact too. The
     * two global totals ride the same window (full-frame), so one pass.
     */
-  def dqKs(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(spark, dir)
-      .groupBy(col("n_chars").as("v"))
-      .agg(sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca0"),
-        sum(when(col("doc_id") % 2 === 0, 0L).otherwise(1L)).as("cb0"))
+  /** The two-sample KS core over any (v: numeric value, in_a: boolean)
+    * table — EvalLawsSpec pins it against a sequential exact-rational ECDF
+    * sup reference. A single-cohort input (nA·nB = 0) yields a NULL ks
+    * instead of an ANSI DIVIDE_BY_ZERO (same degenerate-input contract as
+    * [[aucCore]]); ks_at is NULL with it (no ECDF gap exists). */
+  private[graft] def ksCore(vals: DataFrame): DataFrame = {
+    val g = vals
+      .groupBy(col("v"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca0"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cb0"))
     val run = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.orderBy(col("v"))
@@ -106,11 +122,17 @@ object Evaluation {
     c.withColumn("md", max(col("diff")).over(all))
       .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
         max(col("diff")).as("mdx"),
-        min(when(col("diff") === col("md"), col("v"))).as("ks_at"))
-      .select(col("n_a"), col("n_b"), col("ks_at"),
-        (col("mdx").cast(DoubleType) /
-          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))).as("ks"))
+        min(when(col("diff") === col("md"), col("v"))).as("ks_at0"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("ks_at0")).as("ks_at"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("mdx").cast(DoubleType) /
+            (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))).as("ks"))
   }
+
+  def dqKs(spark: SparkSession, dir: String): DataFrame =
+    ksCore(Tables.documents(spark, dir)
+      .select(col("n_chars").as("v"), (col("doc_id") % 2 === 0).as("in_a")))
 
   val dqKsOracle: String =
     """WITH g AS (
@@ -245,17 +267,27 @@ object Evaluation {
     * weighted sample is before resampling. Pure keyed agg — both moments
     * ride one map-side-combined pass; DECIMAL(38,0)/HUGEINT keeps (Σw)²
     * exact far past int64 (Σw ≤ 10¹⁹ before the square would clip). */
-  def smpEss(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  /** The Kish effective-sample-size core over any (source, w) weight table
+    * — EvalLawsSpec pins it against the direct (Σw)²/Σw² formula. A stratum
+    * whose weights are ALL zero has Σw² = 0: NULL ess instead of an ANSI
+    * DIVIDE_BY_ZERO (at 100 TB an all-empty-document source slice exists). */
+  private[graft] def essCore(weights: DataFrame): DataFrame =
+    weights
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
-        sum(col("n_chars").cast(dec38)).as("sw"),
-        sum(col("n_chars").cast(dec38) * col("n_chars").cast(dec38)).as("sw2"))
+        sum(col("w").cast(dec38)).as("sw"),
+        sum(col("w").cast(dec38) * col("w").cast(dec38)).as("sw2"))
       .select(col("source"), col("n"),
-        ((col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType))
+        when(col("sw2") > 0,
+          (col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType))
           .as("ess"),
-        ((col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType) /
-          col("n").cast(DoubleType)).as("ess_ratio"))
+        when(col("sw2") > 0,
+          (col("sw") * col("sw")).cast(DoubleType) / col("sw2").cast(DoubleType) /
+            col("n").cast(DoubleType)).as("ess_ratio"))
+
+  def smpEss(spark: SparkSession, dir: String): DataFrame =
+    essCore(Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("w")))
       .orderBy(col("source"))
 
   val smpEssOracle: String =
@@ -382,10 +414,18 @@ object Evaluation {
     * can't move the hash. Rank ties break on the token string, making the
     * rank assignment itself deterministic. The rank window runs over the
     * distinct-token table (vocab-bounded, not corpus-bounded). */
-  def txtZipf(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+  def txtZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfCore(Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok")))
+
+  /** The Zipf-regression core over any single-column (tok) token table —
+    * EvalLawsSpec pins it against a sequential fixed-point regression.
+    * Zero-variance degenerate corpora — a single-token vocabulary (x
+    * constant) or a perfectly uniform one (every count equal: y constant,
+    * the exact-dedup hapax shape) — yield NULL slope/r² instead of an ANSI
+    * DIVIDE_BY_ZERO. */
+  private[graft] def zipfCore(toks: DataFrame): DataFrame = {
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val ranked = counts.withColumn("r",
       row_number().over(Window.orderBy(col("c").desc, col("tok"))))
     def fix9(c: Column): Column =
@@ -395,15 +435,12 @@ object Evaluation {
       .agg(count(lit(1)).as("nv"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+    val num = (col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val denX = (col("nv").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val denY = (col("nv").cast(dec38) * col("syy") - col("sy") * col("sy")).cast(DoubleType)
     m.select(col("nv").as("n_vocab"),
-        ((col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("nv").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
-          .as("slope"),
-        (((col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("nv").cast(dec38) * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
-          (col("nv").cast(dec38) * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("nv").cast(dec38) * col("syy") - col("sy") * col("sy")).cast(DoubleType))
-          .as("r2"))
+        when(denX =!= 0.0, num / denX).as("slope"),
+        when(denX =!= 0.0 && denY =!= 0.0, num / denX * num / denY).as("r2"))
   }
 
   val txtZipfOracle: String = {
@@ -497,13 +534,22 @@ object Evaluation {
       .select(col("src"), ((col("src") * 31 + col("k") * 7) % col("n")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    recipCore(edges)
+  }
+
+  /** The reciprocity core over any deduplicated self-loop-free (src, dst)
+    * edge table — EvalLawsSpec pins it against brute-force reverse-pair
+    * counting. An empty edge set yields NULL reciprocity instead of an
+    * ANSI DIVIDE_BY_ZERO. */
+  private[graft] def recipCore(edges: DataFrame): DataFrame = {
     val recip = edges.join(
       edges.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"), "left_semi")
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
       .select(col("n_edges"), col("n_recip"),
-        (col("n_recip").cast(DoubleType) / col("n_edges").cast(DoubleType))
+        when(col("n_edges") > 0,
+          col("n_recip").cast(DoubleType) / col("n_edges").cast(DoubleType))
           .as("reciprocity"))
   }
 
@@ -534,17 +580,13 @@ object Evaluation {
     * so DuckDB's segment-tree windowed SUM and Spark's running frame
     * agree), and the final `/1e9` is one exact-int→double op per row. The
     * terminal timepoint where n = d (S→0, ln→−∞) is excluded by contract. */
-  def evtSurvival(spark: SparkSession, dir: String): DataFrame = {
-    val HourUs = 3600000000L
-    val e = Tables.eventsTs(spark, dir)
-      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
-    val tEnd = e.agg(max(col("ts_us")).as("t_end"))
-    val users = e.groupBy(col("user_id"))
-      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
-      .crossJoin(broadcast(tEnd))
-      .select(expr(s"(last_us - first_us) div $HourUs").as("t"),
-        when(col("last_us") < col("t_end") - lit(24 * HourUs), 1L).otherwise(0L).as("ev"))
-    val g = users.groupBy(col("t"))
+  /** The Kaplan–Meier core over any (t: long timepoint, ev: 1 = event /
+    * 0 = censored) lifetime table — EvalLawsSpec pins it against a
+    * sequential KM transcription (exact fixed-point log arithmetic
+    * included) on random lifetime tables with planted all-censored
+    * timepoints and a terminal n = d row. */
+  private[graft] def survivalCore(lifetimes: DataFrame): DataFrame = {
+    val g = lifetimes.groupBy(col("t"))
       .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
     val wAll = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -563,6 +605,19 @@ object Evaluation {
       .select(col("t").as("t_hours"), col("n_risk"), col("d"),
         (col("cum").cast(DoubleType) / 1e9).as("ln_surv"))
       .orderBy(col("t_hours"))
+  }
+
+  def evtSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val e = Tables.eventsTs(spark, dir)
+      .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"))
+    val tEnd = e.agg(max(col("ts_us")).as("t_end"))
+    val users = e.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"))
+      .crossJoin(broadcast(tEnd))
+      .select(expr(s"(last_us - first_us) div $HourUs").as("t"),
+        when(col("last_us") < col("t_end") - lit(24 * HourUs), 1L).otherwise(0L).as("ev"))
+    survivalCore(users)
   }
 
   val evtSurvivalOracle: String =
@@ -739,12 +794,20 @@ object Evaluation {
     * sweeps decision cutoffs). One conditional aggregate per threshold,
     * all in a single keyed-free reduce; ratios are exact-int divisions.
     * F1 = 2TP/(2TP+FP+FN) avoids the precision·recall float product. */
-  def clsPr(spark: SparkSession, dir: String): DataFrame = {
-    val thresholds = Seq(100L, 200L, 300L, 400L, 500L)
-    val base = Tables.documents(spark, dir)
-      .select((col("lang") === "en").as("pos"), col("n_chars").as("sc"))
-    // all 15 counts in ONE scan + reduce; stack() pivots to 5 rows after
-    val aggd = base.agg(
+  def clsPr(spark: SparkSession, dir: String): DataFrame =
+    prCore(Tables.documents(spark, dir)
+      .select((col("lang") === "en").as("pos"), col("n_chars").as("sc")),
+      Seq(100L, 200L, 300L, 400L, 500L))
+      .orderBy(col("threshold"))
+
+  /** The threshold-sweep core over any (sc, pos) table — EvalLawsSpec pins
+    * it against brute-force confusion counting per threshold. Empty
+    * denominators (no predicted positives / no actual positives / nothing
+    * at all) yield NULL ratios instead of an ANSI DIVIDE_BY_ZERO — a
+    * threshold above every score is a legitimate sweep point. */
+  private[graft] def prCore(scored: DataFrame, thresholds: Seq[Long]): DataFrame = {
+    // all counts in ONE scan + reduce; stack() pivots to |thresholds| rows
+    val aggd = scored.agg(
       sum(when(col("pos") && col("sc") >= thresholds.head, 1L).otherwise(0L))
         .as(s"tp${thresholds.head}"),
       thresholds.tail.flatMap(t => Seq(
@@ -757,13 +820,15 @@ object Evaluation {
       .mkString(s"stack(${thresholds.length}, ", ", ", ") AS (threshold, tp, fp, fn)")
     aggd.selectExpr(stacked)
       .select(col("threshold"), col("tp"), col("fp"), col("fn"),
-        (col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
           .as("precision"),
-        (col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType))
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType))
           .as("recall"),
-        ((col("tp") * 2).cast(DoubleType) /
-          (col("tp") * 2 + col("fp") + col("fn")).cast(DoubleType)).as("f1"))
-      .orderBy(col("threshold"))
+        when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          (col("tp") * 2).cast(DoubleType) /
+            (col("tp") * 2 + col("fp") + col("fn")).cast(DoubleType)).as("f1"))
   }
 
   val clsPrOracle: String = {
