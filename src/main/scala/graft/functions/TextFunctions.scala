@@ -30,19 +30,24 @@ object TextFunctions {
     conv(substring(md5(c.cast(BinaryType)), 1, 15), 16, 10).cast(LongType)
 
   /** Word k-shingles over an already-materialized token-array column.
-    * CONTRACT: every non-null doc must tokenize to ≥ k tokens (ANSI
-    * element_at throws past the array end; the oracle's t[i+j] would go
-    * NULL there, so the two sides only agree above k tokens — true for
-    * every corpus generation so far, asserted by the gates).
+    * A document with fewer than k tokens has NO k-shingles — it yields the
+    * empty array on BOTH engines (Spark guards with a `when`, because
+    * sequence(1, 0) steps DOWNWARD; DuckDB's generate_series(1, 0) is
+    * already empty). Before round 10 this was a ≥k-token input CONTRACT
+    * instead: ANSI element_at threw past the array end, so one short
+    * document — millions of them in any real 100-TB corpus — killed the
+    * whole job (DegenerateCorpusSpec found it; the gate corpora never
+    * tokenize short, so results there are unchanged).
     * IMPORTANT: `t` must be a bound attribute, not an inline expression —
     * higher-order lambdas are interpreted with no subexpression
     * elimination, so an inline `split()` here would be re-evaluated for
     * every `element_at` of every sequence position (k × positions regex
     * splits per row). Stage tokens in their own projection first. */
   def shinglesFromTokens(t: Column, k: Int): Column =
-    array_distinct(
-      transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+    array_distinct(when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>")))
 
   /** Word k-shingles (k consecutive tokens joined by a space), distinct.
     * Convenience form for tests / small inputs — prefer staging tokens
@@ -51,12 +56,15 @@ object TextFunctions {
 
   /** Word n-grams WITH duplicates (unlike [[shinglesFromTokens]]) — the
     * repetition-quality metrics need occurrence counts, not the set. Same
-    * staging rule: `t` must be a bound token-array attribute. `concat_ws`
-    * skips the trailing nulls a short document produces, matching the
-    * oracle's concat_ws semantics. */
+    * staging rule: `t` must be a bound token-array attribute; same
+    * short-document rule: fewer than n tokens ⇒ the empty gram list on
+    * both engines (the pre-round-10 form threw ANSI element_at past the
+    * array end on any short document). */
   def ngramsFromTokens(t: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash signature: for K hash functions (a_i*h + b_i) mod P over the
     * element hashes, take the min. P is the Mersenne prime 2^31-1; element
@@ -109,12 +117,14 @@ object TextFunctions {
     def hash64(c: String): String = s"(('0x' || substr(md5($c), 1, 15))::BIGINT)"
     def shingles(text: String, k: Int): String = {
       val parts = (0 until k).map(j => s"t[i+$j]").mkString(" || ' ' || ")
-      s"(SELECT list_distinct(list_transform(generate_series(1, greatest(len(t)-${k - 1}, 1)), i -> $parts)) " +
+      // generate_series(1, 0) is empty in DuckDB: short docs ⇒ no shingles,
+      // mirroring the Spark side's when-guard
+      s"(SELECT list_distinct(list_transform(generate_series(1, len(t)-${k - 1}), i -> $parts)) " +
         s"FROM (SELECT ${tokens(text)} AS t))"
     }
     def ngrams(text: String, n: Int): String = {
       val parts = (0 until n).map(j => s"t[i+$j]").mkString(", ")
-      s"(SELECT list_transform(generate_series(1, greatest(len(t)-${n - 1}, 1)), i -> concat_ws(' ', $parts)) " +
+      s"(SELECT list_transform(generate_series(1, len(t)-${n - 1}), i -> concat_ws(' ', $parts)) " +
         s"FROM (SELECT ${tokens(text)} AS t))"
     }
     def bpeTokenCount(text: String): String =

@@ -475,6 +475,8 @@ object Dedup {
     val chars = docs
       .select(col(idCol).as("doc_id"), length(col(textCol)).cast(LongType).as("len"),
         posexplode(split(col(textCol), ""))).toDF("doc_id", "len", "p", "ch")
+      // empty/null payloads have no blocks (and `div len` must never see 0)
+      .filter(col("len") > 0)
       .select(col("doc_id"), expr("p * 64 div len").as("blk"),
         ascii(col("ch")).cast(LongType).as("s"))
     val blocks = chars.groupBy(col("doc_id"), col("blk"))

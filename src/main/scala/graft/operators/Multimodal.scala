@@ -54,8 +54,13 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (native lib handle, etc.)
       rows.map { r =>
-        val (w, h, fmt) = FakeDecoder.decode(r.media)
-        MediaMeta(r.doc_id, w, h, r.media.length.toLong, fmt)
+        // a MISSING payload (null column) is metadata, not a crash: the
+        // decode tier must survive it like any other corrupt input
+        if (r.media == null) MediaMeta(r.doc_id, 0L, 0L, 0L, "missing")
+        else {
+          val (w, h, fmt) = FakeDecoder.decode(r.media)
+          MediaMeta(r.doc_id, w, h, r.media.length.toLong, fmt)
+        }
       }
     }
   }
@@ -76,6 +81,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
+      if (r.media == null) Iterator.empty // a missing payload has no frames
+      else {
       val len = r.media.length
       val nFrames = math.max(1L, (len.toLong + frameBytes - 1) / frameBytes)
       (0L until nFrames).filter(_ % everyN == 0).map { i =>
@@ -83,6 +90,7 @@ object Multimodal {
         val until = math.min(from + frameBytes, len)
         MediaFrame(r.doc_id, i, (until - from).toLong,
           java.util.Arrays.copyOfRange(r.media, from, until))
+      }
       }
     }
   }
@@ -100,6 +108,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
+      if (r.media == null) Iterator.empty // a missing payload has no frames
+      else {
       val len = r.media.length
       val nFrames = math.max(1L, (len.toLong + frameBytes - 1) / frameBytes)
       (0L until nFrames).map { i =>
@@ -109,6 +119,7 @@ object Multimodal {
         var j = from
         while (j < until) { val s = r.media(j).toLong & 0xffL; e += s * s; j += 1 }
         FrameEnergy(r.doc_id, i, (until - from).toLong, e)
+      }
       }
     }
   }
@@ -120,9 +131,12 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { r =>
-      val target = w * h
-      val out = java.util.Arrays.copyOf(r.media, target)
-      MediaRow(r.doc_id, out, r.media_type + s";resized=${w}x$h")
+      if (r.media == null) r // a missing payload passes through untouched
+      else {
+        val target = w * h
+        val out = java.util.Arrays.copyOf(r.media, target)
+        MediaRow(r.doc_id, out, r.media_type + s";resized=${w}x$h")
+      }
     }
   }
 }

@@ -786,7 +786,10 @@ object Curation {
       lit(0.5)) / lit(4503599627370496.0)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        pow(u, lit(1.0) / col("n_chars")).as("samp_key"))
+        // the A-Res limit for weight -> 0 is key -> 0 (never sampled);
+        // guarded because ANSI throws on the 1/0 inside pow
+        when(col("n_chars") > 0, pow(u, lit(1.0) / col("n_chars")))
+          .otherwise(lit(0.0)).as("samp_key"))
       .orderBy(col("samp_key").desc, col("doc_id"))
       .limit(50)
   }

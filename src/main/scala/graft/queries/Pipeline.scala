@@ -452,7 +452,9 @@ object Pipeline {
         nTokens.as("n_tokens"),
         (noSpace.cast(DoubleType) / nTokens).as("avg_token_len"),
         (stopHits.cast(DoubleType) / nTokens).as("stop_ratio"),
-        (digitHits.cast(DoubleType) / length(col("text"))).as("digit_ratio"))
+        // an empty document has no digit ratio (NULL), not a zero divisor
+        when(length(col("text")) > 0,
+          digitHits.cast(DoubleType) / length(col("text"))).as("digit_ratio"))
       // no round(): identical double arithmetic is bit-equal across engines,
       // while round-half-way algorithms differ (BigDecimal HALF_UP vs C)
       .withColumn("quality_score",
