@@ -1146,7 +1146,10 @@ object Coverage {
   def fnRegex(spark: SparkSession, dir: String): DataFrame = {
     Tables.events(spark, dir)
       .select(col("event_id"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast(LongType).as("k_val"),
+        // nullif: a props payload that doesn't match extracts '' - that is
+        // a NULL k, not an ANSI cast failure killing the scan
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast(LongType).as("k_val"),
         col("event_type").rlike("^(click|view)$").as("is_cv"),
         regexp_replace(col("event_type"), "[aeiou]", "_").as("devoweled"))
       .orderBy(col("event_id"))
@@ -1155,7 +1158,7 @@ object Coverage {
 
   val fnRegexOracle: String =
     """SELECT event_id,
-      |  CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_val,
+      |  CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_val,
       |  regexp_matches(event_type, '^(click|view)$') AS is_cv,
       |  regexp_replace(event_type, '[aeiou]', '_', 'g') AS devoweled
       |FROM events

@@ -156,7 +156,9 @@ object Enrich {
   def fnJson(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        // try_cast: a non-numeric k (schema drift in semi-structured
+        // payloads) is a NULL, not an ANSI cast failure
+        expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").as("k"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
@@ -164,9 +166,9 @@ object Enrich {
 
   val fnJsonOracle: String =
     s"""SELECT event_type, COUNT(*) AS n,
-       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       |  MIN(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
-       |  MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
+       |  CAST(SUM(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  MIN(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k,
+       |  MAX(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---- VARIANT (open semi-structured type) ----------------------------------
@@ -183,11 +185,17 @@ object Enrich {
   def fnVariant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        parse_json(col("props")).as("v"),
+        // try_parse_json for the REAL payload too: a malformed props row
+        // degrades to a NULL variant instead of a JsonParseException
+        // killing the scan (the same contract the `bad` column proves)
+        try_parse_json(col("props")).as("v"),
         try_parse_json(concat(lit("{"), col("props"))).as("bad"))
       .select(col("event_type"),
-        variant_get(col("v"), "$.k", "bigint").as("k"),
-        variant_get(col("v"), "$.k", "string").as("ks"),
+        // try_variant_get, same philosophy as try_parse_json below: schema
+        // drift in the payload degrades to NULL instead of
+        // INVALID_VARIANT_CAST killing the job
+        try_variant_get(col("v"), "$.k", "bigint").as("k"),
+        try_variant_get(col("v"), "$.k", "string").as("ks"),
         col("bad"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -198,7 +206,7 @@ object Enrich {
 
   val fnVariantOracle: String =
     s"""SELECT event_type, COUNT(*) AS n,
-       |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  CAST(SUM(TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        |  COUNT(json_extract_string(props, '$$.k')) AS n_ks,
        |  CAST(0 AS BIGINT) AS n_bad
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

@@ -970,6 +970,8 @@ object Pipeline {
     import spark.implicits._
     Tables.eventsTs(spark, dir)
       .filter(col("user_id") < 40)
+      // an untyped (NULL event_type) event cannot form or extend a streak
+      .filter(col("event_type").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)

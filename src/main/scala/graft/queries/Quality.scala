@@ -647,14 +647,18 @@ object Quality {
         (col("s4d") / col("nd")).as("r4"))
       .select(col("event_type"), col("n"), col("mu"), col("r2"), col("r3"), col("r4"),
         (col("r2") - col("mu") * col("mu")).as("m2"))
+    // a zero-variance group (single row, or every value identical) has no
+    // shape moments — NULL, not an ANSI divide-by-zero killing the job
     staged.select(col("event_type"), col("n"),
-        ((col("r3") - lit(3.0) * col("mu") * col("r2") +
-          lit(2.0) * col("mu") * col("mu") * col("mu")) /
-          (col("m2") * sqrt(col("m2")))).as("skewness"),
-        ((col("r4") - lit(4.0) * col("mu") * col("r3") +
-          lit(6.0) * col("mu") * col("mu") * col("r2") -
-          lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")) /
-          (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
+        when(col("m2") > 0,
+          (col("r3") - lit(3.0) * col("mu") * col("r2") +
+            lit(2.0) * col("mu") * col("mu") * col("mu")) /
+            (col("m2") * sqrt(col("m2")))).as("skewness"),
+        when(col("m2") > 0,
+          (col("r4") - lit(4.0) * col("mu") * col("r3") +
+            lit(6.0) * col("mu") * col("mu") * col("r2") -
+            lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu")) /
+            (col("m2") * col("m2")) - lit(3.0)).as("kurtosis"))
       .orderBy(col("event_type"))
   }
 
@@ -731,10 +735,18 @@ object Quality {
         (col("nt") - col("n1")).cast(d).as("n2d"),
         (col("st") - col("s1")).cast(d).as("s2d"),
         (col("qt") - col("q1")).cast(d).as("q2d"))
-    withRest.select(col("event_type"), col("n1").as("n"),
-        ((col("s1d") / col("n1d") - col("s2d") / col("n2d")) /
-          sqrt(((col("q1d") - (col("s1d") * col("s1d")) / col("n1d")) / (col("n1d") - 1)) / col("n1d") +
-               ((col("q2d") - (col("s2d") * col("s2d")) / col("n2d")) / (col("n2d") - 1)) / col("n2d")))
+    // Welch needs >= 2 samples on BOTH sides and a positive pooled
+    // standard error; a single-row segment (or one whose complement is
+    // empty / zero-variance) yields NULL instead of an ANSI divide-by-zero
+    withRest
+      .select(col("event_type"), col("n1"), col("n1d"), col("s1d"), col("n2d"), col("s2d"),
+        when(col("n1d") > 1 && col("n2d") > 1,
+          ((col("q1d") - (col("s1d") * col("s1d")) / col("n1d")) / (col("n1d") - 1)) / col("n1d") +
+            ((col("q2d") - (col("s2d") * col("s2d")) / col("n2d")) / (col("n2d") - 1)) / col("n2d"))
+          .as("se2"))
+      .select(col("event_type"), col("n1").as("n"),
+        when(col("se2") > 0,
+          (col("s1d") / col("n1d") - col("s2d") / col("n2d")) / sqrt(col("se2")))
           .as("t_stat"))
       .orderBy(col("event_type"))
   }
