@@ -298,33 +298,40 @@ object GraphOps {
     * ever happens) ⇒ hash-exact at any partitioning. Returns
     * (node, hub, authority) after the final round.
     *
-    * Overflow contract: from h₀ = 1 the max score multiplies by at most
-    * (max in-degree × max out-degree) per alternation, so
-    * hᵣ ≤ (dIn·dOut)^rounds. For rounds ≥ 3 — the regime where that bound
-    * makes overflow PROBABLE rather than adversarial — the worst case is
-    * checked against the signed 64-bit range UP FRONT (one small degree
-    * agg over the edge list), failing fast with the actionable bound
-    * instead of an overflow mid-round. At rounds ≤ 2 (the gated usage —
-    * rankings typically stabilize by then) the check is skipped to keep
-    * the plan one job: overflow there needs dIn·dOut > 2^31.5 (two ~55k+
-    * hubs pointing at each other), and the session's ANSI mode turns that
-    * into a loud ARITHMETIC_OVERFLOW rather than a silent wrap. */
+    * Overflow contract: from h₀ = 1 one h→a→h alternation multiplies the
+    * max score by at most max over EDGES (u,w) of dout(u)·din(w) — the
+    * amplification pairs a hub's out-degree with the in-degree of an
+    * authority it actually points to, so an unrelated high-in-degree /
+    * high-out-degree node pair does not inflate the bound (it did under
+    * the round-9 global dIn·dOut form, which hard-rejected graphs that
+    * could never overflow). For rounds ≥ 3 — where even the edge-level
+    * bound can make overflow plausible — the worst case is checked up
+    * front and, when it exceeds the signed 64-bit range, logged as a
+    * WARNING with the actionable bound; execution proceeds, and an actual
+    * overflow surfaces as the session's loud ANSI ARITHMETIC_OVERFLOW
+    * mid-round (the bound is worst-case, not a predictor — scores only
+    * reach it when mass concentrates, so a hard require over-rejects).
+    * NOTE: at rounds ≥ 3 this advisory check runs an EAGER degree-join job
+    * during DataFrame construction (before any action on the result). At
+    * rounds ≤ 2 (the gated usage — rankings typically stabilize by then)
+    * no job runs and the plan stays single-job. */
   def hits(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs at least one round, got $rounds")
     if (rounds >= 3) {
-      val degRow = edges.select(col("src").as("node"), lit(1).as("is_out"))
-        .unionAll(edges.select(col("dst").as("node"), lit(0).as("is_out")))
-        .groupBy(col("node"), col("is_out")).agg(count(lit(1)).as("c"))
-        .agg(max(when(col("is_out") === 1, col("c"))).as("dout"),
-             max(when(col("is_out") === 0, col("c"))).as("din"))
-        .collect()(0)
-      val degProduct = BigInt(if (degRow.isNullAt(0)) 1L else degRow.getLong(0)) *
-        BigInt(if (degRow.isNullAt(1)) 1L else degRow.getLong(1))
-      require(degProduct.pow(rounds) <= BigInt(Long.MaxValue),
-        s"hits: unnormalized BIGINT scores can overflow 64 bits — worst-case " +
-          s"bound (maxOutDeg*maxInDeg)^rounds = $degProduct^$rounds exceeds " +
-          s"Long.MaxValue; lower rounds (ranking typically stabilizes in 2-3) " +
-          s"or pre-aggregate the graph")
+      val douts = edges.groupBy(col("src")).agg(count(lit(1)).as("dout"))
+      val dins = edges.groupBy(col("dst")).agg(count(lit(1)).as("din"))
+      val ampRow = edges.join(douts, "src").join(dins, "dst")
+        .agg(max(col("dout") * col("din")).as("amp")).collect()(0)
+      val amp = BigInt(if (ampRow.isNullAt(0)) 1L else ampRow.getLong(0))
+      if (amp.pow(rounds) > BigInt(Long.MaxValue)) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"hits: unnormalized BIGINT scores MAY overflow 64 bits — worst-case " +
+            s"per-alternation amplification (max over edges of dout*din) = $amp, " +
+            s"$amp^$rounds exceeds Long.MaxValue. Proceeding: an actual overflow " +
+            s"fails loudly as ANSI ARITHMETIC_OVERFLOW mid-round; lower rounds " +
+            s"(ranking typically stabilizes in 2-3) or pre-aggregate the graph " +
+            s"if it does")
+      }
     }
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()

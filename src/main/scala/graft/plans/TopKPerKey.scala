@@ -167,15 +167,30 @@ case class TopKPerKeyExec(
             zero.isNull = false; zero.value = 0L; zero
           }
         }
+        // Page size from the executor's memory manager (what SortExec
+        // passes) — read here inside the task so allocation granularity
+        // follows the executor memory config, not a constant.
+        val pageSize = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
         val sorter = UnsafeExternalRowSorter.create(
           schema, sortOrd, PrefixComparators.LONG, prefixComputer,
-          4L * 1024 * 1024, /* canUseRadixSort = */ false)
+          pageSize, /* canUseRadixSort = */ false)
         if (spillFreq > 0) {
           // package-private test hook (same one SortExec's tests use):
           // spill to disk every spillFreq records so the disk path is
-          // law-testable without fabricating executor memory pressure
-          val m = classOf[UnsafeExternalRowSorter]
-            .getDeclaredMethod("setTestSpillFrequency", classOf[Int])
+          // law-testable without fabricating executor memory pressure.
+          // Reached reflectively because it is package-private; pinned to
+          // the Spark 4.1 signature, so fail with a named cause rather
+          // than an opaque NoSuchMethodException if an upgrade moves it.
+          val m =
+            try classOf[UnsafeExternalRowSorter]
+              .getDeclaredMethod("setTestSpillFrequency", classOf[Int])
+            catch {
+              case e: NoSuchMethodException => throw new IllegalStateException(
+                s"${GraftStrategies.TestSpillFrequencyKey} > 0 needs the package-private " +
+                  "UnsafeExternalRowSorter.setTestSpillFrequency(Int) test hook " +
+                  "(present in Spark 4.1.x); this Spark build does not have it — " +
+                  "unset the conf or restore the hook", e)
+            }
           m.setAccessible(true)
           m.invoke(sorter, Integer.valueOf(spillFreq))
         }
