@@ -328,12 +328,26 @@ object Dedup {
     // per the shinglesFromTokens contract) is not re-executed once per
     // consumer — measured 17.1s → 6.2s at sf0.1; an eager localCheckpoint
     // was tried and benched SLOWER (12.7s: it pays materialization every
-    // run without pipelining into the first consumer)
+    // run without pipelining into the first consumer).
+    // Round 11: the set elements are the 60-bit [[TextFunctions.hash64]]
+    // of each shingle, not the shingle string — every downstream exchange
+    // (inverted index, df table, candidate join, verification arrays)
+    // carries 8-byte longs instead of ~25-byte strings and array_intersect
+    // compares integers (measured 3.7s → 1.9s at sf0.1, shuffle 185 MB →
+    // 60 MB). The oracle hashes identically before its all-pairs replay,
+    // so the gate semantics stay exact over HASHED shingle sets: a
+    // within-doc collision merges the same two elements on both engines
+    // (array_distinct post-hash here, list_distinct post-hash there), and
+    // cross-doc hash equality is hash-consistent by construction. True
+    // Jaccard can drift from string-set Jaccard only on a 60-bit md5
+    // collision inside one pair's union (~27k-element universe ⇒
+    // P ≈ 3e-10 corpus-wide).
     val srows = reps
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
-      .select(col("doc_id"), explode(col("ss")).as("tok"))
+      .select(col("doc_id"), explode(
+        array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("tok"))
       .repartition(col("doc_id"))
     // shingles are distinct per doc (shinglesFromTokens dedups), so the
     // collected array IS the set and its length the set size
@@ -345,7 +359,12 @@ object Dedup {
     // adds a join for no candidate-set change
     val dfreq = srows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val prefix = srows.join(dfreq, Seq("tok")).hint("shuffle_hash")
+    // No join-strategy hint (round 11): a forced shuffle_hash pinned an
+    // exchange even when one side is tiny. AQE now broadcasts the df table
+    // and candidate sides at small scale (measured 3.4s -> 2.7s at sf0.1)
+    // and falls back to shuffled joins when runtime sizes demand it — the
+    // adaptive behavior a 1000-executor corpus run needs anyway.
+    val prefix = srows.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("pos") <= col("n") - ceilMul(col("n"), tNum, tDen) + 1)
@@ -361,7 +380,6 @@ object Dedup {
     // t/(1+t) over the same rational: tNum/(tNum + tDen), still exact
     val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"),
         col("n").as("na"), col("pos").as("pa"))
-      .hint("shuffle_hash")
       .join(prefix.select(col("tok"), col("doc_id").as("rep_b"),
         col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("rep_a") < col("rep_b"))
@@ -418,27 +436,42 @@ object Dedup {
                        tNum: Int = 4, tDen: Int = 5, shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (reps, memb) = collapseExact(docs, idCol, textCol)
+    // Hashed shingle elements + shared doc-keyed exchange — same scheme
+    // and same oracle-exactness argument as [[prefixJaccardPairs]] (the
+    // contain oracle hashes identically before its all-pairs replay).
     val srows = reps
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
-      .select(col("doc_id"), explode(col("ss")).as("tok"))
+      .select(col("doc_id"), explode(
+        array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("tok"))
       .repartition(col("doc_id"))
     val arrs = srows.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))
     val dfreq = srows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    val ranked = srows.join(dfreq, Seq("tok")).hint("shuffle_hash")
+    val ranked = srows.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     val prefixA = ranked
       .filter(col("pos") <= col("n") - expr(s"(n * $tNum + ${tDen - 1}) div $tDen") + 1)
-      .select(col("tok"), col("doc_id").as("rep_a"), col("n").as("na"))
-    val cand = prefixA.hint("shuffle_hash")
-      .join(ranked.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb")),
-        Seq("tok"))
+      .select(col("tok"), col("doc_id").as("rep_a"), col("n").as("na"),
+        col("pos").as("pa"))
+    // Positional filter (round 11 — the PPJoin bound prefixJaccardPairs
+    // already carries): a join row at positions (pa, pb) under the shared
+    // global rarity order witnesses overlap at most 1 + min(na−pa, nb−pb);
+    // containment ≥ t needs overlap ≥ ⌈t·na⌉, and the FIRST shared token
+    // of any qualifying pair sits in A's prefix (pigeonhole) with every
+    // other shared token after both of its positions — that witness row
+    // always satisfies the bound, so dropping rows below it is lossless
+    // (distinct needs one witness). Integer ceil, no float boundary.
+    val cand = prefixA
+      .join(ranked.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb"),
+        col("pos").as("pb")), Seq("tok"))
       .filter(col("rep_a") =!= col("rep_b"))
       .filter(col("nb") * tDen >= col("na") * tNum)
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        expr(s"(na * $tNum + ${tDen - 1}) div $tDen"))
       .select(col("rep_a"), col("rep_b"))
       .distinct()
     val repPairs = cand
