@@ -124,6 +124,54 @@ object Bench {
     } finally src.close()
   }
 
+  /** Host-load calibration probe (round 11): a FIXED, data-independent
+    * workload — 64M codegen'd xxhash64 folds across 32 tasks (pure CPU,
+    * saturates the cores exactly like a real query's map stage) plus a
+    * 2M-row / 64k-key hash aggregation (exchange + shuffle machinery).
+    * Measured warm (one throwaway, then median of 3). Its quiet-host cost
+    * is PINNED in BASELINE.md ("Calibration probe: N ms at local[32]");
+    * measured/pinned is the sweep's host-load factor. The round-10 driver
+    * sweep measured 5 queries past the 2x gate with byte-identical shuffle
+    * totals to the quiet-host runs — pure host contention, diagnosable
+    * only by cross-referencing older artifacts. With the probe, the
+    * artifact carries its own load context: wall-clock ratios should be
+    * read net of host_factor, and a genuine plan regression shows as a
+    * per-query ratio far above it (shuffle telemetry then tells which).
+    * Probe times are NOT used to rescale any reported figure — `queries`
+    * stays raw; the factor is context, not correction. */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // pmod-bounded terms: 64M full-range hashes would overflow the ANSI
+      // BIGINT sum (64M * 1e9+7 stays ~100x under Long.MaxValue)
+      spark.range(0, 64L * 1024 * 1024, 1, 32)
+        .select(sum(pmod(xxhash64(col("id")), lit(1000000007L))).as("s")).collect()
+      spark.range(0, 2L * 1024 * 1024, 1, 32)
+        .groupBy((col("id") % 65536).as("k")).count()
+        .agg(sum(col("count"))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two throwaways: the first probe of a fresh JVM otherwise measures
+    // its own JIT/codegen warmup (observed 1.0s vs 0.65s steady) and
+    // over-reports host load
+    once(); once()
+    Seq.fill(3)(once()).sorted.apply(1)
+  }
+
+  /** Pinned quiet-host probe cost: the `Calibration probe: N ms` line in
+    * BASELINE.md (valid for local[32] sweeps). None when absent. */
+  private[graft] def pinnedCalibration(path: String = "BASELINE.md"): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return None
+    val row = """Calibration probe:\s*(\d+)\s*ms""".r
+    val src = scala.io.Source.fromFile(p.toFile)(scala.io.Codec.UTF8)
+    try src.getLines().collectFirst {
+      case l if row.findFirstMatchIn(l).isDefined =>
+        row.findFirstMatchIn(l).get.group(1).toDouble / 1000.0
+    } finally src.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -138,6 +186,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val baseline = parseBaseline(sfDir)
+    val calibPinned = pinnedCalibration().filter(_ => cpus == "32")
+    val calibStart = calibrate(spark)
 
     // State hygiene between queries: ddl_cache leaves a table cached and the
     // iterative graph/clustering queries localCheckpoint RDD blocks that are
@@ -219,12 +269,23 @@ object Bench {
     // line capped to fit the tail, keeping every failed query (-1 sentinel)
     // plus the most expensive ones — the entries the baseline comparison
     // actually needs. Both carry the final (faster-of-two-medians) figure.
+    val calibEnd = calibrate(spark)
+    // headline factor = the WORSE of the two probes vs the pinned
+    // quiet-host cost — "this sweep saw host load up to X"; both raw
+    // probe times land in the artifact for the time-varying case
+    val hostFactor = calibPinned.map(p => math.max(calibStart, calibEnd) / p)
+    def calibJson: String = {
+      val f = hostFactor.map(fmt).getOrElse("null")
+      val p = calibPinned.map(fmt).getOrElse("null")
+      s"""{"start_sec":${fmt(calibStart)},"end_sec":${fmt(calibEnd)},"pinned_sec":$p,"host_factor":$f}"""
+    }
+
     val total = results.collect { case (_, q) if q.finalSec >= 0 => q.finalSec }.sum
     val nReconciled = results.count(_._2.isolated.nonEmpty)
     def jsonLine(rs: Seq[(String, QueryResult)], extra: String): String = {
       val qs = rs.sortBy(_._1).map { case (k, q) => "\"" + k + "\":" + fmt(q.finalSec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"reconciled":$nReconciled,$extra"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"reconciled":$nReconciled,"host_factor":${hostFactor.map(fmt).getOrElse("null")},$extra"queries":$qs,"sf":"$sfDir"}"""
     }
     def detailJson: String = results.sortBy(_._1).map { case (k, q) =>
       def stats(o: Option[RunStats]): String = o match {
@@ -243,7 +304,8 @@ object Bench {
     val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifact),
-      jsonLine(results, "\"detail\":" + detailJson + ",") + "\n")
+      jsonLine(results,
+        "\"calibration\":" + calibJson + ",\"detail\":" + detailJson + ",") + "\n")
     val budget = 1800
     // failures first (always visible), then descending cost
     val prio = results.sortBy { case (_, q) => (q.finalSec >= 0, -q.finalSec) }

@@ -62,6 +62,20 @@ class BenchSpec extends AnyFunSuite {
     assert(b.values.forall(v => v > 0 && v < 120), "rows are positive seconds under 2 min")
   }
 
+  test("pinned calibration parses the probe line in seconds") {
+    withBaseline(table + "\nCalibration probe: 700 ms at local[32].\n") { path =>
+      assert(Bench.pinnedCalibration(path).contains(0.7))
+    }
+    // absent line / absent file -> None (factor reported null, never a crash)
+    withBaseline(table) { path => assert(Bench.pinnedCalibration(path).isEmpty) }
+    assert(Bench.pinnedCalibration("/nonexistent/BASELINE.md").isEmpty)
+  }
+
+  test("the committed BASELINE.md pins a calibration probe cost") {
+    val c = Bench.pinnedCalibration("BASELINE.md")
+    assert(c.exists(v => v > 0.05 && v < 10), s"probe pin missing or implausible: $c")
+  }
+
   test("the reconciliation trigger fires at >2x, or >1.5x with >0.5s inflation") {
     assert(Bench.polluted(2.1, 1.0))    // plain 2x breach
     assert(Bench.polluted(1.9, 1.0))    // 1.9x with 0.9s inflation — the widened arm
