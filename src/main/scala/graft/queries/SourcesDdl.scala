@@ -449,15 +449,23 @@ object SourcesDdl {
   def installInformationSchema(spark: SparkSession): Unit = {
     import spark.implicits._
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
-    val tabs = spark.catalog.listTables().collect() // catalog metadata only
-    val tables = tabs.toSeq.map { t =>
-      ("spark_catalog", Option(t.database).getOrElse("session"), t.name,
-        if (t.isTemporary) "VIEW" else "BASE TABLE")
+    // SHOW TABLES instead of catalog.listTables(): the listing is identical
+    // (current database + temp views), but listTables' Dataset[catalog.Table]
+    // bean DESERIALIZER fails under spark.sql.codegen.factoryMode=NO_CODEGEN
+    // (interpreted NewInstance resolves a mismatching Table constructor —
+    // Spark-internal; ConfigInvarianceSpec caught it). SHOW TABLES is plain
+    // rows — no object decoding on any codegen mode. Temp views carry an
+    // empty namespace where listTables carried a null database.
+    val tabs = spark.sql("SHOW TABLES").collect() // catalog metadata only
+      .toSeq.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val tables = tabs.map { case (ns, name, isTemp) =>
+      ("spark_catalog", if (ns == null || ns.isEmpty) "session" else ns, name,
+        if (isTemp) "VIEW" else "BASE TABLE")
     }.toDF("table_catalog", "table_schema", "table_name", "table_type")
-    val columns = tabs.toSeq.flatMap { t =>
-      scala.util.Try(spark.table(t.name).schema).toOption.toSeq.flatMap { sch =>
+    val columns = tabs.flatMap { case (ns, name, _) =>
+      scala.util.Try(spark.table(name).schema).toOption.toSeq.flatMap { sch =>
         sch.fields.zipWithIndex.map { case (f, i) =>
-          ("spark_catalog", Option(t.database).getOrElse("session"), t.name,
+          ("spark_catalog", if (ns == null || ns.isEmpty) "session" else ns, name,
             f.name, (i + 1).toLong, f.dataType.sql.toLowerCase,
             if (f.nullable) "YES" else "NO")
         }

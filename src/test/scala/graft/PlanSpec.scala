@@ -723,8 +723,12 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan("ded_contain")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       plan.take(2000))
-    assert(plan.contains("ShuffledHashJoin"),
-      "the inverted-index self-join must be the hinted shuffle-hash join:\n" + plan.take(2000))
+    // the inverted-index self-join must stay an equi-join on the token key;
+    // WHICH equi-join (SMJ / SHJ / broadcast) is AQE's call since the
+    // shuffle_hash hints were dropped — pinning the strategy re-froze the
+    // exchange even when one side is broadcastable
+    assert("Join \\[tok#".r.findFirstIn(plan).isDefined,
+      "the inverted-index self-join must be keyed on tok:\n" + plan.take(2000))
   }
 
   test("evt_cusum: type stats broadcast; both windows share one keyed sort") {
