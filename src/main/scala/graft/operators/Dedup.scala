@@ -217,12 +217,22 @@ object Dedup {
     // distinct contents only.
     val (reps, memb) = collapseExact(docs, idCol, textCol)
     // csize rides along the shingle explode (one long per row) so the
-    // corpus-weighted df needs no extra join
+    // corpus-weighted df needs no extra join.
+    // Round 11: elements are the 60-bit [[TextFunctions.hash64]] of each
+    // shingle, not the ~25-byte string — the same shuffle-width scheme
+    // prefixJaccardPairs/containmentPairs adopted: the inverted index, df
+    // agg, self-join and size aggs all carry 8-byte longs, and the oracle
+    // hashes identically before its replay, so intersection/size counts
+    // (hence every jaccard double) are equal over hashed sets up to a
+    // 60-bit within-union md5 collision (~1e-10 corpus-wide). The
+    // brute-force law in DedupLawsSpec compares against STRING-set jaccard
+    // and stays green — the collision-free regime really is value-exact.
     val inv0 = reps
       .select(col("doc_id"), col("csize"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("csize"),
         TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
-      .select(col("doc_id"), col("csize"), explode(col("ss")).as("shingle"))
+      .select(col("doc_id"), col("csize"), explode(
+        array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("shingle"))
     // shingles are distinct per doc, so |shingle set| = exploded row count
     // (true set sizes, counted before stop-shingle removal)
     val sizes = inv0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -28,9 +28,11 @@ object Curation {
     * [[Clustering.assignClustersSimhash]]) — the oracle clusters the
     * expanded member pairs and the results are provably identical. */
   def dedCluster(spark: SparkSession, dir: String): DataFrame =
+    // No final orderBy (round 11): the gate compare sorts rows itself, and
+    // a global sort adds a range-sampling pass re-executing the expansion
+    // join after the last exchange. (The oracle keeps ORDER BY.)
     Clustering.assignClustersSimhash(Tables.documents(spark, dir),
       "doc_id", "text", maxHamming = 8)
-      .orderBy(col("doc_id"))
 
   /** Oracle: same simhash pairs (shared CTE), components via recursive
     * transitive closure (min reachable id = cluster id). */
@@ -1181,8 +1183,8 @@ object Curation {
     * md5 over identical normalized grams, list_min over the same windows —
     * so the gate checks the algorithm, not a shared implementation. */
   def dedWinnow(spark: SparkSession, dir: String): DataFrame =
+    // No final orderBy (round 11) — see dedCluster; the compare sorts.
     graft.operators.Winnow.pairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedWinnowOracle: String = {
     val norm = TextFunctions.sql.normalize("text")

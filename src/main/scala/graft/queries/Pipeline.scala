@@ -63,12 +63,20 @@ object Pipeline {
   }
 
   def dedNgram(spark: SparkSession, dir: String): DataFrame =
+    // No final orderBy (round 11, same as ded_prefix/ded_contain): the gate
+    // compare sorts rows itself, and a global sort adds a range-sampling
+    // pass that re-executes everything after the last exchange.
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
-      .orderBy(col("doc_a"), col("doc_b"))
 
   val dedNgramOracle: String = {
     val sh = TextFunctions.sql.shingles("text", 3)
-    s"""WITH sh AS (SELECT doc_id, $sh AS ss FROM documents),
+    val h = TextFunctions.sql.hash64("s")
+    // Elements are hash64(shingle) — the Spark side hashes before building
+    // the inverted index (round 11, shuffle-width), so the replay hashes
+    // identically and counts/sizes (hence jaccard) match over hashed sets.
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform($sh, s -> $h)) AS ss
+       |  FROM documents),
        |sizes AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sh FROM sh),
        |inv AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
        |inter AS (
@@ -193,8 +201,8 @@ object Pipeline {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   def dedSimhash(spark: SparkSession, dir: String): DataFrame =
+    // No final orderBy (round 11) — the gate compare sorts rows itself.
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash candidate-pair CTE chain (ends in `pairs(doc_a, doc_b,
     * hamming)`), shared with the cluster-resolution oracle in [[Curation]]. */
@@ -242,7 +250,6 @@ object Pipeline {
       .filter(col("raw_score") >= 0.39999)
       .select(col("id_a"), col("id_b"), round(col("raw_score"), 6).as("score"))
       .filter(col("score") >= 0.4)
-      .orderBy(col("id_a"), col("id_b"))
 
   /** Ordered-fold dot product mirroring Spark's aggregate() exactly. */
   private[queries] def sqlDot(a: String, b: String): String =
