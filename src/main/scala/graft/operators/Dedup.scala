@@ -369,11 +369,15 @@ object Dedup {
     // adds a join for no candidate-set change
     val dfreq = srows.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
-    // No join-strategy hint (round 11): a forced shuffle_hash pinned an
-    // exchange even when one side is tiny. AQE now broadcasts the df table
-    // and candidate sides at small scale (measured 3.4s -> 2.7s at sf0.1)
-    // and falls back to shuffled joins when runtime sizes demand it — the
-    // adaptive behavior a 1000-executor corpus run needs anyway.
+    // No join-strategy hint on the DF join (round 11): the df table is
+    // heavy-hitter-sized, so AQE broadcasts it at any scale where it fits
+    // (measured 3.4s -> 2.7s at sf0.1) and falls back to a shuffled join
+    // when runtime sizes demand. The candidate SELF-join below is the
+    // opposite case — both sides are the prefix index (data-sized,
+    // symmetric; broadcast can never apply past toy scale) — and is pinned
+    // shuffle_hash: left to AQE it becomes a sort-merge join that pays two
+    // full sorts of the index (measured 37.5s vs 5.96s at sf10; the hint
+    // costs ~0.4s at sf0.1 where AQE would have broadcast one side).
     val prefix = srows.join(dfreq, Seq("tok"))
       .withColumn("pos", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -389,7 +393,7 @@ object Dedup {
     // candidate rows at sf0.1)
     // t/(1+t) over the same rational: tNum/(tNum + tDen), still exact
     val cand = prefix.select(col("tok"), col("doc_id").as("rep_a"),
-        col("n").as("na"), col("pos").as("pa"))
+        col("n").as("na"), col("pos").as("pa")).hint("shuffle_hash")
       .join(prefix.select(col("tok"), col("doc_id").as("rep_b"),
         col("n").as("nb"), col("pos").as("pb")), Seq("tok"))
       .filter(col("rep_a") < col("rep_b"))
@@ -475,6 +479,11 @@ object Dedup {
     // other shared token after both of its positions — that witness row
     // always satisfies the bound, so dropping rows below it is lossless
     // (distinct needs one witness). Integer ceil, no float boundary.
+    // (No strategy hint here, unlike prefixJaccardPairs' symmetric
+    // self-join: this join is prefix-vs-FULL-index and its exchange volume
+    // stays heavy-hitter-bounded — measured identical at sf10 with and
+    // without shuffle_hash, and the hint costs ~0.25s at sf0.1 where AQE
+    // broadcasts the prefix side.)
     val cand = prefixA
       .join(ranked.select(col("tok"), col("doc_id").as("rep_b"), col("n").as("nb"),
         col("pos").as("pb")), Seq("tok"))
