@@ -591,6 +591,13 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan("ded_prefix")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "prefix candidate join must stay keyed:\n" + plan.take(2000))
+    // The candidate SELF-join must stay the hinted shuffle-hash join: both
+    // sides are the data-sized prefix index (symmetric — broadcast never
+    // applies past toy scale), and without the hint AQE plans a sort-merge
+    // join that pays two full sorts of the index (measured 37.5 s vs
+    // 5.96 s at sf10, round 11). The df join stays AQE's choice.
+    assert(plan.contains("ShuffledHashJoin"),
+      "prefix candidate self-join lost its shuffle_hash pin:\n" + plan.take(2000))
   }
 
   test("agg_theta: K-minima route through the bounded-heap operator, no window on the stream") {
