@@ -210,6 +210,31 @@ object Dedup {
       .filter(col("m_a") < col("m_b"))
       .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), col(scoreCol))
 
+  /** All document pairs with k-shingle Jaccard ≥ `threshold`, via an
+    * inverted shingle index with exact-duplicate collapse and a stop-shingle
+    * cap (`maxDf` drops shingles shared by more documents than that —
+    * deliberately lossy for boilerplate, like the reference's common-token
+    * pruning).
+    *
+    * HASHED-ELEMENT CONTRACT (round 11): set elements are the 60-bit
+    * [[TextFunctions.hash64]] of each shingle string, not the string
+    * itself — the index, df aggregation, candidate self-join and size
+    * counts all carry 8-byte longs. Consequences a caller should know:
+    *   - Jaccard values equal the string-set values unless two DISTINCT
+    *     shingle strings collide in the 60-bit space. A collision inside
+    *     one pair's union creates a phantom intersection element (inflating
+    *     that pair's Jaccard by ≤ 1/|union|); corpus-wide probability is
+    *     ~1e-10 at gate scale (≈27k-shingle universe) and ≤ n²/2⁶¹ in
+    *     general — at 10¹² distinct shingles switch to the full 128-bit
+    *     digest before trusting exactness.
+    *   - A cross-doc collision also MERGES the two strings' df counts, so
+    *     the `maxDf` cap is evaluated on the merged count: both strings are
+    *     dropped iff their summed corpus frequency exceeds the cap. Same
+    *     probability class; affects candidate recall only through the cap,
+    *     never verification.
+    * `DedupLawsSpec` compares against brute-force STRING-set Jaccard on
+    * random corpora, and `HashCollisionLawsSpec` pins both collision
+    * effects by construction. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2,
                         maxDf: Long = 10000L): DataFrame = {

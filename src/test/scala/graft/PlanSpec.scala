@@ -595,8 +595,14 @@ class PlanSpec extends SparkSpec {
     // sides are the data-sized prefix index (symmetric — broadcast never
     // applies past toy scale), and without the hint AQE plans a sort-merge
     // join that pays two full sorts of the index (measured 37.5 s vs
-    // 5.96 s at sf10, round 11). The df join stays AQE's choice.
-    assert(plan.contains("ShuffledHashJoin"),
+    // 5.96 s at sf10, round 11). The df join stays AQE's choice. Anchored
+    // to the tok key (round-12 ADVICE): a bare contains("ShuffledHashJoin")
+    // could pass on SOME OTHER join while the candidate join regressed. In
+    // this pre-AQE static plan only a HINTED join can plan as SHJ
+    // (preferSortMergeJoin=true rules it out for the unhinted df join,
+    // which statically shows as a tok-keyed SMJ until AQE broadcasts it),
+    // so a tok-keyed SHJ is witnessed by the candidate self-join alone.
+    assert("ShuffledHashJoin \\[tok#".r.findFirstIn(plan).isDefined,
       "prefix candidate self-join lost its shuffle_hash pin:\n" + plan.take(2000))
   }
 
