@@ -27,6 +27,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// LocalClusterSpec boots an in-process standalone master+workers whose
+// executor-launch path (WorkerCommandBuilder → AbstractCommandBuilder)
+// resolves the Scala version from this env var; the sbin scripts normally
+// set it via load-spark-env.sh, an in-JVM Worker does not.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -222,11 +222,15 @@ object Dedup {
     * counts all carry 8-byte longs. Consequences a caller should know:
     *   - Jaccard values equal the string-set values unless two DISTINCT
     *     shingle strings collide in the 60-bit space. A collision inside
-    *     one pair's union creates a phantom intersection element (inflating
-    *     that pair's Jaccard by ≤ 1/|union|); corpus-wide probability is
-    *     ~1e-10 at gate scale (≈27k-shingle universe) and ≤ n²/2⁶¹ in
-    *     general — at 10¹² distinct shingles switch to the full 128-bit
-    *     digest before trusting exactness.
+    *     one pair's union drifts that pair's Jaccard: colliding across
+    *     sides (or one side with the intersection) merges non-shared
+    *     elements into phantom overlap and INFLATES it, while colliding
+    *     two elements both already in the intersection shrinks k/U to
+    *     (k−1)/(U−1) and DEFLATES it (law-pinned both ways). Corpus-wide
+    *     collision probability is ~1e-10 at gate scale (≈27k-shingle
+    *     universe) and ≤ n²/2⁶¹ in general — at 10¹² distinct shingles
+    *     switch to the full 128-bit digest (via `shingleHash`) before
+    *     trusting exactness.
     *   - A cross-doc collision also MERGES the two strings' df counts, so
     *     the `maxDf` cap is evaluated on the merged count: both strings are
     *     dropped iff their summed corpus frequency exceeds the cap. Same
@@ -237,7 +241,13 @@ object Dedup {
     * effects by construction. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.2,
-                        maxDf: Long = 10000L): DataFrame = {
+                        maxDf: Long = 10000L,
+                        // Element-hash hook: the default is the 60-bit md5
+                        // prefix; a caller at 10¹²-shingle scale passes a
+                        // wider digest, and HashCollisionLawsSpec passes a
+                        // deliberately TINY space to make the collision
+                        // semantics above observable and law-checked.
+                        shingleHash: Column => Column = TextFunctions.hash64): DataFrame = {
     // Tier 1: collapse exact duplicates; the inverted index is built over
     // distinct contents only.
     val (reps, memb) = collapseExact(docs, idCol, textCol)
@@ -257,7 +267,7 @@ object Dedup {
       .select(col("doc_id"), col("csize"),
         TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
       .select(col("doc_id"), col("csize"), explode(
-        array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("shingle"))
+        array_distinct(transform(col("ss"), e => shingleHash(e)))).as("shingle"))
     // shingles are distinct per doc, so |shingle set| = exploded row count
     // (true set sizes, counted before stop-shingle removal)
     val sizes = inv0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

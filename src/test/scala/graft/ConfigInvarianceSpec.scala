@@ -49,25 +49,9 @@ class ConfigInvarianceSpec extends SparkSpec {
     }
   }
 
-  /** Canonical row rendering. Row.toString renders Array[Byte] by JVM
-    * identity and map iteration order is unspecified; doubles keep
-    * toString so a fold-order -0.0/0.0 flip still fails the compare. */
-  private def render(v: Any): String = v match {
-    case null                                => "∅"
-    case b: Array[Byte]                      => b.map(x => f"$x%02x").mkString
-    case a: Array[_]                         => a.map(render).mkString("[", ",", "]")
-    case s: scala.collection.Seq[_]          => s.map(render).mkString("[", ",", "]")
-    case m: scala.collection.Map[_, _]       =>
-      m.toSeq.map { case (k, x) => render(k) + "→" + render(x) }
-        .sorted.mkString("{", ",", "}")
-    case r: org.apache.spark.sql.Row         => r.toSeq.map(render).mkString("(", ",", ")")
-    case x                                   => x.toString
-  }
-
-  /** Multiset snapshot: the driver gate sorts rows before hashing, so row
-    * order is not part of any query's contract — sort here too. */
+  /** Canonical multiset snapshot via the shared [[RowRender]]. */
   private def snapshot(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sfDir).collect().toSeq.map(render).sorted
+    RowRender.snapshot(SparkEntry.queries(name)(spark, sfDir))
 
   /** Queries whose output is not a pure function of the input data, each
     * with the reason it cannot be config-invariant. Kept deliberately

@@ -18,5 +18,12 @@ object SparkSpec {
   // retried run is bit-identical — the cluster regime, where task retries
   // are routine. Every other suite is unaffected: a deterministic failure
   // still fails the job, just after one extra attempt.
-  lazy val session: SparkSession = GraftSession.getOrCreate("local[4,2]", 4)
+  //
+  // A `def`, not a `lazy val` (round 12): LocalClusterSpec must STOP this
+  // context to host its multi-JVM local-cluster context (one SparkContext
+  // per JVM), then restore it. Suites run sequentially in the forked test
+  // JVM and each suite caches its own `lazy val spark`, so resolving the
+  // current session per suite is race-free; getOrCreate returns the live
+  // session when one exists and re-creates it after a stop.
+  def session: SparkSession = GraftSession.getOrCreate("local[4,2]", 4)
 }
