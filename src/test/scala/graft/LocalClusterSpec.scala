@@ -107,6 +107,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var streamingResult: Try[Seq[(Long, Long, Long)]] = Failure(new IllegalStateException("not run"))
   private var retryResult: Try[(Set[(Int, Int, Long)], Set[(Int, Int, Long)], Int)] =
     Failure(new IllegalStateException("not run"))
+  private var executorLossResult: Try[(Map[Long, Long], Map[Long, Long], Boolean, Boolean, Boolean)] =
+    Failure(new IllegalStateException("not run"))
 
   private def snap(spark: SparkSession, name: String): Either[String, Seq[String]] =
     Try(RowRender.snapshot(SparkEntry.queries(name)(spark, sfDir))) match {
@@ -149,6 +151,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         clusterSnaps = names.map(n => n -> snap(cluster, n)).toMap
         streamingResult = Try(runStreamingOnCluster(cluster))
         retryResult = Try(runRetryOnCluster(cluster))
+        executorLossResult = Try(runExecutorLossOnCluster(cluster))
       } finally {
         cluster.stop()
         SparkSession.clearActiveSession()
@@ -225,6 +228,70 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  /** Executor LOSS mid-shuffle — the axis past task retry: kill -9 one
+    * executor JVM while the reduce stage of a wide job is consuming the
+    * map outputs it hosted. The scheduler must observe the loss, refetch /
+    * recompute the lost shuffle blocks (FetchFailed → map-stage
+    * resubmission), and the job must finish with the exact answer. This is
+    * the direct analog of the reference's executor-lost transitions
+    * (reference: ballista/scheduler/src/state/execution_graph.rs exercises
+    * failed-task and executor-lost state machines; planner.rs:260-283
+    * rolls back resolved shuffles). Returns (got, want, executorRemoved,
+    * recomputed, killedWasExecutor). */
+  private def runExecutorLossOnCluster(spark: SparkSession): (Map[Long, Long], Map[Long, Long], Boolean, Boolean, Boolean) = {
+    import org.apache.spark.scheduler.{SparkListenerExecutorRemoved, SparkListenerStageCompleted, SparkListenerStageSubmitted}
+    val mapDone = new java.util.concurrent.CountDownLatch(1)
+    val removed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val resubmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fetchFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        mapDone.countDown()
+      override def onExecutorRemoved(er: SparkListenerExecutorRemoved): Unit =
+        removed.set(true)
+      override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
+        if (ss.stageInfo.attemptNumber() > 0) resubmitted.set(true)
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = te.reason match {
+        case _: org.apache.spark.FetchFailed => fetchFailed.set(true)
+        case _                               => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = 1000000L
+      val keys = 32L
+      // per-row sleep in the REDUCE stage (the UDF consumes the shuffled
+      // aggregate) keeps that stage alive long enough to kill under it
+      val slow = udf((k: Long) => { Thread.sleep(300); k })
+      val grouped = spark.range(0, n, 1, 8)
+        .groupBy((col("id") % keys).as("k"))
+        .agg(sum(col("id")).as("s"))
+        .withColumn("k2", slow(col("k")))
+      val fut = scala.concurrent.Future(
+        grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      )(scala.concurrent.ExecutionContext.global)
+      assert(mapDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "map stage never completed")
+      Thread.sleep(1000) // let reduce tasks start sleeping in the UDF
+      // kill the executor JVM hosting half the map outputs — pick one pid
+      // from the identity probe (pid@host), never our own
+      val self = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .split("@")(0)
+      val victim = executorJvms.map(_.split("@")(0)).find(_ != self)
+      val killedOk = victim.exists { pid =>
+        new ProcessBuilder("kill", "-9", pid).start().waitFor() == 0
+      }
+      val got = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(180, "s"))
+      val want = (0L until keys).map { k =>
+        val c = (n - k + keys - 1) / keys // count of ids ≡ k (mod keys) below n
+        k -> (c * k + keys * c * (c - 1) / 2)
+      }.toMap
+      var waited = 0
+      while (!removed.get() && waited < 10000) { Thread.sleep(50); waited += 50 }
+      (got, want, removed.get(), resubmitted.get() || fetchFailed.get(), killedOk)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   // ---- assertions -------------------------------------------------------
 
   test("subset stays inside the registry") {
@@ -269,5 +336,14 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(observedFailures > 0,
       "scheduler never reported the injected ExceptionFailure from the executor")
     assert(got == want && want.nonEmpty)
+  }
+
+  test("executor killed -9 mid-shuffle: lost map outputs recomputed, exact result") {
+    val (got, want, removed, recomputed, killedOk) = executorLossResult.get
+    assert(killedOk, "could not kill an executor process")
+    assert(removed, "scheduler never observed the executor loss")
+    assert(recomputed,
+      "no FetchFailed / stage resubmission observed — the kill landed after the job no longer needed the lost executor's shuffle blocks")
+    assert(got == want, s"result drifted after executor loss: got=${got.toSeq.sorted.take(5)}...")
   }
 }
