@@ -26,13 +26,19 @@ import java.util.concurrent.atomic.AtomicLong
   *     queries: ded_contain 6.4 s vs 3.8 s baseline stayed under the 2x
   *     trigger while contributing 2.6 s of the total's drift) — is
   *     re-measured in isolation
-  *     (suite state cleared, fresh warmup, median of `iters`); the FASTER
-  *     of the two medians is what BENCH_FULL.json's `queries` map and the
-  *     stdout line carry (pollution only inflates, and the isolated
-  *     re-measure can itself hit host load — round 8's did), with both
-  *     raw numbers kept side-by-side under `detail`. A genuine plan
-  *     regression reproduces in BOTH measurements and stays >2x;
-  *     host/suite pollution does not.
+  *     (suite state cleared, fresh warmup, median of `iters` — minimum
+  *     for sub-second baseline rows); the FASTER of the two figures is
+  *     what BENCH_FULL.json's `queries` map and the stdout line carry
+  *     (pollution only inflates, and the isolated re-measure can itself
+  *     hit host load — round 8's did), with both raw numbers kept
+  *     side-by-side under `detail`. Round 13: each isolated re-measure is
+  *     PROBE-GATED — the calibration probe runs immediately before it,
+  *     the pass retries (bounded, 15 s apart) while the probe reads hot
+  *     (>1.15x its pin), and the probe time + statistic used land per-row
+  *     in `detail` so the artifact itself proves the conditions each
+  *     reconciled number was taken under. A genuine plan regression
+  *     reproduces in BOTH measurements and stays >2x; host/suite
+  *     pollution does not.
   *  2. TELEMETRY — per-query shuffle read/write bytes and peak per-task
   *     execution memory captured via SparkListener. Pollution is then
   *     diagnosable from the artifact alone: inflated wall-clock with
@@ -83,19 +89,42 @@ object Bench {
   private[graft] final case class RunStats(sec: Double, shuffleRead: Long,
       shuffleWrite: Long, peakTaskMem: Long)
 
+  /** An isolated (reconciliation) re-measure plus the evidence that makes
+    * it trustworthy from the artifact alone (round 13 — the round-12 sweep
+    * carried 85 reconciliations taken on a loaded host with no per-row
+    * proof of it):
+    *  - `stat`: which statistic the reported run is — "median" normally,
+    *    "min" for sub-second baseline rows (see measure's scaladoc).
+    *  - `probeSec`: host-load calibration probe run IMMEDIATELY before
+    *    this re-measure (min of two warm probe runs; load is additive, so
+    *    the min is the most charitable host reading).
+    *  - `probeAttempts`: re-measures are NOT taken while the probe reads
+    *    hot (> ~1.15x its quiet-host pin) — the pass sleeps and re-probes,
+    *    bounded; this is how many probes it took to get a quiet window.
+    *  - `probeHot`: true when the attempts ran out and the re-measure was
+    *    taken under a hot probe anyway — the number is then explicitly
+    *    low-trust in the artifact itself.
+    *  - `probeAfterSec`: a confirming probe taken after the re-measure,
+    *    only when the result STILL exceeds 2x baseline — brackets the
+    *    measurement window (quiet before + quiet after + >2x = real). */
+  private[graft] final case class Isolated(run: RunStats, stat: String,
+      probeSec: Option[Double], probeAttempts: Int, probeHot: Boolean,
+      probeAfterSec: Option[Double])
+
   /** Measurement of one query: the in-suite median run, plus — when the
     * in-suite figure tripped the reconciliation trigger — the isolated
-    * median run. `final_` is what downstream consumers should read: the
-    * FASTER of the two medians, not the isolated one unconditionally.
+    * re-measure. `final_` is what downstream consumers should read: the
+    * FASTER of the two runs (in-suite median vs the isolated statistic),
+    * not the isolated one unconditionally.
     * Both measure the identical plan (telemetry proves it — shuffle bytes
     * are deterministic per plan) and pollution only ever inflates, so the
-    * lower median is the least-polluted estimate; the round-8 artifact
+    * lower figure is the least-polluted estimate; the round-8 artifact
     * showed why unconditional-isolated is wrong (ded_contain 6.1 s
     * in-suite replaced by a 12.1 s isolated re-measure that itself hit
     * host load, identical shuffle bytes). */
   private[graft] final case class QueryResult(inSuite: Option[RunStats],
-      isolated: Option[RunStats]) {
-    def final_ : Option[RunStats] = (inSuite, isolated) match {
+      isolated: Option[Isolated]) {
+    def final_ : Option[RunStats] = (inSuite, isolated.map(_.run)) match {
       case (Some(a), Some(b)) => Some(if (b.sec < a.sec) b else a)
       case (a, b)             => b.orElse(a)
     }
@@ -139,24 +168,25 @@ object Bench {
     * per-query ratio far above it (shuffle telemetry then tells which).
     * Probe times are NOT used to rescale any reported figure — `queries`
     * stays raw; the factor is context, not correction. */
-  private[graft] def calibrate(spark: SparkSession): Double = {
+  private[graft] def probeOnce(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      // pmod-bounded terms: 64M full-range hashes would overflow the ANSI
-      // BIGINT sum (64M * 1e9+7 stays ~100x under Long.MaxValue)
-      spark.range(0, 64L * 1024 * 1024, 1, 32)
-        .select(sum(pmod(xxhash64(col("id")), lit(1000000007L))).as("s")).collect()
-      spark.range(0, 2L * 1024 * 1024, 1, 32)
-        .groupBy((col("id") % 65536).as("k")).count()
-        .agg(sum(col("count"))).collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    val t0 = System.nanoTime()
+    // pmod-bounded terms: 64M full-range hashes would overflow the ANSI
+    // BIGINT sum (64M * 1e9+7 stays ~100x under Long.MaxValue)
+    spark.range(0, 64L * 1024 * 1024, 1, 32)
+      .select(sum(pmod(xxhash64(col("id")), lit(1000000007L))).as("s")).collect()
+    spark.range(0, 2L * 1024 * 1024, 1, 32)
+      .groupBy((col("id") % 65536).as("k")).count()
+      .agg(sum(col("count"))).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private[graft] def calibrate(spark: SparkSession): Double = {
     // two throwaways: the first probe of a fresh JVM otherwise measures
     // its own JIT/codegen warmup (observed 1.0s vs 0.65s steady) and
     // over-reports host load
-    once(); once()
-    Seq.fill(3)(once()).sorted.apply(1)
+    probeOnce(spark); probeOnce(spark)
+    Seq.fill(3)(probeOnce(spark)).sorted.apply(1)
   }
 
   /** Pinned quiet-host probe cost: the `Calibration probe: N ms` line in
@@ -244,7 +274,44 @@ object Bench {
 
     // Reconciliation pass: isolated re-measure of every >2x-of-baseline
     // query, AFTER the whole sweep (so the re-run doesn't inherit its
-    // neighbors' JVM state) with a GC between queries.
+    // neighbors' JVM state) with a GC between queries. Round 13: each
+    // re-measure is gated on a fresh calibration probe — a number taken
+    // while the probe reads hot would be exactly the low-trust artifact
+    // the reconciliation exists to prevent (the r12 sweep took 85 of them;
+    // win_rdistinct reported 3.51 s against a 0.38 s pin on identical
+    // shuffle bytes). The probe evidence lands per-row in `detail`.
+    val probeLimit = calibPinned.map(_ * 1.15)
+    val maxProbeAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_PROBE_ATTEMPTS", "4").toInt
+
+    /** Probe-gated isolated re-measure. Probes (min of 2 warm runs) until
+      * the host reads quiet or attempts run out, sleeping 15 s between
+      * tries; then measures. If the result still exceeds 2x baseline, a
+      * confirming probe brackets the window. */
+    def reconcile(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Isolated] = {
+      val useMin = baseline.get(name).exists(_ < 1.0)
+      var attempt = 0
+      var probe = Double.NaN
+      var hot = true
+      while (hot && attempt < maxProbeAttempts) {
+        if (attempt > 0) Thread.sleep(15000)
+        attempt += 1
+        probe = math.min(probeOnce(spark), probeOnce(spark))
+        hot = probeLimit.exists(probe > _)
+        if (hot) System.err.println(f"[bench] $name: probe $probe%.3f s hot " +
+          f"(limit ${probeLimit.get}%.3f s), attempt $attempt/$maxProbeAttempts")
+      }
+      measure(fn, itersFor(name), useMin).map { r =>
+        val probeAfter =
+          if (baseline.get(name).exists(b => r.sec > 2 * b))
+            Some(math.min(probeOnce(spark), probeOnce(spark)))
+          else None
+        Isolated(r, if (useMin) "min" else "median",
+          Some(probe).filterNot(_.isNaN), attempt, hot, probeAfter)
+      }
+    }
+
     val results: Seq[(String, QueryResult)] = {
       val flaggedNames = sweep.collect {
         case (name, _, Some(r)) if baseline.get(name).exists(polluted(r.sec, _)) => name
@@ -258,8 +325,7 @@ object Bench {
       sweep.map { case (name, fn, inSuite) =>
         val isolated = if (flaggedNames.contains(name)) {
           System.gc()
-          // sub-second rows: min-of-runs (see measure's scaladoc)
-          measure(fn, itersFor(name), useMin = baseline.get(name).exists(_ < 1.0))
+          reconcile(name, fn)
         } else None
         name -> QueryResult(inSuite, isolated)
       }
@@ -276,7 +342,8 @@ object Bench {
     // repo root; round-end auto-commit picks it up), and stdout carries a
     // line capped to fit the tail, keeping every failed query (-1 sentinel)
     // plus the most expensive ones — the entries the baseline comparison
-    // actually needs. Both carry the final (faster-of-two-medians) figure.
+    // actually needs. Both carry the final (faster of in-suite median vs
+    // isolated statistic — see QueryResult) figure.
     val calibEnd = calibrate(spark)
     // headline factor = the WORSE of the two probes vs the pinned
     // quiet-host cost — "this sweep saw host load up to X"; both raw
@@ -296,13 +363,21 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"reconciled":$nReconciled,"host_factor":${hostFactor.map(fmt).getOrElse("null")},$extra"queries":$qs,"sf":"$sfDir"}"""
     }
     def detailJson: String = results.sortBy(_._1).map { case (k, q) =>
-      def stats(o: Option[RunStats]): String = o match {
+      def stats(o: Option[RunStats], extra: String = ""): String = o match {
         case Some(r) =>
-          s"""{"sec":${fmt(r.sec)},"shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite},"peak_task_mem":${r.peakTaskMem}}"""
+          s"""{"sec":${fmt(r.sec)},"shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite},"peak_task_mem":${r.peakTaskMem}$extra}"""
+        case None => "null"
+      }
+      def isoStats(o: Option[Isolated]): String = o match {
+        case Some(i) =>
+          val probe = i.probeSec.map(p => s""","probe_sec":${fmt(p)}""").getOrElse("")
+          val after = i.probeAfterSec.map(p => s""","probe_after_sec":${fmt(p)}""").getOrElse("")
+          stats(Some(i.run),
+            s""","stat":"${i.stat}"$probe,"probe_attempts":${i.probeAttempts},"probe_hot":${i.probeHot}$after""")
         case None => "null"
       }
       "\"" + k + "\":{\"in_suite\":" + stats(q.inSuite) +
-        ",\"isolated\":" + stats(q.isolated) + "}"
+        ",\"isolated\":" + isoStats(q.isolated) + "}"
     }.mkString("{", ",", "}")
 
     // only full-surface runs own the committed artifact — a SPARK_GRAFT_ONLY

@@ -37,12 +37,27 @@ object Dedup {
     * [[TextFunctions.minhashSignature]] (min over shingles of
     * (a_i*h+b_i) mod P) but linear — the column-expression form
     * re-evaluates the element hashes once per hash function because
-    * higher-order lambdas are interpreted with no CSE. */
+    * higher-order lambdas are interpreted with no CSE.
+    *
+    * COLLISION CONTRACT (`shingleHash` hook, default the 60-bit
+    * md5-prefix [[TextFunctions.hash64]]): signatures are minima over the
+    * HASHED shingle set, so two distinct shingles colliding makes their
+    * docs share one hashed element — within one doc a collision is
+    * invisible (the set just holds the value once), across docs it can
+    * shift signature slots and hence LSH agreement in either direction
+    * relative to an injective hash. Birthday bound: D distinct shingles
+    * collide somewhere with p ≈ D²/2⁶¹ (the sf0.1 gate corpus ≈ 27k
+    * distinct shingles ⇒ p ≈ 4e-10; reaching p≈1 needs ~2³⁰ ≈ 1e9
+    * distinct shingles — at 100 TB switch the hook to a full-width
+    * digest). The hook exists so `HashCollisionLawsSpec` can pin the
+    * hashed-set model in a deliberately tiny space; the default regime is
+    * pinned exactly by `MinhashLawsSpec`. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, shingleK: Int = 3): DataFrame = {
+                        k: Int = 16, shingleK: Int = 3,
+                        shingleHash: Column => Column = TextFunctions.hash64): DataFrame = {
     import TextFunctions.{MinhashA, MinhashB, MinhashP}
     val hashed = shingleRows(docs, idCol, textCol, shingleK)
-      .select(col("doc_id"), (TextFunctions.hash64(col("shingle")) % MinhashP).as("h"))
+      .select(col("doc_id"), (shingleHash(col("shingle")) % MinhashP).as("h"))
     val mins = (0 until k).map { i =>
       min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashP).as(s"m$i")
     }
@@ -54,15 +69,23 @@ object Dedup {
   /** MinHash + LSH near-dup candidates: K-hash signature, banded into
     * `bands` buckets; docs sharing any band key become a candidate pair,
     * scored by signature agreement. Shuffles: signature agg + one
-    * self-join on (band index, band key) — no cartesian. */
+    * self-join on (band index, band key) — no cartesian.
+    *
+    * The BAND KEY carries no collision class of its own: it is the `rows`
+    * raw signature values concatenated verbatim (not a hash of them), so
+    * two docs share a band key iff those signature slots are exactly
+    * equal — the LSH banding contract. The only hash in the pipeline is
+    * the per-shingle `shingleHash` (see [[minhashSignatures]]'s collision
+    * contract and birthday bound). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 16, bands: Int = 4, minAgree: Double = 0.5): DataFrame = {
+                   k: Int = 16, bands: Int = 4, minAgree: Double = 0.5,
+                   shingleHash: Column => Column = TextFunctions.hash64): DataFrame = {
     val rows = k / bands
     // Tier 1: signatures and banding over distinct contents only (identical
     // text ⇒ identical signature ⇒ collides in every band with agreement
     // exactly 1.0) — see collapseExact.
     val (reps, memb) = collapseExact(docs, idCol, textCol)
-    val sig = minhashSignatures(reps, "doc_id", "text", k)
+    val sig = minhashSignatures(reps, "doc_id", "text", k, shingleHash = shingleHash)
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -597,7 +620,18 @@ object Dedup {
     * 2^(64/(h+1))-entropy bucket keys — at 9-bit keys the bucket self-join
     * goes quadratic in corpus/512, which is why the 16-bit/4-chunk form is
     * the scale default (Manku et al., WWW'07 use exactly 4 chunks for
-    * h = 3). [[BandingLawsSpec]] pins both sides of the boundary. */
+    * h = 3). [[BandingLawsSpec]] pins both sides of the boundary.
+    *
+    * COLLISION CONTRACT: unlike the shingle/gram pipelines there is NO
+    * hash in the chunk-key path — `ckey` is bits 16c..16c+15 of the
+    * signature verbatim (an injective decomposition: the 4 chunk keys
+    * reconstruct the phash exactly), so two docs share a chunk key iff
+    * their signatures agree on those 16 bits. The only "collision" class
+    * is the banding recall boundary above, which BandingLawsSpec pins
+    * from both sides; there is no hash-width regime to law-test and no
+    * birthday term. (Two distinct IMAGES sharing a full phash is the
+    * operator's intended semantics — perceptual bucketing — not a hash
+    * accident; the Hamming verification step decides membership.) */
   def phashPairs(docs: DataFrame, idCol: String, textCol: String,
                  maxHamming: Int = 6): DataFrame = {
     val (reps, memb) = collapseExact(docs, idCol, textCol)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,16 +27,30 @@ object Winnow {
     * fewer than `k` tokens produce no grams and are dropped (nothing to
     * fingerprint); documents with fewer than `w` grams produce exactly one
     * fingerprint (the minimum over all their hashes — the truncated first
-    * window), matching the oracle's `greatest(1, ng-w+1)` window count. */
+    * window), matching the oracle's `greatest(1, ng-w+1)` window count.
+    *
+    * COLLISION CONTRACT (`gramHash` hook, default full 128-bit `md5` hex):
+    * the window minimum and the fingerprint identity both live in the
+    * hashed gram space, so two DISTINCT grams colliding (a) can change
+    * which gram each window selects and (b) merge fingerprints across
+    * documents — a phantom shared fingerprint that [[pairs]]' df-cap then
+    * counts on the merged frequency. Birthday bound at the default width:
+    * G distinct grams collide somewhere with p ≈ G²/2¹²⁹ — never
+    * reachable (p≈1 needs ~2⁶⁴ ≈ 2e19 grams; a 100 TB corpus holds
+    * ~10¹³). The hook exists so `HashCollisionLawsSpec` can pin the
+    * hashed-gram model in a deliberately tiny space; the default regime
+    * is pinned by `WinnowLawsSpec`'s SIGMOD'03 transcription. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 4, w: Int = 5): DataFrame =
-    fingerprintRows(docs, idCol, textCol, k, w, Seq.empty)
+                   k: Int = 4, w: Int = 5,
+                   gramHash: Column => Column = md5): DataFrame =
+    fingerprintRows(docs, idCol, textCol, k, w, Seq.empty, gramHash)
 
   /** [[fingerprints]] with extra per-doc columns carried through the
     * pipeline (constant per doc_id, e.g. a duplicate-group size) — avoids a
     * join back onto the doc table afterward. */
   private def fingerprintRows(docs: DataFrame, idCol: String, textCol: String,
-                              k: Int, w: Int, extra: Seq[String]): DataFrame = {
+                              k: Int, w: Int, extra: Seq[String],
+                              gramHash: Column => Column = md5): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
     val gram = concat_ws(" ",
       col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byDoc)): _*)
@@ -52,7 +66,7 @@ object Winnow {
       .withColumn("gram", gram)
       .filter(col("idx") <= col("n") - k)
       .select(col("doc_id") +: col("idx") +: (col("n") - (k - 1)).as("ng") +:
-        md5(col("gram")).as("h") +: ex: _*)
+        gramHash(col("gram")).as("h") +: ex: _*)
       .withColumn("wmin", min(col("h")).over(byDoc.rowsBetween(0, w - 1)))
       .filter(col("idx") <= greatest(lit(0), col("ng") - w))
       .groupBy(col("doc_id") +: col("wmin") +: ex: _*)
@@ -81,9 +95,10 @@ object Winnow {
     * semantics. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             k: Int = 4, w: Int = 5, dfCap: Int = 50,
-            minShared: Long = 2L): DataFrame = {
+            minShared: Long = 2L,
+            gramHash: Column => Column = md5): DataFrame = {
     val (reps, memb) = Dedup.collapseExact(docs, idCol, textCol)
-    val fps = fingerprintRows(reps, "doc_id", "text", k, w, Seq("csize"))
+    val fps = fingerprintRows(reps, "doc_id", "text", k, w, Seq("csize"), gramHash)
     val keep = fps.groupBy(col("fp"))
       .agg(sum(col("csize")).as("df"))
       .filter(col("df") <= dfCap)

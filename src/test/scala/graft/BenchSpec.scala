@@ -93,10 +93,12 @@ class BenchSpec extends AnyFunSuite {
   // isolated, identical shuffle bytes).
   test("final figure is the faster of in-suite and isolated medians") {
     def rs(sec: Double) = Bench.RunStats(sec, 1L, 2L, 3L)
-    assert(Bench.QueryResult(Some(rs(6.1)), Some(rs(12.1))).finalSec == 6.1)
-    assert(Bench.QueryResult(Some(rs(29.3)), Some(rs(4.2))).finalSec == 4.2)
+    def iso(sec: Double) =
+      Bench.Isolated(rs(sec), "median", Some(0.7), 1, probeHot = false, None)
+    assert(Bench.QueryResult(Some(rs(6.1)), Some(iso(12.1))).finalSec == 6.1)
+    assert(Bench.QueryResult(Some(rs(29.3)), Some(iso(4.2))).finalSec == 4.2)
     assert(Bench.QueryResult(Some(rs(1.0)), None).finalSec == 1.0)
-    assert(Bench.QueryResult(None, Some(rs(2.0))).finalSec == 2.0)
+    assert(Bench.QueryResult(None, Some(iso(2.0))).finalSec == 2.0)
     assert(Bench.QueryResult(None, None).finalSec == -1.0)
   }
 }

@@ -1,27 +1,40 @@
 package graft
 
+import graft.plans.GraftStrategies
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import java.util.concurrent.atomic.AtomicLong
 
-/** Constrained-memory pass (round 12): the spill paths exist (TopKPerKey's
-  * sort fallback, Spark's sort/aggregate/join spills) but the default suite
-  * only ever forces TopKPerKey's. This spec runs the heavy tier under a
-  * deliberately STARVED unified-memory pool (`spark.memory.fraction` down to
-  * a twentieth of the usual execution+storage budget) and asserts (a) every query
-  * still completes with correct-looking output (rows > 0 — correctness
-  * proper is the oracle gate's job), and (b) the starved run actually
-  * spilled where the plan has sort/aggregation state, proving the
-  * pipelines degrade to disk instead of OOMing — the 100-TB contract.
+/** Constrained-memory pass: the spill paths exist (TopKPerKey's sort
+  * fallback, Spark's sort/aggregate/join spills) and must degrade to disk
+  * instead of OOMing — the 100-TB contract.
   *
-  * ENV-GATED: set `GRAFT_SPILL=1` (and optionally `GRAFT_SPILL_SF` to a
-  * data dir, default /tmp/sf1) — the run needs its own SparkContext
-  * (memory.fraction is read at context startup) and several minutes at
-  * sf1, so it is skipped in the default suite; evidence from the committed
-  * run lives in BASELINE.md's "Forced-spill pass" note.
+  * Two tiers:
+  *
+  * ALWAYS-ON (round 13 — previously the whole spec was env-gated, so the
+  * default suite never exercised a real Spark disk spill): a dedicated
+  * starved session (`spark.memory.fraction=0.05` +
+  * `spark.shuffle.spill.numElementsForceSpillThreshold` — the sorter
+  * spills deterministically past the element count, no heap-size
+  * arithmetic to go stale) runs a sort+agg pipeline, the TopKPerKey
+  * forced-fallback law, and one heavy-tier gated query, asserting
+  * `diskBytesSpilled > 0` and row equality against the standard session.
+  * The same three re-run on a second session with
+  * `spark.memory.offHeap.enabled=true` — Tungsten then allocates sorter
+  * pages off-heap (MemoryMode.OFF_HEAP), the exact allocation path
+  * `TopKPerKeyExec`'s fallback hands its rows to on clusters that deploy
+  * off-heap — asserting the identical rows and a real disk spill there
+  * too.
+  *
+  * ENV-GATED (`GRAFT_SPILL=1`, optional GRAFT_SPILL_SF/FRACTION/CPUS/ONLY):
+  * the sf1/sf10 heavy-tier sweep under a starved unified pool — several
+  * minutes, needs ScaleUp data; evidence from committed runs lives in
+  * BASELINE.md's "Forced-spill pass" note. Its tests REGISTER only when
+  * enabled, so the default suite reports zero canceled tests.
   */
 class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -64,73 +77,180 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  private var starved: SparkSession = _
+  /** Listener bus is async — wait for the spill counters to settle. */
+  private def settleSpill(): Unit = {
+    var last = -1L; var settled = 0
+    while (settled < 3) {
+      Thread.sleep(300)
+      val cur = spilledMem.get() + spilledDisk.get()
+      if (cur == last) settled += 1 else { settled = 0; last = cur }
+    }
+  }
+
+  // ---- always-on leg ------------------------------------------------------
+
+  private val alwaysSf = "/root/testdata/sf0.001"
+
+  /** Deterministic sort pipeline whose sort CANNOT be optimized away: a
+    * row_number window requires its child sort (a bare
+    * sortWithinPartitions-before-aggregate is removed by EliminateSorts —
+    * the first draft measured zero spill for exactly that reason), and the
+    * fingerprint folds the rank, so a wrong sort order changes the output.
+    * ~150k rows per sort task ≫ the 16384-element force threshold ⇒ the
+    * per-task UnsafeExternalSorter must spill. Keys are full-range
+    * xxhash64 (unique in practice) so the rank is deterministic; the
+    * fingerprint terms are pmod-bounded (summing 1M full-range hashes
+    * overflows the ANSI BIGINT). */
+  private def sortAggQuery(spark: SparkSession): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pmod(col("k"), lit(8L))).orderBy(col("k"))
+    spark.range(0, 1200000L, 1, 8)
+      .select(xxhash64(col("id")).as("k"))
+      .withColumn("rn", row_number().over(w))
+      .agg(sum(pmod(xxhash64(col("k"), col("rn")), lit(1000000007L))).as("fp"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** TopKPerKey with the retained-row budget forced to 1: every task takes
+    * the sort fallback; under the force threshold the fallback sorter
+    * spills to disk. */
+  private def topkFallbackQuery(spark: SparkSession): Set[(Int, Int, Long)] = {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 60000).map(i => (rng.nextInt(800), rng.nextInt(40), i.toLong))
+    val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(6)
+    spark.conf.set(GraftStrategies.MaxRowsKey, "1")
+    try graft.operators.TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    finally spark.conf.unset(GraftStrategies.MaxRowsKey)
+  }
+
+  private def heavyGate(spark: SparkSession): Seq[String] =
+    RowRender.snapshot(SparkEntry.queries("ded_ngram")(spark, alwaysSf))
+
+  private case class LegResult(sortAgg: Seq[(Long, Long)],
+      topk: Set[(Int, Int, Long)], gate: Seq[String], diskSpilled: Long)
+
+  private def runLeg(offHeap: Boolean): LegResult = {
+    val b = GraftSession.builder("local[4]", 8)
+      .config("spark.memory.fraction", "0.05")
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "16384")
+    val bb = if (offHeap)
+      b.config("spark.memory.offHeap.enabled", "true")
+        .config("spark.memory.offHeap.size", "128m")
+    else b
+    val s = bb.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(s)
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val d0 = spilledDisk.get()
+      val r = LegResult(sortAggQuery(s), topkFallbackQuery(s), heavyGate(s), 0L)
+      settleSpill()
+      r.copy(diskSpilled = spilledDisk.get() - d0)
+    } finally {
+      s.sparkContext.removeSparkListener(listener)
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+  }
+
+  private var reference: LegResult = _
+  private var onHeapLeg: LegResult = _
+  private var offHeapLeg: LegResult = _
   private var results: Map[String, (Long, Long, Long)] = Map.empty // rows, memSpill, diskSpill
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    if (enabled) {
-      // memory.fraction is a startup conf — needs a fresh context
-      val prev = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      prev.foreach(_.stop())
+    // reference rows on the standard shared session (full memory, no
+    // force threshold) — memory pressure must never change a result
+    val shared = GraftSession.getOrCreate("local[4,2]", 4)
+    reference = LegResult(sortAggQuery(shared), topkFallbackQuery(shared),
+      heavyGate(shared), 0L)
+    shared.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      onHeapLeg = runLeg(offHeap = false)
+      offHeapLeg = runLeg(offHeap = true)
+      if (enabled) runHeavySweep()
+    } finally {
+      GraftSession.getOrCreate("local[4,2]", 4)
+    }
+  }
+
+  test("starved on-heap session really spills to disk (not OOM) with rows equal to the full-memory run") {
+    assert(onHeapLeg.diskSpilled > 0,
+      "no disk spill under fraction=0.05 + force threshold — the budget is not actually constrained")
+    assert(onHeapLeg.sortAgg == reference.sortAgg && reference.sortAgg.nonEmpty)
+    assert(onHeapLeg.topk == reference.topk && reference.topk.nonEmpty)
+    assert(onHeapLeg.gate == reference.gate && reference.gate.nonEmpty)
+  }
+
+  test("off-heap Tungsten (memory.offHeap.enabled) spills and stays row-identical") {
+    assert(offHeapLeg.diskSpilled > 0,
+      "no disk spill on the off-heap leg — force threshold not honored by the off-heap sorter path")
+    assert(offHeapLeg.sortAgg == reference.sortAgg)
+    assert(offHeapLeg.topk == reference.topk)
+    assert(offHeapLeg.gate == reference.gate)
+  }
+
+  // ---- env-gated heavy sweep ----------------------------------------------
+
+  private def runHeavySweep(): Unit = {
+    // memory.fraction is a startup conf — needs a fresh context
+    val starved = GraftSession.builder(s"local[$cpus]", 32)
+      .config("spark.memory.fraction", fraction)
+      .getOrCreate()
+    starved.sparkContext.setLogLevel("WARN")
+    functions.GraftFunctions.registerAll(starved)
+    starved.sparkContext.addSparkListener(listener)
+    try {
+      results = heavy.map { name =>
+        val m0 = spilledMem.get(); val d0 = spilledDisk.get()
+        val rows = SparkEntry.queries(name)(starved, dataDir).count()
+        settleSpill()
+        name -> ((rows, spilledMem.get() - m0, spilledDisk.get() - d0))
+      }.toMap
+    } finally {
+      starved.sparkContext.removeSparkListener(listener)
+      starved.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      starved = GraftSession.builder(s"local[$cpus]", 32)
-        .config("spark.memory.fraction", fraction)
-        .getOrCreate()
-      starved.sparkContext.setLogLevel("WARN")
-      functions.GraftFunctions.registerAll(starved)
-      starved.sparkContext.addSparkListener(listener)
-      try {
-        results = heavy.map { name =>
-          val m0 = spilledMem.get(); val d0 = spilledDisk.get()
-          val rows = SparkEntry.queries(name)(starved, dataDir).count()
-          // listener bus is async — wait for the spill counters to settle
-          var last = -1L; var settled = 0
-          while (settled < 3) {
-            Thread.sleep(300)
-            val cur = spilledMem.get() + spilledDisk.get()
-            if (cur == last) settled += 1 else { settled = 0; last = cur }
-          }
-          name -> ((rows, spilledMem.get() - m0, spilledDisk.get() - d0))
-        }.toMap
-      } finally {
-        starved.sparkContext.removeSparkListener(listener)
-        starved.stop()
-        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-        GraftSession.getOrCreate("local[4,2]", 4)
+    }
+    // machine-readable evidence for the BASELINE.md note — a per-run
+    // path (env-overridable) so concurrent/successive GRAFT_SPILL runs
+    // can't silently overwrite each other's evidence
+    val js = results.toSeq.sortBy(_._1).map { case (n, (r, ms, ds)) =>
+      s"""\"$n\":{\"rows\":$r,\"mem_spill\":$ms,\"disk_spill\":$ds}"""
+    }.mkString("{", ",", "}")
+    val out = sys.env.get("GRAFT_SPILL_OUT").map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Files.createTempFile("graft_spill_evidence_", ".json"))
+    java.nio.file.Files.write(out, js.getBytes("UTF-8"))
+    println(s"[spill] evidence written to $out")
+  }
+
+  if (enabled) {
+    test("heavy tier completes under the starved memory budget") {
+      // Completion (the count() above threw on any task failure) is the
+      // assertion; row counts ride in the evidence JSON. rows==0 can be the
+      // query's own semantics, not a failure — ded_winnow at /tmp/sf10 has
+      // ZERO pairs because every fingerprint's csize-weighted df (100
+      // verbatim copies per content under ScaleUp) exceeds its dfCap=50:
+      // the boilerplate cap working as specified (verified against a
+      // full-memory run; memory pressure cannot change a deterministic
+      // query's output — that is ConfigInvarianceSpec's contract).
+      assert(results.size == heavy.size)
+      val empty = results.collect { case (n, (rows, _, _)) if rows == 0 => n }
+      if (empty.nonEmpty) info(s"zero-output queries (verify against a full-memory run): $empty")
+    }
+
+    test("the starved run actually spilled (sort/agg state went to disk, not OOM)") {
+      val spillers = results.collect { case (n, (_, ms, ds)) if ms + ds > 0 => n }.toSeq.sorted
+      info(s"spilling queries: ${spillers.mkString(", ")}")
+      results.toSeq.sortBy(_._1).foreach { case (n, (r, ms, ds)) =>
+        info(f"$n%-18s rows=$r%-8d memSpill=${ms / 1e6}%.1fMB diskSpill=${ds / 1e6}%.1fMB")
       }
-      // machine-readable evidence for the BASELINE.md note
-      val js = results.toSeq.sortBy(_._1).map { case (n, (r, ms, ds)) =>
-        s"""\"$n\":{\"rows\":$r,\"mem_spill\":$ms,\"disk_spill\":$ds}"""
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/graft_spill_evidence.json"),
-        js.getBytes("UTF-8"))
+      assert(spillers.nonEmpty,
+        "no query spilled — either the budget is not actually constrained or the listener missed metrics")
     }
-  }
-
-  test("heavy tier completes under the starved memory budget") {
-    assume(enabled, "set GRAFT_SPILL=1 to run the constrained-memory pass")
-    // Completion (the count() above threw on any task failure) is the
-    // assertion; row counts ride in the evidence JSON. rows==0 can be the
-    // query's own semantics, not a failure — ded_winnow at /tmp/sf10 has
-    // ZERO pairs because every fingerprint's csize-weighted df (100
-    // verbatim copies per content under ScaleUp) exceeds its dfCap=50:
-    // the boilerplate cap working as specified (verified against a
-    // full-memory run; memory pressure cannot change a deterministic
-    // query's output — that is ConfigInvarianceSpec's contract).
-    assert(results.size == heavy.size)
-    val empty = results.collect { case (n, (rows, _, _)) if rows == 0 => n }
-    if (empty.nonEmpty) info(s"zero-output queries (verify against a full-memory run): $empty")
-  }
-
-  test("the starved run actually spilled (sort/agg state went to disk, not OOM)") {
-    assume(enabled, "set GRAFT_SPILL=1 to run the constrained-memory pass")
-    val spillers = results.collect { case (n, (_, ms, ds)) if ms + ds > 0 => n }.toSeq.sorted
-    info(s"spilling queries: ${spillers.mkString(", ")}")
-    results.toSeq.sortBy(_._1).foreach { case (n, (r, ms, ds)) =>
-      info(f"$n%-18s rows=$r%-8d memSpill=${ms / 1e6}%.1fMB diskSpill=${ds / 1e6}%.1fMB")
-    }
-    assert(spillers.nonEmpty,
-      "no query spilled — either the budget is not actually constrained or the listener missed metrics")
   }
 }

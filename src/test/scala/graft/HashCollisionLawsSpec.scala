@@ -198,4 +198,144 @@ class HashCollisionLawsSpec extends SparkSpec {
     assert(deflated, "no deflating collision (merged intersection elements) observed — corpus drifted")
     assert(exactSeen, "no colliding-but-exact pair observed — corpus drifted")
   }
+
+  // ---- round 13: the same pattern for the OTHER hashed-candidate operators.
+  // minhashPairs hashes shingles (60-bit) before the affine minima; Winnow
+  // hashes k-grams (128-bit md5) before window-min selection. Both got the
+  // same `…Hash` hook as ngramJaccardPairs; each law runs the product code
+  // in a deliberately tiny space against a transcription over the SAME
+  // collided hashes, with teeth proving the corpus really collided and the
+  // tiny space really moved the output vs the injective regime.
+  // (phashPairs has NO hash in its chunk-key path — an exact bit-slice
+  // decomposition, see its collision-contract scaladoc; its only boundary
+  // is the banding pigeonhole, pinned by BandingLawsSpec.)
+
+  test("minhash pipeline through a 61-value shingle-hash space equals the hashed-set transcription") {
+    import graft.functions.TextFunctions
+    import TextFunctions.{MinhashA, MinhashB, MinhashP}
+    val K16 = 16; val bands = 4; val rows = K16 / bands; val minAgree = 0.5
+    val space = 61L // prime, < MinhashP so the staging %P is a no-op
+    val tinyCol = (c: org.apache.spark.sql.Column) =>
+      pmod(TextFunctions.hash64(c), lit(space))
+    def tinyRef(s: String): Long = {
+      val h = refHash64(s) % space
+      if (h < 0) h + space else h
+    }
+    var collisionSeen = false
+    var driftSeen = false
+    for (seed <- Seq(29L, 733L, 1009L)) {
+      val rng = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i")
+      def toksN(n: Int) = Seq.fill(n)(vocab(rng.nextInt(vocab.size)))
+      var id = -1L
+      def nid() = { id += 1; id }
+      val docs: Seq[(Long, String)] = (0 until 10).flatMap { _ =>
+        val base = toksN(5 + rng.nextInt(8))
+        val out = Seq.newBuilder[Seq[String]]
+        out += base
+        if (rng.nextBoolean()) out += base // exact copy (collapse tier)
+        if (rng.nextBoolean())
+          out += base.updated(rng.nextInt(base.size), vocab(rng.nextInt(vocab.size)))
+        out.result().map(t => (nid(), t.mkString(" ")))
+      }
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val got = collectPairs(Dedup.minhashPairs(df, "doc_id", "text",
+        K16, bands, minAgree, shingleHash = tinyCol))
+
+      // transcription over an arbitrary element hash (MinhashLawsSpec's
+      // reference parameterized by the hash function)
+      def transcribe(hash: String => Long): Map[(Long, Long), Double] = {
+        def sig(text: String): Vector[Long] = {
+          val hs = shingleSet(text).toVector.map(s => hash(s) % MinhashP).distinct
+          (0 until K16).map(i => hs.map(h =>
+            (MinhashA(i) * h + MinhashB(i)) % MinhashP).min).toVector
+        }
+        val groups = docs.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+        val sigs = groups.map(g => g.head -> sig(docs.find(_._1 == g.head).get._2)).toMap
+        def bandKeys(s: Vector[Long]): Set[(Int, String)] =
+          (0 until bands).map(b => b -> s.slice(b * rows, b * rows + rows).mkString("_")).toSet
+        val cross = for {
+          (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+          if bandKeys(sa).intersect(bandKeys(sb)).nonEmpty
+          agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / K16
+          if agree >= minAgree
+          ma <- groups.find(_.head == a).get; mb <- groups.find(_.head == b).get
+        } yield (math.min(ma, mb), math.max(ma, mb)) -> agree
+        val intra = for {
+          g <- groups if g.size > 1
+          ma <- g; mb <- g if ma < mb
+        } yield (ma, mb) -> 1.0
+        (cross ++ intra).toMap
+      }
+      val want = transcribe(tinyRef)
+      assert(got == want, s"seed=$seed: missing ${(want.keySet -- got.keySet).take(5)}, " +
+        s"spurious ${(got.keySet -- want.keySet).take(5)}, " +
+        s"valueDiff ${(got.keySet & want.keySet).filter(k => got(k) != want(k)).take(5)}")
+      // teeth: the 61-space really collided distinct shingles, and the
+      // collided regime really moved the pipeline output vs injective
+      val allShingles = docs.flatMap { case (_, t) => shingleSet(t) }.distinct
+      collisionSeen ||= allShingles.groupBy(tinyRef).values.exists(_.distinct.size > 1)
+      driftSeen ||= want != transcribe(refHash64)
+    }
+    assert(collisionSeen, "no cross-shingle collision in the 61-value space — corpus drifted")
+    assert(driftSeen, "tiny space never changed the pipeline output — law has no teeth")
+  }
+
+  test("winnow fingerprints through a 16-value gram-hash space equal the hashed-gram transcription") {
+    import graft.operators.Winnow
+    val k = 3; val w = 4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val tinyCol = (c: org.apache.spark.sql.Column) => substring(md5(c), 1, 1)
+    def tinyRef(s: String): String = md5hex(s).take(1)
+    // the paper's selection over an arbitrary gram hash (WinnowLawsSpec's
+    // reference parameterized by the hash)
+    def refWinnow(toks: Seq[String], hash: String => String): Set[String] = {
+      if (toks.size < k) return Set.empty
+      val hashes = toks.sliding(k).map(g => hash(g.mkString(" "))).toVector
+      if (hashes.size <= w) Set(hashes.min)
+      else hashes.sliding(w).map(_.min).toSet
+    }
+    var collisionSeen = false
+    var driftSeen = false
+    var phantomShareSeen = false
+    for (seed <- Seq(8341L, 97L, 511L)) {
+      val rng = new scala.util.Random(seed)
+      val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j")
+      val docs = (1 to 40).map { id =>
+        val n = 1 + rng.nextInt(30)
+        id.toLong -> Seq.fill(n)(alphabet(rng.nextInt(alphabet.size))).mkString(" ")
+      }
+      val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+      val got = Winnow.fingerprints(df, "doc_id", "text", k, w, gramHash = tinyCol)
+        .collect()
+        .groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(_.getAs[String]("fp")).toSet).toMap
+      val want = docs.map { case (id, text) =>
+        id -> refWinnow(text.split(" ").toSeq, tinyRef)
+      }.filter(_._2.nonEmpty).toMap
+      assert(got == want,
+        s"seed=$seed: diverging docs ${(got.keySet ++ want.keySet).filter(d => got.get(d) != want.get(d)).take(5)}")
+      // teeth
+      val gramsByDoc = docs.map { case (id, t) =>
+        id -> t.split(" ").toSeq.sliding(k).filter(_.size == k).map(_.mkString(" ")).toSeq
+      }.toMap
+      val allGrams = gramsByDoc.values.flatten.toSeq.distinct
+      collisionSeen ||= allGrams.groupBy(tinyRef).values.exists(_.distinct.size > 1)
+      val wide = docs.map { case (id, text) =>
+        id -> refWinnow(text.split(" ").toSeq, md5hex)
+      }.filter(_._2.nonEmpty).toMap
+      driftSeen ||= want.exists { case (id, fps) => wide.get(id) != Some(fps) }
+      // phantom shared fingerprint: two docs share a tiny-space fp while
+      // sharing NO gram string — the merge pairs() would then count
+      phantomShareSeen ||= want.toSeq.combinations(2).exists { case Seq((a, fa), (b, fb)) =>
+        (fa & fb).nonEmpty &&
+          gramsByDoc(a).toSet.intersect(gramsByDoc(b).toSet).isEmpty
+      }
+    }
+    assert(collisionSeen, "no cross-gram collision in the 16-value space — corpus drifted")
+    assert(driftSeen, "tiny space never changed any fingerprint set — law has no teeth")
+    assert(phantomShareSeen, "no phantom cross-doc fingerprint share observed — corpus drifted")
+  }
 }

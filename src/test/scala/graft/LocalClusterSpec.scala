@@ -41,6 +41,11 @@ import scala.util.{Failure, Success, Try}
   * task-retry law run ON the cluster, and a process-identity probe proves
   * tasks really execute in non-driver JVMs.
   *
+  * Round 13 adds a third phase: the same names plus the streaming and
+  * retry laws on a SECOND cluster with
+  * `spark.serializer=KryoSerializer` — the common production override the
+  * Java-serialization phases never exercise.
+  *
   * The spec restores the standard `local[4,2]` session on exit; suites run
   * sequentially in the forked test JVM and `SparkSpec.session` re-resolves
   * per suite, so the suites that follow are unaffected.
@@ -102,6 +107,10 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   // results computed once in beforeAll, asserted by the registered tests
   private var localSnaps: Map[String, Either[String, Seq[String]]] = Map.empty
   private var clusterSnaps: Map[String, Either[String, Seq[String]]] = Map.empty
+  private var kryoSnaps: Map[String, Either[String, Seq[String]]] = Map.empty
+  private var kryoStreamingResult: Try[Seq[(Long, Long, Long)]] = Failure(new IllegalStateException("not run"))
+  private var kryoRetryResult: Try[(Set[(Int, Int, Long)], Set[(Int, Int, Long)], Int)] =
+    Failure(new IllegalStateException("not run"))
   private var executorJvms: Set[String] = Set.empty
   private var driverJvm: String = ""
   private var streamingResult: Try[Seq[(Long, Long, Long)]] = Failure(new IllegalStateException("not run"))
@@ -119,12 +128,25 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** The standard product session config on a multi-process master. The
     * executor classpath is this JVM's classpath (graft classes + Spark jars
     * + test deps); SparkContext supplements the JDK-17 module options into
-    * the executor launch command itself. */
-  private def clusterSession(): SparkSession = {
-    val s = GraftSession.builder("local-cluster[2,2,1536]", 4)
+    * the executor launch command itself.
+    *
+    * `kryo=true` (round 13) swaps `spark.serializer` to KryoSerializer —
+    * the production default on most real clusters. Shuffled SQL data is
+    * UnsafeRow bytes either way, but broadcast blocks, task results (every
+    * collect), RDD-cached blocks and any non-Unsafe value crossing the
+    * wire ride the configured serializer, so the Java-serialization proof
+    * alone leaves a one-config-key gap. registrationRequired stays false
+    * (the deployment default): graft ships no Kryo registrator, so every
+    * custom class that travels — TopKPerKey rows, sketch UDAF buffers,
+    * MediaCodecs structs — must round-trip through Kryo's generic path. */
+  private def clusterSession(kryo: Boolean = false): SparkSession = {
+    val b = GraftSession.builder("local-cluster[2,2,1536]", 4)
       .config("spark.executor.extraClassPath", sys.props("java.class.path"))
       .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
-      .getOrCreate()
+    val bk = if (kryo)
+      b.config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    else b
+    val s = bk.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.registerAll(s)
     s
@@ -144,6 +166,14 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       try {
         driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
         import cluster.implicits._
+        // Standalone jobs start as soon as ONE executor registers; on a slow
+        // host the 8-task probe can then run entirely on the early executor
+        // and the size==2 assert flakes. Wait until both have registered
+        // (getExecutorMemoryStatus counts the driver too → 3 entries).
+        var waitMs = 0
+        while (cluster.sparkContext.getExecutorMemoryStatus.size < 3 && waitMs < 60000) {
+          Thread.sleep(250); waitMs += 250
+        }
         executorJvms = cluster.sparkContext
           .parallelize(1 to 64, 8)
           .mapPartitions(_ => Iterator(java.lang.management.ManagementFactory.getRuntimeMXBean.getName))
@@ -154,6 +184,19 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         executorLossResult = Try(runExecutorLossOnCluster(cluster))
       } finally {
         cluster.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      // Phase 3 (round 13): the same boundary under the Kryo serializer.
+      val kryoCluster = clusterSession(kryo = true)
+      try {
+        assert(kryoCluster.sparkContext.getConf
+          .get("spark.serializer", "").contains("KryoSerializer"))
+        kryoSnaps = names.map(n => n -> snap(kryoCluster, n)).toMap
+        kryoStreamingResult = Try(runStreamingOnCluster(kryoCluster, "lc_kryo_sessions"))
+        kryoRetryResult = Try(runRetryOnCluster(kryoCluster))
+      } finally {
+        kryoCluster.stop()
         SparkSession.clearActiveSession()
         SparkSession.clearDefaultSession()
       }
@@ -171,7 +214,8 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** Stateful sessionization (flatMapGroupsWithState): encoder + state-store
     * round-trips through executor JVMs; same scenario StreamingSpec pins
     * single-JVM. */
-  private def runStreamingOnCluster(spark: SparkSession): Seq[(Long, Long, Long)] = {
+  private def runStreamingOnCluster(spark: SparkSession,
+      queryName: String = "lc_stateful_sessions"): Seq[(Long, Long, Long)] = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -180,12 +224,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       Event(1L, 4L, ts(100), 4.0), Event(1L, 5L, ts(110), 5.0),
       Event(2L, 6L, ts(5), 1.5), Event(2L, 7L, ts(20), 2.5))
     val q = Sessions.sessionizeStateful(mem.toDS())
-      .writeStream.format("memory").queryName("lc_stateful_sessions")
+      .writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append()).start()
     mem.addData(Event(99L, 999L, ts(100000), 0.0)) // advance the watermark
     q.processAllAvailable()
     q.stop()
-    spark.table("lc_stateful_sessions").as[Session].collect()
+    spark.table(queryName).as[Session].collect()
       .filter(_.user_id < 99).sortBy(s => (s.user_id, s.session_start.getTime))
       .map(s => (s.user_id, s.n_events, s.duration_us)).toSeq
   }
@@ -277,9 +321,20 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       val removed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val resubmitted = new java.util.concurrent.atomic.AtomicBoolean(false)
       val fetchFailed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // The latch must fire on the TARGET job's map stage only — a
+      // bus-delayed completion event from the just-finished currentPids()
+      // probe job would otherwise trip it before the real map stage
+      // finishes and fire the kill early. The job group id travels in the
+      // job-start properties; collect the job's stage ids from there.
+      val jobGroup = "graft-lc-loss"
+      val targetStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
       val listener = new SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (js.properties != null &&
+              jobGroup == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageInfos.foreach(si => targetStages.add(si.stageId))
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
-          mapDone.countDown()
+          if (targetStages.contains(sc.stageInfo.stageId)) mapDone.countDown()
         override def onExecutorRemoved(er: SparkListenerExecutorRemoved): Unit =
           removed.set(true)
         override def onStageSubmitted(ss: SparkListenerStageSubmitted): Unit =
@@ -300,9 +355,12 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
           .groupBy((col("id") % keys).as("k"))
           .agg(sum(col("id")).as("s"))
           .withColumn("k2", slow(col("k")))
-        val fut = scala.concurrent.Future(
-          grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-        )(scala.concurrent.ExecutionContext.global)
+        val fut = scala.concurrent.Future {
+          // job group is thread-local to the submitting thread
+          spark.sparkContext.setJobGroup(jobGroup, "executor-loss law", false)
+          try grouped.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+          finally spark.sparkContext.clearJobGroup()
+        }(scala.concurrent.ExecutionContext.global)
         assert(mapDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
           "map stage never completed")
         Thread.sleep(700) // let the first reduce wave start sleeping in the UDF
@@ -362,6 +420,36 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         case (_, Left(e)) => fail(s"$name failed on local-cluster (serialization/classpath suspect): $e")
       }
     }
+  }
+
+  names.foreach { name =>
+    test(s"$name: Kryo-serializer local-cluster rows byte-identical to local[*]") {
+      (localSnaps(name), kryoSnaps(name)) match {
+        case (Right(l), Right(c)) =>
+          if (l != c) {
+            val onlyCluster = c.diff(l).take(3)
+            val onlyLocal = l.diff(c).take(3)
+            fail(s"$name differs under Kryo across the JVM boundary; " +
+              s"sample rows only-kryo=$onlyCluster only-local=$onlyLocal")
+          }
+        case (Left(e), _) => fail(s"$name failed on local[*]: $e")
+        case (_, Left(e)) => fail(s"$name failed on the Kryo local-cluster (Kryo round-trip suspect): $e")
+      }
+    }
+  }
+
+  test("stateful streaming sessionization is correct across executor JVMs under Kryo") {
+    assert(kryoStreamingResult.get == Seq(
+      (1L, 3L, 40L * 60 * 1000000),
+      (1L, 2L, 10L * 60 * 1000000),
+      (2L, 2L, 15L * 60 * 1000000)))
+  }
+
+  test("TopKPerKey survives a remote first-attempt task failure under Kryo") {
+    val (want, got, observedFailures) = kryoRetryResult.get
+    assert(observedFailures > 0,
+      "scheduler never reported the injected ExceptionFailure from the executor (Kryo)")
+    assert(got == want && want.nonEmpty)
   }
 
   test("stateful streaming sessionization is correct across executor JVMs") {

@@ -1,0 +1,305 @@
+package graft
+
+import graft.operators.{GraphOps, TopK}
+import org.apache.spark.TaskContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+import scala.util.{Failure, Try}
+
+/** Deterministic SLOWNESS injector for the speculation laws: the FIRST
+  * attempt of partition 0 stalls ~2.5 s, the speculative duplicate
+  * (attemptNumber ≥ 1) runs at full speed — so the duplicate overtakes and
+  * the scheduler exercises the duplicate-attempt commit path (either the
+  * duplicate's success arrives while the original still runs, or both
+  * succeed and the second result is discarded). A per-(scenario, JVM) cap
+  * bounds total stall time for multi-stage consumers (a graph fixpoint
+  * re-evaluates its input expression every round). The interrupt from a
+  * "another attempt succeeded" kill is swallowed: the original then runs to
+  * completion whenever the kill loses the race, which is exactly the
+  * both-attempts-succeed interleaving the law wants reachable. */
+object SpeculationProbe extends Serializable {
+  private val slept = new ConcurrentHashMap[String, AtomicInteger]()
+  def stallFirstAttempt[T](token: String, x: T): T = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0) {
+      val n = slept.computeIfAbsent(token, _ => new AtomicInteger(0))
+      if (n.getAndIncrement() < 2)
+        try Thread.sleep(2500) catch { case _: InterruptedException => () }
+    }
+    x
+  }
+}
+
+/** Speculative-execution determinism laws (round 13).
+  *
+  * `spark.speculation=true` races DUPLICATE attempts of slow tasks — an
+  * interleaving none of the retry laws reach (RetryLawsSpec /
+  * LocalClusterSpec prove the failure path: one attempt dies, its
+  * replacement runs alone; here two healthy attempts of the same task run
+  * CONCURRENTLY and the scheduler commits whichever finishes first,
+  * discarding the other's output). The reference's scheduler has the same
+  * semantic surface in its multi-attempt task state machine (reference:
+  * ballista/scheduler/src/state/execution_graph.rs tracks per-task
+  * attempts and ignores stale-attempt completions). What the engine owes:
+  * bit-identical results through every state-bearing custom operator no
+  * matter which attempt wins.
+  *
+  * Spark refuses to launch a speculative duplicate on the SAME host as the
+  * running attempt (TaskSetManager.dequeueTaskFromList →
+  * hasAttemptOnHost), so `local-cluster[2,...]` — both executors on one
+  * host — can never speculate. This spec therefore boots the real thing:
+  * a standalone master process and TWO worker processes advertising
+  * DIFFERENT hostnames (`localhost` vs `127.0.0.1` via
+  * SPARK_LOCAL_HOSTNAME — same machine, distinct host strings), which is
+  * also one step closer to a real cluster than LocalClusterSpec's in-JVM
+  * master: here master and workers are separate JVMs too.
+  *
+  * Forced-aggressive knobs: quantile 0.1 (one finished task arms the
+  * check), multiplier 1.2, 100 ms check interval; the injected partition-0
+  * stall (2.5 s vs ~50 ms siblings) then guarantees a speculatable task.
+  * Each law asserts the scheduler REALLY launched ≥1 speculative attempt
+  * (listener, `taskInfo.speculative`) and that results are bit-identical
+  * to the clean run on the same cluster.
+  */
+class SpeculationLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val specStarted = new AtomicInteger(0)
+  private val specSucceeded = new AtomicInteger(0)
+  private val listener = new SparkListener {
+    override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+      if (ts.taskInfo.speculative) specStarted.incrementAndGet()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.taskInfo.speculative && te.reason == org.apache.spark.Success)
+        specSucceeded.incrementAndGet()
+  }
+
+  private var procs: Seq[Process] = Seq.empty
+  private var topkResult: Try[(Set[(Int, Int, Long)], Set[(Int, Int, Long)], Int)] =
+    Failure(new IllegalStateException("not run"))
+  private var sketchResult: Try[(Seq[String], Seq[String], Int)] =
+    Failure(new IllegalStateException("not run"))
+  private var graphResult: Try[(Set[(Long, Long)], Set[(Long, Long)], Int)] =
+    Failure(new IllegalStateException("not run"))
+  private var anySpecSucceeded = 0
+
+  private def freePort(): Int = {
+    val ss = new java.net.ServerSocket(0)
+    try ss.getLocalPort finally ss.close()
+  }
+
+  private def moduleOpens: Seq[String] =
+    org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+      .split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def javaBin: String =
+    java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+
+  /** Launch a Spark deploy daemon (Master/Worker main) as a separate JVM
+    * advertising `hostname`, logging to a temp file. */
+  private def launch(main: String, hostname: String, xmx: String,
+                     args: Seq[String]): Process = {
+    val log = java.nio.file.Files.createTempFile(
+      s"graft_spec_${main.split('.').last.toLowerCase}_", ".log").toFile
+    val cmd = (Seq(javaBin) ++ moduleOpens ++
+      Seq(s"-Xmx$xmx", "-cp", sys.props("java.class.path"), main) ++ args)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_LOCAL_HOSTNAME", hostname)
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    pb.start()
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val prev = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    prev.foreach(_.stop())
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val port = freePort()
+    try {
+      val master = launch("org.apache.spark.deploy.master.Master", "localhost", "256m",
+        Seq("--host", "localhost", "--port", port.toString, "--webui-port", "0"))
+      // two workers, two DISTINCT advertised hostnames — the speculation
+      // prerequisite (see class scaladoc)
+      val w1 = launch("org.apache.spark.deploy.worker.Worker", "localhost", "512m",
+        Seq("--webui-port", "0", "--port", "0", "--cores", "2", "--memory", "1536M",
+          s"spark://localhost:$port"))
+      val w2 = launch("org.apache.spark.deploy.worker.Worker", "127.0.0.1", "512m",
+        Seq("--webui-port", "0", "--port", "0", "--cores", "2", "--memory", "1536M",
+          s"spark://localhost:$port"))
+      procs = Seq(w2, w1, master)
+      val spark = GraftSession.builder(s"spark://localhost:$port", 12)
+        .config("spark.executor.memory", "1g")
+        .config("spark.executor.cores", "2")
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.speculation", "true")
+        .config("spark.speculation.interval", "100ms")
+        .config("spark.speculation.quantile", "0.1")
+        .config("spark.speculation.multiplier", "1.2")
+        .getOrCreate()
+      try {
+        spark.sparkContext.setLogLevel("WARN")
+        functions.GraftFunctions.registerAll(spark)
+        spark.sparkContext.addSparkListener(listener)
+        // both executors must be up BEFORE any law (the stalled first wave
+        // plus its speculative duplicate need 2 hosts live)
+        var waitMs = 0
+        while (spark.sparkContext.getExecutorMemoryStatus.size < 3 && waitMs < 90000) {
+          Thread.sleep(500); waitMs += 500
+        }
+        assert(spark.sparkContext.getExecutorMemoryStatus.size >= 3,
+          "standalone workers never registered 2 executors")
+        topkResult = Try(runTopK(spark))
+        sketchResult = Try(runSketches(spark))
+        graphResult = Try(runGraph(spark))
+        anySpecSucceeded = specSucceeded.get()
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    } finally {
+      procs.foreach(_.destroyForcibly())
+      procs.foreach(_.waitFor(10, java.util.concurrent.TimeUnit.SECONDS))
+      GraftSession.getOrCreate("local[4,2]", 4)
+    }
+  }
+
+  /** Runs `body` and returns (result, speculative task starts observed
+    * during it) — polls the async listener bus bounded. */
+  private def observing[A](body: => A): (A, Int) = {
+    val s0 = specStarted.get()
+    val out = body
+    var waited = 0
+    while (specStarted.get() == s0 && waited < 10000) { Thread.sleep(50); waited += 50 }
+    (out, specStarted.get() - s0)
+  }
+
+  private def stallInt(token: String) = udf((x: Int) => SpeculationProbe.stallFirstAttempt(token, x))
+  private def stallLong(token: String) = udf((x: Long) => SpeculationProbe.stallFirstAttempt(token, x))
+
+  private def runTopK(spark: SparkSession): (Set[(Int, Int, Long)], Set[(Int, Int, Long)], Int) = {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 2000).map(i => (rng.nextInt(10), rng.nextInt(40), i.toLong))
+    val clean = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(12)
+    def topk(df: DataFrame): Set[(Int, Int, Long)] =
+      TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 4)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val want = topk(clean)
+    val (got, spec) = observing(topk(clean.withColumn("score", stallInt("topk")(col("score")))))
+    (want, got, spec)
+  }
+
+  /** The sketch scenario asserts what mergeable sketches actually promise
+    * under speculation. A speculative duplicate relocates a map output to
+    * the OTHER executor, which reorders the reducer's shuffle fetch
+    * (local blocks fetch first) — and KLL/Misra-Gries buffers are
+    * merge-ORDER-dependent representations (any order is a valid sketch;
+    * the bytes differ). Asserting raw buffer bit-identity here would be
+    * asserting something the operators never promised — the first draft
+    * did, and the very first run disproved it with byte-identical
+    * estimates in a reordered level layout. What IS promised, and what
+    * the gates consume (agg_kll outputs rank-invariant booleans;
+    * txt_heavyhitters outputs bound-checked counts):
+    *  - commutative aggregates (SumSquares, count) are bit-identical;
+    *  - KLL: weight conservation (sk.n == group count) and the rank
+    *    invariant |sketch_rank − true_rank| ≤ err at every probed q —
+    *    for ANY merge order, so the rendered booleans are stable;
+    *  - Misra-Gries: the planted heavy term is present with
+    *    est ≤ true ∧ true − est ≤ err (the operator's documented bounds).
+    */
+  private def runSketches(spark: SparkSession): (Seq[String], Seq[String], Int) = {
+    import graft.functions.Udafs
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 5000).map { i =>
+      val term = if (rng.nextInt(10) < 3) "hot" else s"t${rng.nextInt(50)}"
+      (rng.nextInt(4), rng.nextGaussian() * 100, term, (i % 97).toLong)
+    }
+    val byGroup: Map[Int, Seq[(Double, String)]] =
+      rows.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+    val clean = spark.createDataFrame(rows).toDF("g", "v", "term", "w").repartition(12)
+    val kll = udaf(Udafs.KllSketch)
+    val mg = udaf(Udafs.MisraGries)
+    val ssq = udaf(Udafs.SumSquares)
+    def observables(df: DataFrame): Seq[String] =
+      df.groupBy(col("g"))
+        .agg(kll(col("v")).as("sk"), mg(col("term")).as("mgb"),
+          ssq(col("w")).as("ssq"), count(lit(1)).as("cnt"))
+        .collect().sortBy(_.getInt(0)).map { r =>
+          val g = r.getInt(0)
+          val sk = r.getStruct(1)
+          // collect() yields mutable ArraySeq; kllValueAtRank wants immutable
+          val levels: Seq[Seq[Double]] =
+            sk.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("levels")
+              .map(_.toSeq).toSeq
+          val n = sk.getAs[Long]("n")
+          val err = sk.getAs[Long]("err")
+          val mgb = r.getStruct(2)
+          val counts = mgb.getAs[scala.collection.Map[String, Long]]("counts")
+          val mgErr = mgb.getAs[Long]("err")
+          val cnt = r.getAs[Long]("cnt")
+          val vs = byGroup(g).map(_._1)
+          val kllOk = Seq(0.25, 0.5, 0.75).forall { q =>
+            val t = math.max(1L, math.ceil(q * n).toLong)
+            val est = Udafs.kllValueAtRank(levels, t)
+            val nLe = vs.count(_ <= est).toLong
+            val nLt = vs.count(_ < est).toLong
+            nLe >= t - err && nLt <= t - 1 + err
+          }
+          val hotTrue = byGroup(g).count(_._2 == "hot").toLong
+          val mgOk = counts.get("hot").exists(e => e <= hotTrue && hotTrue - e <= mgErr)
+          s"g=$g cnt=$cnt ssq=${r.getAs[Long]("ssq")} kllN=${n == cnt} kllOk=$kllOk mgOk=$mgOk"
+        }.toSeq
+    val want = observables(clean)
+    assert(want.forall(s => s.contains("kllN=true") && s.contains("kllOk=true") && s.contains("mgOk=true")),
+      s"clean run violates the sketch invariants: $want")
+    val (got, spec) = observing(observables(clean.withColumn("g", stallInt("sketch")(col("g")))))
+    (want, got, spec)
+  }
+
+  private def runGraph(spark: SparkSession): (Set[(Long, Long)], Set[(Long, Long)], Int) = {
+    val rng = new scala.util.Random(41)
+    val edges = spark.createDataFrame(
+      (0 until 400).map(_ => (rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)).toDF("u", "v").repartition(12)
+    def run(e: DataFrame): Set[(Long, Long)] =
+      GraphOps.bfsToFixpoint(GraphOps.undirect(e), _ % 9 === 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = run(edges)
+    val (got, spec) = observing(run(edges.withColumn("u", stallLong("graph")(col("u")))))
+    (want, got, spec)
+  }
+
+  test("TopKPerKey is bit-identical when a speculative duplicate races the original") {
+    val (want, got, spec) = topkResult.get
+    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("sketch UDAFs keep their documented invariants (and commutative parts bit-identical) under speculation") {
+    val (want, got, spec) = sketchResult.get
+    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("graph fixpoint (BFS rounds) is bit-identical under speculation") {
+    val (want, got, spec) = graphResult.get
+    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("at least one speculative attempt actually SUCCEEDED across the laws (duplicate-commit path)") {
+    // the per-law assert proves duplicates LAUNCH; this proves the commit
+    // path ran — a duplicate's success was accepted (or discarded) by the
+    // scheduler at least once over the three scenarios
+    assert(anySpecSucceeded > 0,
+      "no speculative attempt succeeded — every duplicate lost every race, commit path untested")
+  }
+}
