@@ -281,20 +281,37 @@ object Bench {
     // win_rdistinct reported 3.51 s against a 0.38 s pin on identical
     // shuffle bytes). The probe evidence lands per-row in `detail`.
     val probeLimit = calibPinned.map(_ * 1.15)
-    val maxProbeAttempts =
-      sys.env.getOrElse("SPARK_GRAFT_PROBE_ATTEMPTS", "4").toInt
+    // Validated/clamped to >= 1: a bare .toInt crashed on non-numeric
+    // values, and <= 0 skipped the probe loop entirely while the row was
+    // still recorded probe_hot=true with no probe_sec — an artifact
+    // claiming a hot measurement that was never probed (ADVICE r13).
+    val maxProbeAttempts = math.max(1,
+      sys.env.get("SPARK_GRAFT_PROBE_ATTEMPTS").flatMap(_.toIntOption).getOrElse(4))
+    // Round 14: the whole reconciliation pass runs under a global
+    // wall-clock budget. Probe-gating's worst case is unbounded (up to
+    // 4x15 s of sleeps PER hot row, and a loaded host makes MORE rows trip
+    // the trigger — compounding), which is how the round-13 driver sweep
+    // outran its window and returned rc:124/parsed:null. When the budget
+    // runs out, remaining flagged rows keep their in-suite figure and are
+    // marked "skipped":"reconcile_budget" in detail — an unreconciled but
+    // PARSABLE artifact beats a perfect one the driver never sees.
+    val reconcileBudgetSec = math.max(0,
+      sys.env.get("SPARK_GRAFT_RECONCILE_BUDGET_SEC").flatMap(_.toIntOption).getOrElse(900))
+    val reconcileDeadline = System.nanoTime() + reconcileBudgetSec * 1000000000L
+    def budgetLeftSec: Double = (reconcileDeadline - System.nanoTime()) / 1e9
 
     /** Probe-gated isolated re-measure. Probes (min of 2 warm runs) until
       * the host reads quiet or attempts run out, sleeping 15 s between
-      * tries; then measures. If the result still exceeds 2x baseline, a
-      * confirming probe brackets the window. */
+      * tries (never sleeping past the global reconcile budget); then
+      * measures. If the result still exceeds 2x baseline, a confirming
+      * probe brackets the window. */
     def reconcile(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Isolated] = {
       val useMin = baseline.get(name).exists(_ < 1.0)
       var attempt = 0
       var probe = Double.NaN
       var hot = true
-      while (hot && attempt < maxProbeAttempts) {
+      while (hot && attempt < maxProbeAttempts && (attempt == 0 || budgetLeftSec > 20)) {
         if (attempt > 0) Thread.sleep(15000)
         attempt += 1
         probe = math.min(probeOnce(spark), probeOnce(spark))
@@ -312,27 +329,40 @@ object Bench {
       }
     }
 
-    val results: Seq[(String, QueryResult)] = {
-      val flaggedNames = sweep.collect {
-        case (name, _, Some(r)) if baseline.get(name).exists(polluted(r.sec, _)) => name
-      }.toSet
-      if (flaggedNames.nonEmpty) {
-        System.err.println(s"[bench] reconciling ${flaggedNames.size} queries " +
-          "over trigger (>2x baseline, or >1.5x with >0.5s absolute inflation) in-suite: " +
-          flaggedNames.toSeq.sorted.mkString(", "))
-        clearSuiteState()
-      }
-      sweep.map { case (name, fn, inSuite) =>
-        val isolated = if (flaggedNames.contains(name)) {
-          System.gc()
-          reconcile(name, fn)
-        } else None
-        name -> QueryResult(inSuite, isolated)
-      }
+    // --- Result state + artifact rendering. Mutable and flushed eagerly:
+    // the round-13 driver sweep was killed (rc:124) before Bench ever
+    // reached its single end-of-run write, losing the ENTIRE sweep. Now
+    // (a) the artifact + a provisional stdout line land right after the
+    // in-suite phase, BEFORE any reconciliation; (b) every reconciled row
+    // re-flushes the artifact; (c) a shutdown hook flushes artifact +
+    // stdout on SIGTERM (the `timeout` signal), so a kill at ANY point
+    // after the sweep degrades to a parsable artifact, never to nothing.
+    val resultMap = new java.util.concurrent.ConcurrentHashMap[String, QueryResult]()
+    sweep.foreach { case (name, _, inSuite) =>
+      resultMap.put(name, QueryResult(inSuite, None))
     }
+    val skippedBudget = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    @volatile var phase = "provisional"
+    @volatile var calibEndOpt: Option[Double] = None
+    @volatile var finalEmitted = false
+
+    def resultsNow: Seq[(String, QueryResult)] =
+      sweep.map { case (name, _, _) => name -> resultMap.get(name) }
 
     def fmt(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // headline factor = the WORSE of the observed probes vs the pinned
+    // quiet-host cost — "this sweep saw host load up to X"; both raw
+    // probe times land in the artifact for the time-varying case
+    def hostFactor: Option[Double] =
+      calibPinned.map(p => math.max(calibStart, calibEndOpt.getOrElse(calibStart)) / p)
+    def calibJson: String = {
+      val f = hostFactor.map(fmt).getOrElse("null")
+      val p = calibPinned.map(fmt).getOrElse("null")
+      val e = calibEndOpt.map(fmt).getOrElse("null")
+      s"""{"start_sec":${fmt(calibStart)},"end_sec":$e,"pinned_sec":$p,"host_factor":$f}"""
+    }
 
     // The driver retains only the last 2000 chars of stdout ("tail") and
     // parses the JSON line out of that buffer — at 180+ queries a
@@ -344,25 +374,15 @@ object Bench {
     // plus the most expensive ones — the entries the baseline comparison
     // actually needs. Both carry the final (faster of in-suite median vs
     // isolated statistic — see QueryResult) figure.
-    val calibEnd = calibrate(spark)
-    // headline factor = the WORSE of the two probes vs the pinned
-    // quiet-host cost — "this sweep saw host load up to X"; both raw
-    // probe times land in the artifact for the time-varying case
-    val hostFactor = calibPinned.map(p => math.max(calibStart, calibEnd) / p)
-    def calibJson: String = {
-      val f = hostFactor.map(fmt).getOrElse("null")
-      val p = calibPinned.map(fmt).getOrElse("null")
-      s"""{"start_sec":${fmt(calibStart)},"end_sec":${fmt(calibEnd)},"pinned_sec":$p,"host_factor":$f}"""
-    }
-
-    val total = results.collect { case (_, q) if q.finalSec >= 0 => q.finalSec }.sum
-    val nReconciled = results.count(_._2.isolated.nonEmpty)
     def jsonLine(rs: Seq[(String, QueryResult)], extra: String): String = {
+      val all = resultsNow
+      val total = all.collect { case (_, q) if q.finalSec >= 0 => q.finalSec }.sum
+      val nReconciled = all.count(_._2.isolated.nonEmpty)
       val qs = rs.sortBy(_._1).map { case (k, q) => "\"" + k + "\":" + fmt(q.finalSec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.length},"reconciled":$nReconciled,"host_factor":${hostFactor.map(fmt).getOrElse("null")},$extra"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.length},"reconciled":$nReconciled,"phase":"$phase","host_factor":${hostFactor.map(fmt).getOrElse("null")},$extra"queries":$qs,"sf":"$sfDir"}"""
     }
-    def detailJson: String = results.sortBy(_._1).map { case (k, q) =>
+    def detailJson: String = resultsNow.sortBy(_._1).map { case (k, q) =>
       def stats(o: Option[RunStats], extra: String = ""): String = o match {
         case Some(r) =>
           s"""{"sec":${fmt(r.sec)},"shuffle_read":${r.shuffleRead},"shuffle_write":${r.shuffleWrite},"peak_task_mem":${r.peakTaskMem}$extra}"""
@@ -374,6 +394,7 @@ object Bench {
           val after = i.probeAfterSec.map(p => s""","probe_after_sec":${fmt(p)}""").getOrElse("")
           stats(Some(i.run),
             s""","stat":"${i.stat}"$probe,"probe_attempts":${i.probeAttempts},"probe_hot":${i.probeHot}$after""")
+        case None if skippedBudget.contains(k) => """{"skipped":"reconcile_budget"}"""
         case None => "null"
       }
       "\"" + k + "\":{\"in_suite\":" + stats(q.inSuite) +
@@ -385,17 +406,69 @@ object Bench {
     // (shuffle/peak-mem telemetry) still lands in BENCH_SUBSET.json so a
     // plan change can re-pin its BASELINE.md row without a full sweep
     val artifact = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(artifact),
-      jsonLine(results,
-        "\"calibration\":" + calibJson + ",\"detail\":" + detailJson + ",") + "\n")
-    val budget = 1800
-    // failures first (always visible), then descending cost
-    val prio = results.sortBy { case (_, q) => (q.finalSec >= 0, -q.finalSec) }
-    var kept = prio
-    while (jsonLine(kept, s""""full":"$artifact",""").length > budget && kept.nonEmpty)
-      kept = kept.dropRight(1)
-    println(jsonLine(kept, s""""full":"$artifact","""))
+    def writeArtifact(): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(artifact),
+        jsonLine(resultsNow,
+          "\"reconcile_budget_sec\":" + reconcileBudgetSec +
+            ",\"reconcile_skipped\":" + skippedBudget.size +
+            ",\"calibration\":" + calibJson + ",\"detail\":" + detailJson + ",") + "\n")
+    def stdoutLine(): String = {
+      val budget = 1800
+      // failures first (always visible), then descending cost
+      val prio = resultsNow.sortBy { case (_, q) => (q.finalSec >= 0, -q.finalSec) }
+      var kept = prio
+      while (jsonLine(kept, s""""full":"$artifact",""").length > budget && kept.nonEmpty)
+        kept = kept.dropRight(1)
+      jsonLine(kept, s""""full":"$artifact",""")
+    }
+
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (!finalEmitted) {
+        try {
+          writeArtifact()
+          println(stdoutLine())
+          System.out.flush()
+        } catch { case _: Throwable => () }
+      }))
+
+    // Provisional flush: a timeout anywhere in the reconciliation pass now
+    // degrades to this unreconciled-but-parsable artifact + stdout line.
+    writeArtifact()
+    println(stdoutLine())
+    System.out.flush()
+
+    val flaggedNames = sweep.collect {
+      case (name, _, Some(r)) if baseline.get(name).exists(polluted(r.sec, _)) => name
+    }.toSet
+    if (flaggedNames.nonEmpty) {
+      System.err.println(s"[bench] reconciling ${flaggedNames.size} queries " +
+        "over trigger (>2x baseline, or >1.5x with >0.5s absolute inflation) in-suite: " +
+        flaggedNames.toSeq.sorted.mkString(", ") +
+        f"; budget $reconcileBudgetSec s")
+      clearSuiteState()
+    }
+    phase = "reconciling"
+    sweep.foreach { case (name, fn, _) =>
+      if (flaggedNames.contains(name)) {
+        if (budgetLeftSec <= 0) {
+          skippedBudget.add(name)
+          System.err.println(s"[bench] $name: reconcile budget exhausted, keeping in-suite figure")
+        } else {
+          System.gc()
+          reconcile(name, fn).foreach { iso =>
+            resultMap.put(name, QueryResult(resultMap.get(name).inSuite, Some(iso)))
+          }
+        }
+        writeArtifact()
+      }
+    }
+
+    phase = "reconciled"
+    calibEndOpt = Some(calibrate(spark))
+    writeArtifact()
+    println(stdoutLine())
+    finalEmitted = true
     spark.stop()
   }
 }

@@ -56,8 +56,12 @@ object Dedup {
                         k: Int = 16, shingleK: Int = 3,
                         shingleHash: Column => Column = TextFunctions.hash64): DataFrame = {
     import TextFunctions.{MinhashA, MinhashB, MinhashP}
+    // pmod, not %: Spark's % keeps the dividend's sign, so a caller-supplied
+    // hook returning negative Longs would yield negative h and negative
+    // affine minima, silently skewing signatures (ADVICE r13). Identical to
+    // % for the non-negative default hash64.
     val hashed = shingleRows(docs, idCol, textCol, shingleK)
-      .select(col("doc_id"), (shingleHash(col("shingle")) % MinhashP).as("h"))
+      .select(col("doc_id"), pmod(shingleHash(col("shingle")), lit(MinhashP)).as("h"))
     val mins = (0 until k).map { i =>
       min((lit(MinhashA(i)) * col("h") + lit(MinhashB(i))) % MinhashP).as(s"m$i")
     }
