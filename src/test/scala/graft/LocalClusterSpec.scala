@@ -58,47 +58,9 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     "fn_nondet" -> "uuid()/rand()/now() — nondeterministic by definition; driver-gated rows-only")
 
   /** Default subset: every family with custom serialized state, plus a
-    * cross-section of the plain-Catalyst surface. */
-  private val subset: Seq[String] = Seq(
-    // TPC-H cross-section (plain Catalyst joins/aggs/windows)
-    "q1", "q9", "q18", "q21",
-    // sketch / custom UDAF buffers (serialize/merge across executors)
-    "agg_approx", "agg_bitmap_distinct", "agg_bloom", "agg_cms", "agg_hll",
-    "agg_kll", "agg_median", "agg_mode", "agg_moments", "agg_pivot",
-    "agg_stragg", "agg_theta", "agg_wpercentile_udaf",
-    // TopKPerKey physical operator
-    "topk_group", "sim_topk",
-    // generator expressions
-    "gen_explode", "udtf_ngrams", "txt_skipgrams",
-    // custom vector expressions + ANN tier
-    "sim_recall", "sim_ivf", "sim_ivfpq", "sim_knng", "sim_kmeans",
-    "sim_hardneg", "emb_pq", "emb_quantize", "emb_centroid", "emb_feathash",
-    // dedup tier (hash exprs, banding, inverted indexes, clustering fixpoint)
-    "ded_exact", "ded_minhash", "ded_simhash", "ded_ngram", "ded_prefix",
-    "ded_contain", "ded_winnow", "ded_phash", "ded_edit", "ded_cluster",
-    "ded_embed", "ded_semantic", "ded_url",
-    // media codecs (decode closures run on executors)
-    "mm_decode", "mm_energy", "mm_frames",
-    // graph fixpoints (keyed-join rounds, broadcast blocks)
-    "graph_bfs", "graph_components", "graph_lpa", "graph_pagerank",
-    "graph_triangles",
-    // custom scalar functions / registry / UDF surface
-    "fn_hash", "fn_uuid5", "fn_datebin", "fn_variant", "fn_registry",
-    "fn_json", "udf_surface",
-    // sources: DSv2, scheme-registered FS, avro bridge, xml, binary
-    "src_custom", "src_objstore", "src_avro", "src_xml", "src_binary",
-    // sinks + DDL (executors write files; catalog round-trips)
-    "snk_parquet", "snk_bucketed", "ddl_ctas", "ddl_infoschema",
-    // time joins / event tier / windows
-    "evt_asof", "evt_cusum", "evt_pattern", "evt_sessionize",
-    "win_groups", "win_mad", "win_trange",
-    // text/curation tier (BPE trainer loop, LM scoring, heavy hitters)
-    "txt_bpe_train", "txt_langid", "txt_pii", "txt_fingerprint",
-    "txt_lmscore", "txt_heavyhitters", "txt_topterms", "cur_dsir",
-    "cur_funnel", "pack_tokens",
-    // CDC, sampling, skew, sets, SQL entry
-    "cdc_apply", "cdc_scd2", "smp_stratified", "smp_weighted", "skew_join",
-    "set_except_all", "sql_entry", "sql_recursive", "dq_profile", "dq_psi")
+    * cross-section of the plain-Catalyst surface (shared via [[TestTier]]
+    * with ConfigInvarianceSpec since round 14). */
+  private val subset: Seq[String] = TestTier.subset
 
   private def names: Seq[String] =
     if (fullSweep) SparkEntry.queries.keys.toSeq.filterNot(excluded.contains).sorted
@@ -152,6 +114,17 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     s
   }
 
+  /** Standalone jobs start as soon as ONE executor registers; on a slow
+    * host an early probe can then run entirely on the first executor and
+    * any size==2 assert flakes. Wait until both have registered
+    * (getExecutorMemoryStatus counts the driver too → 3 entries). */
+  private def awaitBothExecutors(spark: SparkSession): Unit = {
+    var waitMs = 0
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 && waitMs < 60000) {
+      Thread.sleep(250); waitMs += 250
+    }
+  }
+
   override def beforeAll(): Unit = {
     super.beforeAll()
     // Phase 1: baseline rows on the standard single-JVM session.
@@ -166,14 +139,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       try {
         driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
         import cluster.implicits._
-        // Standalone jobs start as soon as ONE executor registers; on a slow
-        // host the 8-task probe can then run entirely on the early executor
-        // and the size==2 assert flakes. Wait until both have registered
-        // (getExecutorMemoryStatus counts the driver too → 3 entries).
-        var waitMs = 0
-        while (cluster.sparkContext.getExecutorMemoryStatus.size < 3 && waitMs < 60000) {
-          Thread.sleep(250); waitMs += 250
-        }
+        awaitBothExecutors(cluster)
         executorJvms = cluster.sparkContext
           .parallelize(1 to 64, 8)
           .mapPartitions(_ => Iterator(java.lang.management.ManagementFactory.getRuntimeMXBean.getName))
@@ -188,17 +154,25 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         SparkSession.clearDefaultSession()
       }
       // Phase 3 (round 13): the same boundary under the Kryo serializer.
-      val kryoCluster = clusterSession(kryo = true)
-      try {
-        assert(kryoCluster.sparkContext.getConf
-          .get("spark.serializer", "").contains("KryoSerializer"))
-        kryoSnaps = names.map(n => n -> snap(kryoCluster, n)).toMap
-        kryoStreamingResult = Try(runStreamingOnCluster(kryoCluster, "lc_kryo_sessions"))
-        kryoRetryResult = Try(runRetryOnCluster(kryoCluster))
-      } finally {
-        kryoCluster.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
+      // FULL tier only (round 14) — a second full cluster boot + subset
+      // sweep is several minutes; its tests register only under GRAFT_FULL.
+      if (TestTier.full) {
+        val kryoCluster = clusterSession(kryo = true)
+        try {
+          // Same slow-registration guard as phase 2 (ADVICE r13): without it
+          // the Kryo snaps/streaming/retry laws can start with only one
+          // executor up, weakening the cross-JVM Kryo coverage.
+          awaitBothExecutors(kryoCluster)
+          assert(kryoCluster.sparkContext.getConf
+            .get("spark.serializer", "").contains("KryoSerializer"))
+          kryoSnaps = names.map(n => n -> snap(kryoCluster, n)).toMap
+          kryoStreamingResult = Try(runStreamingOnCluster(kryoCluster, "lc_kryo_sessions"))
+          kryoRetryResult = Try(runRetryOnCluster(kryoCluster))
+        } finally {
+          kryoCluster.stop()
+          SparkSession.clearActiveSession()
+          SparkSession.clearDefaultSession()
+        }
       }
     } finally {
       // Leave the standard fixture up for the suites that follow.
@@ -422,34 +396,38 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  names.foreach { name =>
-    test(s"$name: Kryo-serializer local-cluster rows byte-identical to local[*]") {
-      (localSnaps(name), kryoSnaps(name)) match {
-        case (Right(l), Right(c)) =>
-          if (l != c) {
-            val onlyCluster = c.diff(l).take(3)
-            val onlyLocal = l.diff(c).take(3)
-            fail(s"$name differs under Kryo across the JVM boundary; " +
-              s"sample rows only-kryo=$onlyCluster only-local=$onlyLocal")
-          }
-        case (Left(e), _) => fail(s"$name failed on local[*]: $e")
-        case (_, Left(e)) => fail(s"$name failed on the Kryo local-cluster (Kryo round-trip suspect): $e")
+  // Kryo-phase tests register only on the full tier (GRAFT_FULL=1) —
+  // zero canceled tests on the default suite by the TestTier convention.
+  if (TestTier.full) {
+    names.foreach { name =>
+      test(s"$name: Kryo-serializer local-cluster rows byte-identical to local[*]") {
+        (localSnaps(name), kryoSnaps(name)) match {
+          case (Right(l), Right(c)) =>
+            if (l != c) {
+              val onlyCluster = c.diff(l).take(3)
+              val onlyLocal = l.diff(c).take(3)
+              fail(s"$name differs under Kryo across the JVM boundary; " +
+                s"sample rows only-kryo=$onlyCluster only-local=$onlyLocal")
+            }
+          case (Left(e), _) => fail(s"$name failed on local[*]: $e")
+          case (_, Left(e)) => fail(s"$name failed on the Kryo local-cluster (Kryo round-trip suspect): $e")
+        }
       }
     }
-  }
 
-  test("stateful streaming sessionization is correct across executor JVMs under Kryo") {
-    assert(kryoStreamingResult.get == Seq(
-      (1L, 3L, 40L * 60 * 1000000),
-      (1L, 2L, 10L * 60 * 1000000),
-      (2L, 2L, 15L * 60 * 1000000)))
-  }
+    test("stateful streaming sessionization is correct across executor JVMs under Kryo") {
+      assert(kryoStreamingResult.get == Seq(
+        (1L, 3L, 40L * 60 * 1000000),
+        (1L, 2L, 10L * 60 * 1000000),
+        (2L, 2L, 15L * 60 * 1000000)))
+    }
 
-  test("TopKPerKey survives a remote first-attempt task failure under Kryo") {
-    val (want, got, observedFailures) = kryoRetryResult.get
-    assert(observedFailures > 0,
-      "scheduler never reported the injected ExceptionFailure from the executor (Kryo)")
-    assert(got == want && want.nonEmpty)
+    test("TopKPerKey survives a remote first-attempt task failure under Kryo") {
+      val (want, got, observedFailures) = kryoRetryResult.get
+      assert(observedFailures > 0,
+        "scheduler never reported the injected ExceptionFailure from the executor (Kryo)")
+      assert(got == want && want.nonEmpty)
+    }
   }
 
   test("stateful streaming sessionization is correct across executor JVMs") {

@@ -118,6 +118,7 @@ class SpeculationLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
+    if (!TestTier.full) return // full tier only (round 14) — see TestTier
     val prev = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     prev.foreach(_.stop())
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -277,29 +278,35 @@ class SpeculationLawsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (want, got, spec)
   }
 
-  test("TopKPerKey is bit-identical when a speculative duplicate races the original") {
-    val (want, got, spec) = topkResult.get
-    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
-    assert(got == want && want.nonEmpty)
-  }
+  // Full-tier-only registration (round 14): booting a real standalone
+  // master + two split-hostname worker JVMs is minutes of wall-clock; the
+  // laws run under GRAFT_FULL=1 with a committed per-round green log, and
+  // the default suite reports zero canceled tests (TestTier convention).
+  if (TestTier.full) {
+    test("TopKPerKey is bit-identical when a speculative duplicate races the original") {
+      val (want, got, spec) = topkResult.get
+      assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+      assert(got == want && want.nonEmpty)
+    }
 
-  test("sketch UDAFs keep their documented invariants (and commutative parts bit-identical) under speculation") {
-    val (want, got, spec) = sketchResult.get
-    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
-    assert(got == want && want.nonEmpty)
-  }
+    test("sketch UDAFs keep their documented invariants (and commutative parts bit-identical) under speculation") {
+      val (want, got, spec) = sketchResult.get
+      assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+      assert(got == want && want.nonEmpty)
+    }
 
-  test("graph fixpoint (BFS rounds) is bit-identical under speculation") {
-    val (want, got, spec) = graphResult.get
-    assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
-    assert(got == want && want.nonEmpty)
-  }
+    test("graph fixpoint (BFS rounds) is bit-identical under speculation") {
+      val (want, got, spec) = graphResult.get
+      assert(spec > 0, "scheduler never launched a speculative attempt — knobs or host split broken")
+      assert(got == want && want.nonEmpty)
+    }
 
-  test("at least one speculative attempt actually SUCCEEDED across the laws (duplicate-commit path)") {
-    // the per-law assert proves duplicates LAUNCH; this proves the commit
-    // path ran — a duplicate's success was accepted (or discarded) by the
-    // scheduler at least once over the three scenarios
-    assert(anySpecSucceeded > 0,
-      "no speculative attempt succeeded — every duplicate lost every race, commit path untested")
+    test("at least one speculative attempt actually SUCCEEDED across the laws (duplicate-commit path)") {
+      // the per-law assert proves duplicates LAUNCH; this proves the commit
+      // path ran — a duplicate's success was accepted (or discarded) by the
+      // scheduler at least once over the three scenarios
+      assert(anySpecSucceeded > 0,
+        "no speculative attempt succeeded — every duplicate lost every race, commit path untested")
+    }
   }
 }
