@@ -47,11 +47,24 @@ case class TopKPerKey(
 object GraftStrategies extends SparkStrategy {
   /** Max rows retained across all per-key heaps in ONE task (≈ distinct
     * keys × k for that task) before [[TopKPerKeyExec]] abandons the
-    * hash-of-heaps and falls back to a spillable external sort. The default
-    * bounds the map at ~4M retained row copies per task — a few hundred MB
-    * worst case — where a billion-distinct-key pass (e.g. latest-per-key
-    * CDC over a 100 TB corpus) would otherwise OOM the executor. */
+    * hash-of-heaps and falls back to a spillable external sort.
+    *
+    * Default `auto` (round 14): each task derives a retained-BYTE budget
+    * from the executor's own memory manager — see [[TopKBudget]] — so the
+    * same jar is safe on a 1 GB executor and a 56 GB one without tuning.
+    * The round-13 sf100 ramp showed why a fixed row count cannot be the
+    * default: 4M retained rows per task × 32 concurrent tasks of
+    * real-width CDC rows OOMed a shared 56 GB heap, while the same fixed
+    * count was hopelessly conservative for small executors. An explicit
+    * integer keeps the exact historical row-count semantics (and is
+    * sanity-checked against the executor heap — see
+    * [[TopKBudget.failFastExplicit]]). */
   val MaxRowsKey = "spark.graft.topk.maxRowsInMemory"
+
+  /** Row-count ceiling of the auto mode (and the historical fixed
+    * default): even with bytes to spare, past ~4M retained row copies the
+    * hash-of-heaps' object churn dominates — fall back to the spillable
+    * sort instead. */
   val MaxRowsDefault: Int = 4 * 1024 * 1024
 
   /** TEST-ONLY: force the fallback's external sorter to spill every N
@@ -61,15 +74,95 @@ object GraftStrategies extends SparkStrategy {
     * memory pressure. */
   val TestSpillFrequencyKey = "spark.graft.topk.testSpillFrequency"
 
+  /** TEST-ONLY: override the auto mode's derived per-task byte budget
+    * (0 = off, production default) so the auto fallback trigger is
+    * law-testable at corpus sizes a spec can afford. */
+  val TestPerTaskBytesKey = "spark.graft.topk.testPerTaskBytes"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, ordering, k, child) =>
-      val maxRows = SQLConf.get.getConfString(MaxRowsKey, MaxRowsDefault.toString).toInt
+      val raw = SQLConf.get.getConfString(MaxRowsKey, "auto")
+      val maxRows = if (raw.equalsIgnoreCase("auto")) -1 else raw.toInt
       val spillFreq = SQLConf.get.getConfString(TestSpillFrequencyKey, "0").toInt
+      val perTaskBytes = SQLConf.get.getConfString(TestPerTaskBytesKey, "0").toLong
       val partial = TopKPerKeyExec(keys, ordering, k, planLater(child),
-        partial = true, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq)
+        partial = true, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq,
+        testPerTaskBytes = perTaskBytes)
       TopKPerKeyExec(keys, ordering, k, partial,
-        partial = false, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq) :: Nil
+        partial = false, maxRowsInMemory = maxRows, testSpillFrequency = spillFreq,
+        testPerTaskBytes = perTaskBytes) :: Nil
     case _ => Nil
+  }
+}
+
+/** Auto-sizing of [[TopKPerKeyExec]]'s retained-row budget (round 14).
+  *
+  * The heaps hold JVM object copies the memory manager does not track, so
+  * the budget targets the task's FAIR SHARE of the unified pool: Spark
+  * guarantees every task at least `pool / (2 × slots)` of execution
+  * memory, and a structure holding more than that share of untracked heap
+  * is exactly the shape that OOMs when every slot does it at once (the
+  * round-13 sf100 cdc_apply finding). All inputs are read executor-side
+  * inside the task — a 1000-executor cluster derives 1000 local answers,
+  * each from its own heap and core count. */
+object TopKBudget {
+  /** Floor: never thrash the fallback below 16 MB of retained rows. */
+  val AutoMinBytes: Long = 16L * 1024 * 1024
+  /** Per-retained-row bookkeeping estimate on top of the row payload:
+    * UnsafeRow object header + copy buffer slack + priority-queue slot +
+    * hash-map entry. */
+  val RowOverheadBytes: Long = 64L
+
+  /** Pure derivation — unit-law-tested: the task's guaranteed execution
+    * share (pool / 2·slots), floored at [[AutoMinBytes]]. */
+  def derivedPerTaskBytes(poolBytes: Long, slots: Int): Long =
+    math.max(AutoMinBytes, poolBytes / (2L * math.max(1, slots)))
+
+  /** Concurrent task slots on THIS executor: local[N] masters run N
+    * in-JVM slots; otherwise executor cores / task cpus (conservative
+    * availableProcessors fallback when unset, e.g. local-cluster). */
+  def taskSlots(conf: org.apache.spark.SparkConf): Int = {
+    val Local = """local\[([0-9]+|\*).*\]""".r
+    conf.get("spark.master", "") match {
+      case Local(n) =>
+        if (n == "*") Runtime.getRuntime.availableProcessors() else n.toInt
+      case _ =>
+        val cores = conf.getInt("spark.executor.cores",
+          Runtime.getRuntime.availableProcessors())
+        math.max(1, cores / math.max(1, conf.getInt("spark.task.cpus", 1)))
+    }
+  }
+
+  /** The executor's on-heap unified pool, the exact arithmetic of
+    * `UnifiedMemoryManager.getMaxMemory` (execution + storage pool sizes
+    * always sum to this constant however the boundary moves; the pool
+    * objects themselves are Scala-protected, so the derivation reads the
+    * same executor-side inputs the manager was built from):
+    * `spark.memory.fraction × (heap − 300 MB reserved)`. */
+  def unifiedPoolBytes(conf: org.apache.spark.SparkConf): Long = {
+    val systemMemory = conf.getLong("spark.testing.memory", Runtime.getRuntime.maxMemory())
+    val reserved = conf.getLong("spark.testing.reservedMemory", 300L * 1024 * 1024)
+    val fraction = conf.getDouble("spark.memory.fraction", 0.6)
+    math.max(0L, ((systemMemory - reserved) * fraction).toLong)
+  }
+
+  /** Fail fast on an explicitly configured row budget that cannot fit
+    * this executor's heap when every slot fills it at once — the
+    * actionable alternative to the late full-GC death the sf100 ramp hit.
+    * `rowWidthEst` is the planning-schema estimate (variable-width columns
+    * count `defaultSize`, so this catches the flagrantly impossible
+    * configs, not every tight one). */
+  def failFastExplicit(maxRows: Int, rowWidthEst: Long, conf: org.apache.spark.SparkConf): Unit = {
+    val slots = taskSlots(conf)
+    val heap = Runtime.getRuntime.maxMemory()
+    val need = maxRows.toLong * (rowWidthEst + RowOverheadBytes) * slots
+    if (need > heap) throw new IllegalStateException(
+      s"${GraftStrategies.MaxRowsKey}=$maxRows cannot fit: $slots concurrent tasks x " +
+        s"$maxRows retained rows x ~${rowWidthEst + RowOverheadBytes} B/row ≈ ${need >> 20} MB " +
+        s"> executor heap ${heap >> 20} MB. Lower ${GraftStrategies.MaxRowsKey} (or unset it " +
+        "for auto-sizing), raise spark.executor.memory, or reduce concurrent tasks per " +
+        "executor (spark.executor.cores) / grow the key spread across more partitions " +
+        "(spark.sql.shuffle.partitions).")
   }
 }
 
@@ -79,9 +172,17 @@ object GraftStrategies extends SparkStrategy {
   * inserts exactly one hash exchange between the two — over at most
   * keys*k rows per upstream partition.
   *
-  * MEMORY CONTRACT: the hash-of-heaps holds at most `maxRowsInMemory` row
-  * copies. The task that exceeds it (distinct-key cardinality beyond the
-  * budget) falls back to Spark's spillable external sort — the pruned heap
+  * MEMORY CONTRACT: the hash-of-heaps is bounded. With an explicit
+  * `maxRowsInMemory` it holds at most that many row copies (historical
+  * row-count semantics, heap-sanity-checked by
+  * [[TopKBudget.failFastExplicit]]); in auto mode (`maxRowsInMemory = -1`,
+  * the default) each task bounds the RETAINED BYTES — actual
+  * `UnsafeRow.getSizeInBytes` plus a fixed per-row overhead, keys
+  * included — at its derived fair share of the executor's unified pool
+  * ([[TopKBudget.derivedPerTaskBytes]]), with [[GraftStrategies.MaxRowsDefault]]
+  * as a row-count ceiling. The task that exceeds the budget
+  * (distinct-key cardinality or row width beyond it) falls back to
+  * Spark's spillable external sort — the pruned heap
   * contents plus the rest of the input are sorted by (keys, rank order) and
   * the first k rows of each key group are streamed out. The fallback is
   * LOSSLESS: a row evicted from its heap was strictly worse than k rows of
@@ -101,10 +202,11 @@ case class TopKPerKeyExec(
     k: Int,
     child: SparkPlan,
     partial: Boolean,
-    maxRowsInMemory: Int = GraftStrategies.MaxRowsDefault,
-    testSpillFrequency: Int = 0) extends UnaryExecNode {
-  require(maxRowsInMemory >= 1,
-    s"${GraftStrategies.MaxRowsKey} must be >= 1, got $maxRowsInMemory")
+    maxRowsInMemory: Int = -1,
+    testSpillFrequency: Int = 0,
+    testPerTaskBytes: Long = 0L) extends UnaryExecNode {
+  require(maxRowsInMemory == -1 || maxRowsInMemory >= 1,
+    s"${GraftStrategies.MaxRowsKey} must be >= 1 or 'auto', got $maxRowsInMemory")
 
   override def output: Seq[Attribute] = child.output
 
@@ -125,31 +227,56 @@ case class TopKPerKeyExec(
     val limit = k
     val maxRows = maxRowsInMemory
     val spillFreq = testSpillFrequency
+    val perTaskBytesOverride = testPerTaskBytes
     val schema = DataTypeUtils.fromAttributes(attrs)
+    // planning-schema row-width estimate (variable-width columns count
+    // defaultSize) — the fail-fast check's input and the byte charge for
+    // the rare non-Unsafe row
+    val rowWidthEst = schema.defaultSize.toLong
     val fallbackTasks = longMetric("fallbackTasks")
     child.execute().mapPartitions { iter =>
+      val autoMode = maxRows <= 0
+      val env = org.apache.spark.SparkEnv.get
+      if (!autoMode) TopKBudget.failFastExplicit(maxRows, rowWidthEst, env.conf)
+      val byteBudget: Long =
+        if (!autoMode) Long.MaxValue
+        else if (perTaskBytesOverride > 0) perTaskBytesOverride
+        else TopKBudget.derivedPerTaskBytes(
+          TopKBudget.unifiedPoolBytes(env.conf), TopKBudget.taskSlots(env.conf))
+      val rowCeiling: Long =
+        if (autoMode) GraftStrategies.MaxRowsDefault.toLong else maxRows.toLong
+      def rowBytes(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong + TopKBudget.RowOverheadBytes
+        case _            => rowWidthEst + TopKBudget.RowOverheadBytes
+      }
       val keyGen = UnsafeProjection.create(keyExprs, attrs)
       // codegen'd comparator; compare(a, b) < 0 means a ranks before b
       val ord = RowOrdering.create(sortExprs, attrs)
       // max-heap w.r.t. the rank order: head is the worst row currently kept
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       var retained = 0L
+      var retainedBytes = 0L
       var overflow = false
       while (iter.hasNext && !overflow) {
         val row = iter.next()
         heaps.get(keyGen(row)) match {
           case Some(heap) =>
-            if (heap.size < limit) { heap.enqueue(row.copy()); retained += 1 }
-            else if (ord.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
+            if (heap.size < limit) {
+              heap.enqueue(row.copy()); retained += 1; retainedBytes += rowBytes(row)
+            } else if (ord.compare(row, heap.head) < 0) {
+              retainedBytes -= rowBytes(heap.dequeue())
+              heap.enqueue(row.copy()); retainedBytes += rowBytes(row)
             }
           case None =>
             val heap = new mutable.PriorityQueue[InternalRow]()(ord)
             heap.enqueue(row.copy())
-            heaps.update(keyGen(row).copy(), heap)
+            val key = keyGen(row).copy()
+            heaps.update(key, heap)
             retained += 1
+            retainedBytes += rowBytes(row) + key.getSizeInBytes + TopKBudget.RowOverheadBytes
         }
-        if (retained > maxRows) overflow = true
+        if (retained > rowCeiling || (autoMode && retainedBytes > byteBudget))
+          overflow = true
       }
       if (!overflow) heaps.iterator.flatMap(_._2.iterator)
       else {

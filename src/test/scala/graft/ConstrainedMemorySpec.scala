@@ -128,8 +128,30 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def heavyGate(spark: SparkSession): Seq[String] =
     RowRender.snapshot(SparkEntry.queries("ded_ngram")(spark, alwaysSf))
 
+  /** Round 14: the AUTO TopK budget (no explicit row conf, no test
+    * override) derived from this leg's genuinely starved unified pool
+    * (fraction=0.05 ⇒ ~410 MB pool ⇒ ~51 MB/task fair share) must trigger
+    * the lossless fallback instead of OOMing — the sf100 cdc_apply
+    * scenario scaled down: 700k distinct keys in ONE task retain ~120 MB
+    * of heap rows. Returns (output rows, fallback tasks). */
+  private def autoBudgetQuery(spark: SparkSession): (Long, Long) = {
+    import graft.plans.TopKPerKeyExec
+    val df = spark.range(0, 700000L, 1, 1)
+      .selectExpr("id as key", "id % 40 as score", "id as i")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.TopK.perKey(df, Seq("key"), Seq("score" -> true, "i" -> true), 1)
+      val n = out.collect().length.toLong
+      val fallbacks = out.queryExecution.executedPlan.collect {
+        case t: TopKPerKeyExec => t.metrics("fallbackTasks").value
+      }.sum
+      (n, fallbacks)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   private case class LegResult(sortAgg: Seq[(Long, Long)],
-      topk: Set[(Int, Int, Long)], gate: Seq[String], diskSpilled: Long)
+      topk: Set[(Int, Int, Long)], gate: Seq[String], diskSpilled: Long,
+      autoRows: Long = 0L, autoFallbacks: Long = 0L)
 
   private def runLeg(offHeap: Boolean): LegResult = {
     val b = GraftSession.builder("local[4]", 8)
@@ -145,7 +167,9 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
     s.sparkContext.addSparkListener(listener)
     try {
       val d0 = spilledDisk.get()
-      val r = LegResult(sortAggQuery(s), topkFallbackQuery(s), heavyGate(s), 0L)
+      val (autoRows, autoFallbacks) = autoBudgetQuery(s)
+      val r = LegResult(sortAggQuery(s), topkFallbackQuery(s), heavyGate(s), 0L,
+        autoRows = autoRows, autoFallbacks = autoFallbacks)
       settleSpill()
       r.copy(diskSpilled = spilledDisk.get() - d0)
     } finally {
@@ -162,18 +186,24 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    // reference rows on the standard shared session (full memory, no
-    // force threshold) — memory pressure must never change a result
-    val shared = GraftSession.getOrCreate("local[4,2]", 4)
-    reference = LegResult(sortAggQuery(shared), topkFallbackQuery(shared),
-      heavyGate(shared), 0L)
-    shared.stop()
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // Everything — including the reference computation on the shared
+    // session — runs inside the one try/finally that restores the standard
+    // fixture: a throw during the reference pass would otherwise abort the
+    // suite with the shared session stopped/indeterminate for the suites
+    // that follow (ADVICE r13).
     try {
+      // reference rows on the standard shared session (full memory, no
+      // force threshold) — memory pressure must never change a result
+      val shared = GraftSession.getOrCreate("local[4,2]", 4)
+      reference = LegResult(sortAggQuery(shared), topkFallbackQuery(shared),
+        heavyGate(shared), 0L)
+      shared.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       onHeapLeg = runLeg(offHeap = false)
       offHeapLeg = runLeg(offHeap = true)
       if (enabled) runHeavySweep()
     } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       GraftSession.getOrCreate("local[4,2]", 4)
     }
   }
@@ -184,6 +214,15 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(onHeapLeg.sortAgg == reference.sortAgg && reference.sortAgg.nonEmpty)
     assert(onHeapLeg.topk == reference.topk && reference.topk.nonEmpty)
     assert(onHeapLeg.gate == reference.gate && reference.gate.nonEmpty)
+  }
+
+  test("auto-derived TopK budget triggers the lossless fallback on a starved pool (no conf, no override)") {
+    assert(onHeapLeg.autoRows == 700000L,
+      s"auto-mode TopK lost rows on the starved pool: ${onHeapLeg.autoRows}")
+    assert(onHeapLeg.autoFallbacks > 0L,
+      "the derived byte budget never triggered the fallback under fraction=0.05 — " +
+        "auto sizing is not actually reading the starved pool")
+    assert(offHeapLeg.autoRows == 700000L)
   }
 
   test("off-heap Tungsten (memory.offHeap.enabled) spills and stays row-identical") {

@@ -71,22 +71,26 @@ class TopKLawsSpec extends SparkSpec {
     val rows = (0 until 4000).map(i => (rng.nextInt(1000), rng.nextInt(50), i.toLong))
     val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(7)
 
-    def run(maxRows: String): (Set[(Int, Int, Long)], Long) = {
+    def run(maxRows: Option[String]): (Set[(Int, Int, Long)], Long) = {
       // AQE off for this run only, so the executed plan exposes the exec
       // nodes (and their SQL metrics) without query-stage wrapping
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try withMaxRows(maxRows) {
+      def body = {
         val out = TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 3)
         val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
         val fallbacks = out.queryExecution.executedPlan.collect {
           case t: TopKPerKeyExec => t.metrics("fallbackTasks").value
         }.sum
         (got, fallbacks)
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+      try maxRows.fold(body)(m => withMaxRows(m)(body))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
 
-    val (heapGot, heapFallbacks) = run(Int.MaxValue.toString)
-    val (spillGot, spillFallbacks) = run("8")
+    // None = the auto default (round 14): the derived byte budget dwarfs
+    // this corpus, so the default path must stay on the heap
+    val (heapGot, heapFallbacks) = run(None)
+    val (spillGot, spillFallbacks) = run(Some("8"))
     assert(heapFallbacks == 0L,
       s"default path must stay on the heap, saw $heapFallbacks fallback tasks")
     assert(spillFallbacks > 0L,
@@ -175,6 +179,67 @@ class TopKLawsSpec extends SparkSpec {
         assert(got.exists(_._1.isEmpty), s"seed=$seed: corpus lost its null-key group")
       }
     }
+  }
+
+  // ---- auto budget (round 14) -------------------------------------------
+
+  test("auto budget derivation: fair-share formula, floor, and slot scaling") {
+    import graft.plans.TopKBudget
+    // the guaranteed execution fair share: pool / (2 x slots)
+    assert(TopKBudget.derivedPerTaskBytes(32L << 30, 32) == (32L << 30) / 64)
+    // floor at AutoMinBytes — tiny pools must not thrash the fallback
+    assert(TopKBudget.derivedPerTaskBytes(100L << 20, 32) == TopKBudget.AutoMinBytes)
+    // monotone in the pool, antitone in slot count
+    assert(TopKBudget.derivedPerTaskBytes(64L << 30, 8) >
+      TopKBudget.derivedPerTaskBytes(32L << 30, 8))
+    assert(TopKBudget.derivedPerTaskBytes(64L << 30, 16) <
+      TopKBudget.derivedPerTaskBytes(64L << 30, 8))
+    // degenerate slot counts are guarded
+    assert(TopKBudget.derivedPerTaskBytes(1L << 30, 0) == (1L << 30) / 2)
+  }
+
+  test("auto mode: the derived byte budget triggers the lossless fallback (sf100 scenario scaled via the test override)") {
+    // No explicit row conf — the plan runs in auto mode; the per-task byte
+    // budget is overridden down to 128 KB so the key-heavy corpus (the
+    // billion-distinct-key CDC shape, scaled) exceeds it mid-task.
+    val rng = new scala.util.Random(2024)
+    val rows = (0 until 5000).map(i => (rng.nextInt(2500), rng.nextInt(50), i.toLong))
+    val df = spark.createDataFrame(rows).toDF("key", "score", "id").repartition(5)
+    def run(): (Set[(Int, Int, Long)], Long) = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val out = TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 2)
+        val got = out.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+        val fallbacks = out.queryExecution.executedPlan.collect {
+          case t: TopKPerKeyExec => t.metrics("fallbackTasks").value
+        }.sum
+        (got, fallbacks)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val (want, cleanFallbacks) = run()
+    assert(cleanFallbacks == 0L, "un-starved auto mode must stay on the heap here")
+    spark.conf.set(GraftStrategies.TestPerTaskBytesKey, (128 * 1024).toString)
+    try {
+      val (got, fallbacks) = run()
+      assert(fallbacks > 0L,
+        "auto byte budget of 128 KB never drove a task onto the fallback")
+      assert(got == want,
+        s"auto fallback diverged: only-fallback ${got.diff(want).take(5)}, only-heap ${want.diff(got).take(5)}")
+    } finally spark.conf.unset(GraftStrategies.TestPerTaskBytesKey)
+  }
+
+  test("explicit budget that cannot fit the executor heap fails fast naming the knobs") {
+    val df = spark.createDataFrame(Seq((1, 1, 1L))).toDF("key", "score", "id")
+    val e = intercept[Throwable] {
+      withMaxRows("2000000000") { // 2e9 rows x ~88 B x 4 slots >> the test heap
+        TopK.perKey(df, Seq("key"), Seq("score" -> true, "id" -> true), 1).collect()
+      }
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(msgs.contains(GraftStrategies.MaxRowsKey), s"message misses the budget knob: $msgs")
+    assert(msgs.contains("spark.executor.memory"), s"message misses the memory knob: $msgs")
+    assert(msgs.contains("spark.sql.shuffle.partitions"), s"message misses the partition knob: $msgs")
   }
 
   test("fallback with forced DISK spills: identical results, real spill bytes observed") {
