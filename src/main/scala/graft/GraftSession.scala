@@ -63,6 +63,17 @@ object GraftSession {
       // the shingle-explode dedup pipelines.
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ANSI SQL mode is a SESSION CONTRACT, not an inherited default
+      // (round 14): every gated result is pinned under ANSI semantics —
+      // arithmetic overflow and bad casts fail LOUD instead of silently
+      // wrapping or nulling, which at 100 TB is the difference between a
+      // failed job and a wrong answer nobody notices. Spark 4 defaults
+      // ANSI on, but plenty of production clusters set
+      // spark.sql.ansi.enabled=false in spark-defaults.conf; this pin
+      // (plus the fail-fast check in getOrCreate, law-pinned by
+      // AnsiContractSpec) keeps a host cluster's override from silently
+      // changing query semantics under the engine.
+      .config("spark.sql.ansi.enabled", "true")
       // custom-operator planner strategies (TopKPerKey) — the same conf line
       // a cluster deployment puts in spark-defaults.conf
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -73,9 +84,18 @@ object GraftSession {
       .config("spark.sql.hive.thriftServer.singleSession", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Get-or-create a configured session and register graft SQL functions. */
+  /** Get-or-create a configured session and register graft SQL functions.
+    * Fails fast if the ANSI session contract could not be applied (see the
+    * builder's ansi pin) — a session with ANSI off would run every gated
+    * query under different arithmetic/cast semantics than the ones the
+    * oracle verified. */
   def getOrCreate(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
     val spark = builder(master, shufflePartitions).getOrCreate()
+    val ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    require(ansi == "true",
+      s"graft requires spark.sql.ansi.enabled=true (gated results are pinned under ANSI " +
+        s"semantics: overflow/bad casts fail loud instead of silently wrapping); this " +
+        s"session reads '$ansi' — remove the cluster override or set it back before use")
     spark.sparkContext.setLogLevel("WARN")
     functions.GraftFunctions.registerAll(spark)
     spark
