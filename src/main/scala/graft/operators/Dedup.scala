@@ -27,7 +27,11 @@ object Dedup {
     * shingle once. All codegen'd, no shuffle. */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("t"))
+    // Spread the narrow raw rows BEFORE the tokenize/shingle transform: the
+    // transform otherwise runs inside the scan stage — one task on a
+    // single-split input (guide §2.5; round 14, profiled single-task stages)
+    Spread.byKey(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
       .select(col("doc_id"), explode(col("ss")).as("shingle"))
 
@@ -147,6 +151,10 @@ object Dedup {
     // RAW corpus block membership exactly as uncollapsed (identical text
     // lands its whole cluster in one block).
     val (reps, memb) = collapseExact(docs, idCol, textCol)
+    // Round 14 note: a Spread.byKey before the normalize was tried and
+    // measured slower (1.6 -> 1.9s at sf0.1) — the downstream window keys
+    // on (pfx, lb) so the doc-keyed exchange buys nothing structural, and
+    // normalize alone is too cheap to amortize the extra exchange.
     val blocked = reps
       .select(col("doc_id").as("rep_id"), col("csize"),
         TextFunctions.normalize(col("text")).as("s"))
@@ -335,6 +343,12 @@ object Dedup {
     // 60-bit within-union md5 collision (~1e-10 corpus-wide). The
     // brute-force law in DedupLawsSpec compares against STRING-set jaccard
     // and stays green — the collision-free regime really is value-exact.
+    // Round 14 note: a Spread.byKey before this transform was tried and
+    // MEASURED SLOWER (2.3 -> 3.0s at sf0.1): inv0's three consumers prune
+    // different columns, so the transform recomputes per consumer either
+    // way, and the extra exchange + per-task overhead of three wide stages
+    // outweighed parallelizing a transform that is not the dominant cost
+    // here (the shingle self-join is).
     val inv0 = reps
       .select(col("doc_id"), col("csize"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("csize"),
@@ -460,12 +474,23 @@ object Dedup {
     // Jaccard can drift from string-set Jaccard only on a 60-bit md5
     // collision inside one pair's union (~27k-element universe ⇒
     // P ≈ 3e-10 corpus-wide).
-    val srows = reps
+    // Round 14 (guide §2.5/§2.4): spread the narrow raw rows before the
+    // tokenize/shingle/md5 transform — it otherwise runs inside the ONE-task
+    // scan stage of a single-split input (profiled 0.76 s serial here) —
+    // and pin tok's non-nullness EXPLICITLY: the candidate join pushes an
+    // isnotnull(tok) filter into ITS copy of this subtree while the arrs
+    // copy has none, so the two shared-exchange copies canonicalized
+    // differently and the transform executed twice (two 3.05 MB exchanges
+    // in the r14 before-plan). tok is provably non-null (md5 of non-null
+    // shingles), so the filter is a no-op that makes every copy identical —
+    // one execution + ReusedExchange for the rest.
+    val srows = Spread.salted(reps.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
       .select(col("doc_id"), explode(
         array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("tok"))
+      .filter(col("tok").isNotNull)
       .repartition(col("doc_id"))
     // shingles are distinct per doc (shinglesFromTokens dedups), so the
     // collected array IS the set and its length the set size
@@ -561,12 +586,16 @@ object Dedup {
     // Hashed shingle elements + shared doc-keyed exchange — same scheme
     // and same oracle-exactness argument as [[prefixJaccardPairs]] (the
     // contain oracle hashes identically before its all-pairs replay).
-    val srows = reps
+    // Spread + explicit isnotnull: same two round-14 fixes as
+    // [[prefixJaccardPairs]] (single-task transform stage; filter-pushdown
+    // divergence defeating the shared exchange's reuse).
+    val srows = Spread.salted(reps.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
       .select(col("doc_id"), explode(
         array_distinct(transform(col("ss"), e => TextFunctions.hash64(e)))).as("tok"))
+      .filter(col("tok").isNotNull)
       .repartition(col("doc_id"))
     val arrs = srows.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))
@@ -632,9 +661,12 @@ object Dedup {
     * like [[Multimodal]]. */
   def phash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val chars = docs
-      .select(col(idCol).as("doc_id"), length(col(textCol)).cast(LongType).as("len"),
-        posexplode(split(col(textCol), ""))).toDF("doc_id", "len", "p", "ch")
+    // spread before the per-character explode — the heaviest row transform
+    // in the family (one row per payload byte; guide §2.5, round 14)
+    val chars = Spread.byKey(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("len"),
+        posexplode(split(col("text"), ""))).toDF("doc_id", "len", "p", "ch")
       // empty/null payloads have no blocks (and `div len` must never see 0)
       .filter(col("len") > 0)
       .select(col("doc_id"), expr("p * 64 div len").as("blk"),
@@ -708,8 +740,12 @@ object Dedup {
   }
 
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(TextFunctions.tokens(TextFunctions.normalize(col(textCol)))).as("tok"))
+    // spread before the normalize/tokenize/md5 transform (round 14,
+    // guide §2.5 — single-split inputs run it one-task otherwise)
+    val toks = Spread.byKey(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
       .select(col("doc_id"), TextFunctions.hash64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1L).otherwise(0L)).as(s"c$b")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Scan-parallelism floor for CPU-heavy row transforms (optimization guide
+  * §2.5 "input skew — one huge unsplittable file … repartition immediately
+  * after the read", §2.2 map-task sizing).
+  *
+  * The expensive per-row work in the dedup/similarity pipelines — tokenize,
+  * shingle assembly, per-element md5, embedding subvector parses — runs in
+  * whatever stage CONTAINS it. When that stage is the parquet scan of a
+  * single-row-group file (every local sf table; at cluster scale any
+  * unsplittable or skewed input), the whole transform executes in ONE task
+  * regardless of cores: profiled 0.7–0.8 s single-task stages dominating
+  * ded_prefix/ded_contain at sf0.1 while 31 cores idled.
+  *
+  * [[byKey]] inserts one keyed exchange of the NARROW raw rows (ids + text,
+  * the cheapest bytes the pipeline ever shuffles) below the transform, with
+  * an explicit partition count so AQE's coalescer cannot fold the tiny
+  * byte volume back into one task (coalescing targets bytes; these stages
+  * are CPU-bound, not byte-bound). The count is scale-derived, never a
+  * local constant: max(defaultParallelism, spark.sql.shuffle.partitions) —
+  * cores on this deployment, or the operator-level width the cluster
+  * already configured, whichever is larger.
+  *
+  * Cost model at 100 TB: one extra shuffle of raw text per pipeline, which
+  * is 3–5x SMALLER than the exploded shingle/gram rows these pipelines
+  * already exchange — and it buys even distribution of the dominant CPU
+  * stage independent of input file layout/skew. Hash partitioning on the
+  * id key is deterministic (safe under retry/speculation, unlike
+  * rand-derived keys — guide §2.5).
+  */
+object Spread {
+
+  def partitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    math.max(spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+  }
+
+  /** Repartition `df` by `key` into an explicit scale-derived partition
+    * count, so everything composed above runs wide even when the input
+    * collapses to a single scan split. Use when downstream consumers WANT
+    * the key partitioning (windows / groupBys on `key` then need no further
+    * exchange). */
+  def byKey(df: DataFrame, key: String): DataFrame =
+    df.repartition(partitions(df), col(key))
+
+  /** [[byKey]] variant on a SALTED key (pmod(xxhash64(key), 64·n) — well
+    * over the 20-100x distinct-values-per-partition guideline of guide
+    * §2.5, and deterministic, never rand-derived). Use when the pipeline
+    * keeps its OWN `repartition(col(key))` above the transform as a shared
+    * multi-consumer exchange: spreading by `key` itself would make that
+    * exchange redundant (same partitioning) and the optimizer removes it,
+    * putting the transform back to once-per-consumer. The salt keeps the
+    * two partitionings distinct, so the shared exchange — and with it the
+    * exactly-once transform — survives. */
+  def salted(df: DataFrame, key: String): DataFrame = {
+    val n = partitions(df)
+    df.repartition(n, org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(col(key)),
+      org.apache.spark.sql.functions.lit(64L * n)))
+  }
+}

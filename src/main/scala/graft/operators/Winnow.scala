@@ -55,9 +55,15 @@ object Winnow {
     val gram = concat_ws(" ",
       col("tok") +: (1 until k).map(j => lead(col("tok"), j).over(byDoc)): _*)
     val ex = extra.map(col)
-    docs
-      .select(col(idCol).as("doc_id") +:
-        TextFunctions.tokens(TextFunctions.normalize(col(textCol))).as("t") +: ex: _*)
+    // Spread the narrow raw rows before normalize/tokenize (round 14, guide
+    // §2.5): the transform otherwise runs one-task inside a single-split
+    // scan stage, and the doc-keyed exchange this inserts ALSO satisfies
+    // byDoc's window distribution, so the gram/md5/window stage runs wide
+    // with no additional exchange.
+    Spread.byKey(docs.select(col(idCol).as("doc_id") +: col(textCol).as("__text") +: ex: _*),
+        "doc_id")
+      .select(col("doc_id") +:
+        TextFunctions.tokens(TextFunctions.normalize(col("__text"))).as("t") +: ex: _*)
       .filter(size(col("t")) >= k)
       .select(col("doc_id") +: size(col("t")).as("n") +: ex :+
         posexplode(col("t")).as(Seq("idx", "tok")): _*)
