@@ -57,6 +57,15 @@ object Clustering {
       // the node's previous label rides through the min-aggregate (own=1 rows
       // are exactly the old assignment, unique per node), so convergence is a
       // filter over the already-materialized result — not a join job
+      // Round-14 note: a pointer-jump variant (v also receives
+      // label(label(v)) via a self-join of the checkpointed labels) was
+      // measured here in three formulations: it does cut rounds 10 -> 6 on
+      // the sf0.1 rep graph, but each round gains the jump join's stages
+      // and the measured wall/job-count was flat to worse (71-76 jobs,
+      // 4.8-5.0 s -> 89 jobs, 5.5 s) — at this scale the loop is bounded
+      // by per-stage scheduling, not by round count. Kept as the simple
+      // O(diameter) form; the alternating large/small-star operator remains
+      // the adversarial-diameter escape hatch.
       val next = Lineage.truncate(
         labels.select(col("node"), col("label"), lit(1).as("own"))
           .unionByName(propagated)
@@ -129,13 +138,31 @@ object Clustering {
         .distinct()
     }
 
-    var converged = false
+    // Convergence probe (round 14): the loop's fixpoint is exactly a STAR
+    // FOREST — every edge (lo, hi) is root→leaf, i.e. no node has two
+    // parents (hi appearing twice) and no node is both child and parent
+    // (hi also appearing as lo). A star forest is a fixpoint of
+    // largeStar∘smallStar (roots are local minima since lo < hi per edge),
+    // and Kiveris et al. §3 show the fixpoint edge set is always a star
+    // forest — so probing the property BEFORE the round is equivalent to
+    // the old next==edges comparison, but costs ONE aggregation job over
+    // the checkpointed edges instead of two exceptAll set-differences plus
+    // a full extra large/small-star round that computes no change.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(explode(array(
+          struct(col("lo").as("node"), lit(0).as("child")),
+          struct(col("hi").as("node"), lit(1).as("child")))).as("r"))
+        .groupBy(col("r.node"))
+        .agg(sum(col("r.child")).as("nc"), count(lit(1)).as("n"))
+        // two parents, or child-and-parent (a chain) — either breaks a star
+        .filter(col("nc") > 1 || (col("nc") === 1 && col("n") > 1))
+        .isEmpty
+    var converged = isStarForest(edges)
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = Lineage.truncate(smallStar(largeStar(edges)))
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
-      edges = next
+      edges = Lineage.truncate(smallStar(largeStar(edges)))
       round += 1
+      converged = isStarForest(edges)
     }
     require(converged, s"connectedComponentsAlternating: no fixpoint after $maxRounds rounds")
     // fixpoint is a star forest: every non-root edge is (root, node)

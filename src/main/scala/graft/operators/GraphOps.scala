@@ -58,11 +58,12 @@ object GraphOps {
     * control-loop shape, no row data on the driver. */
   private def relaxToFixpoint(und: DataFrame, isSource: Column => Column,
                               cost: Column, maxRounds: Int): DataFrame = {
-    var d = Lineage.truncate(initialDistances(und, isSource))
+    val undM = Lineage.truncate(und) // see relaxBounded — one copy per round otherwise
+    var d = Lineage.truncate(initialDistances(undM, isSource))
     var converged = false
     var i = 0
     while (!converged && i < maxRounds) {
-      val next = Lineage.truncate(relaxRound(und, d, cost))
+      val next = Lineage.truncate(relaxRound(undM, d, cost))
       converged = next.alias("n").join(d.alias("p"), Seq("node"))
         .filter(!(col("n.dist") <=> col("p.dist"))).isEmpty
       d = next
@@ -82,13 +83,20 @@ object GraphOps {
 
   private def relaxBounded(und: DataFrame, isSource: Column => Column,
                            cost: Column, rounds: Int): DataFrame = {
-    val d0 = initialDistances(und, isSource)
+    // Truncate the edge input ONCE (round 14, guide §3.3/§7.3): every round
+    // references `und`, so a lazily composed loop embeds the caller's whole
+    // edge-derivation subtree per reference — the r14 graph_bfs before-plan
+    // carried 129 lineitem scans / 30 sort-merge joins, and ANALYSIS of
+    // that tree (not execution: AQE reuse deduplicates most of it at
+    // runtime) dominated the query as driver gap time.
+    val undM = Lineage.truncate(und)
+    val d0 = initialDistances(undM, isSource)
     val d =
       if (rounds <= LazyRoundLimit)
-        Iterator.iterate(d0)(relaxRound(und, _, cost)).drop(rounds).next()
+        Iterator.iterate(d0)(relaxRound(undM, _, cost)).drop(rounds).next()
       else
         (1 to rounds).foldLeft(Lineage.truncate(d0)) { (d, _) =>
-          Lineage.truncate(relaxRound(und, d, cost))
+          Lineage.truncate(relaxRound(undM, d, cost))
         }
     d.filter(col("dist").isNotNull)
   }
@@ -174,14 +182,15 @@ object GraphOps {
     * one `max(struct(cnt, -label))` keyed agg — no window). Every node in
     * the edge list has ≥ 1 neighbor by construction. Returns (node, label). */
   def lpa(und: DataFrame, rounds: Int): DataFrame = {
+    val undM = Lineage.truncate(und) // see relaxBounded — one copy per round otherwise
     def step(lab: DataFrame): DataFrame =
-      und.join(lab.withColumnRenamed("node", "a"), "a")
+      undM.join(lab.withColumnRenamed("node", "a"), "a")
         .groupBy(col("b"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("b").as("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-    val l0 = und.select(col("a").as("node")).distinct()
+    val l0 = undM.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     Iterator.iterate(l0)(step).drop(rounds).next()
   }
@@ -196,7 +205,12 @@ object GraphOps {
     * are orientation-invariant (GraphLawsSpec pins this against brute-force
     * triple enumeration on random hub/clique graphs). Returns
     * (node, n_tri) for nodes in ≥ 1 triangle. */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsTruncated(Lineage.truncate(edges))
+
+  /** [[triangleCounts]] over an ALREADY-truncated edge list (callers that
+    * truncate once and fan out, e.g. clusteringCoefficients). */
+  private def triangleCountsTruncated(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
@@ -224,10 +238,11 @@ object GraphOps {
     * with d < 2 are excluded (undefined denominator). Returns
     * (node, d, n_tri, coeff). */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("id"))
-      .unionAll(edges.select(col("v").as("id")))
+    val e = Lineage.truncate(edges) // one copy for the degree agg AND the triangle pass
+    val deg = e.select(col("u").as("id"))
+      .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val triCounts = triangleCounts(edges).withColumnRenamed("node", "id")
+    val triCounts = triangleCountsTruncated(e).withColumnRenamed("node", "id")
     deg.filter(col("d") >= 2)
       .join(triCounts, Seq("id"), "left")
       .select(col("id").as("node"), col("d"),
@@ -246,14 +261,15 @@ object GraphOps {
     * UNCAPPED. Existing edges drop via a keyed anti-join. Returns
     * (u, v, cn, jaccard); top-k/ordering is the caller's. */
   def jaccardLinkPred(edges: DataFrame, cap: Long): DataFrame = {
-    val und = undirect(edges)
+    val e = Lineage.truncate(edges) // referenced via und (x2 sides), deg, and the anti-join
+    val und = undirect(e)
     val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     val w1 = und.join(deg.filter(col("deg") <= cap).select(col("a")), Seq("a"))
     val cand = w1.select(col("a"), col("b").as("u"))
       .join(w1.select(col("a"), col("b").as("v")), Seq("a"))
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
-      .join(edges, Seq("u", "v"), "left_anti")
+      .join(e, Seq("u", "v"), "left_anti")
     cand
       .join(deg.select(col("a").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("a").as("v"), col("deg").as("dv")), Seq("v"))
@@ -270,7 +286,7 @@ object GraphOps {
     * a divide-by-zero (ANSI mode throws on a zero divisor). Returns one row
     * (n_dir_edges, assortativity). */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val und = undirect(edges)
+    val und = undirect(Lineage.truncate(edges))
     val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
     val ed = und
       .join(deg.select(col("id").as("a"), col("d").as("dx")), "a")
@@ -315,8 +331,9 @@ object GraphOps {
     * during DataFrame construction (before any action on the result). At
     * rounds ≤ 2 (the gated usage — rankings typically stabilize by then)
     * no job runs and the plan stays single-job. */
-  def hits(edges: DataFrame, rounds: Int): DataFrame = {
+  def hits(edges0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs at least one round, got $rounds")
+    val edges = Lineage.truncate(edges0) // see relaxBounded — 2 copies/round otherwise
     if (rounds >= 3) {
       val douts = edges.groupBy(col("src")).agg(count(lit(1)).as("dout"))
       val dins = edges.groupBy(col("dst")).agg(count(lit(1)).as("din"))
@@ -362,9 +379,11 @@ object GraphOps {
     * truncating analog of dropping dangling mass. Parallel edges count in
     * both the degree and the contribution, as multigraph semantics
     * require. Returns (id, r). */
-  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    val withDeg = edges.join(
-      edges.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+  def pageRank(nodes0: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val nodes = Lineage.truncate(nodes0) // referenced per unrolled round
+    val e = Lineage.truncate(edges) // see relaxBounded — per-round copies otherwise
+    val withDeg = Lineage.truncate(e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     def step(ranks: DataFrame): DataFrame = {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
