@@ -47,6 +47,22 @@ object Spread {
   def byKey(df: DataFrame, key: String): DataFrame =
     df.repartition(partitions(df), col(key))
 
+  /** CONDITIONAL [[byKey]]: repartition only when the plan's actual scan
+    * parallelism is below the session's core count — the "repartition
+    * immediately after the read" rule of guide §2.5 applied exactly when
+    * its precondition (an unsplittable/collapsed input) holds. At cluster
+    * scale a large input has thousands of splits and this is a NO-OP (no
+    * exchange added, no bytes moved); on a single-row-group file — every
+    * local sf table — it spreads the rows so a CPU-heavy projection above
+    * it can use the machine. The probe (`rdd.getNumPartitions`) plans the
+    * subtree without executing it. Use for expensive per-row projections;
+    * NOT for aggregations, where shuffling rows below a partial aggregate
+    * is the §2.3 anti-pattern at any scale. */
+  def ifNarrow(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, cores / 2)) byKey(df, key) else df
+  }
+
   /** [[byKey]] variant on a SALTED key (pmod(xxhash64(key), 64·n) — well
     * over the 20-100x distinct-values-per-partition guideline of guide
     * §2.5, and deterministic, never rand-derived). Use when the pipeline

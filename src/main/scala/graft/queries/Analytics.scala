@@ -333,7 +333,7 @@ object Analytics {
     * 15s at sf0.1; the production-shaped carve-outs keep every NULL path
     * exercised (the gate counts each) at per-row arithmetic cost. */
   def fnTry(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_orderkey")
       .select(col("l_returnflag"),
         // rare zero denominator (double division — the gate counts the NULL
         // path, and a BigDecimal divide per row would dominate the bench)

@@ -130,7 +130,7 @@ object Coverage {
   }
 
   def condCaseCast(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    graft.operators.Spread.ifNarrow(Tables.events(spark, dir), "event_id")
       .select(col("event_id"),
         when(col("value") > 20, "high").when(col("value") > 5, "mid").otherwise("low").as("band"),
         col("event_type").try_cast(IntegerType).as("bad_cast"),
@@ -1393,7 +1393,14 @@ object Coverage {
     * per input row, pipelined inside the scan stage), then aggregate.
     * Oracle uses the portable UNION ALL formulation. */
   def aggUnpivot(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // ifNarrow (round 14): the 4x row expansion + decimal partial agg ran
+    // one-task in the scan stage; the partial aggregation still runs ABOVE
+    // this exchange (per-task reduction to one row per metric), so no
+    // pre-aggregation rows are shuffled that a wide scan would not shuffle
+    graft.operators.Spread.ifNarrow(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "l_orderkey")
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),

@@ -64,7 +64,8 @@ object Curation {
     * (no shuffle); the top-gram mass needs occurrence counts, so it is two
     * keyed aggregations — (doc, gram) then (doc) — linear at any scale. */
   def txtQuality(spark: SparkSession, dir: String): DataFrame = {
-    val staged = Tables.documents(spark, dir)
+    val staged = graft.operators.Spread.ifNarrow(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         size(col("t")).cast(LongType).as("n_tokens"),
@@ -118,6 +119,8 @@ object Curation {
     * so counts and the redacted fingerprint are value-checked. Per-row
     * regex work only: codegen'd, shuffle-free, linear at 100 TB. */
   def txtPii(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.operators.Spread.ifNarrow(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
     val id = col("doc_id")
     val aug = concat(col("text"),
       when(id % 3 === 0,
@@ -1237,7 +1240,8 @@ object Curation {
     * docstring bound (N_s·n_t ≤ N_s²); beyond that, rescale to per-million
     * counts before the ratio. */
   def curDsir(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.operators.Spread.ifNarrow(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")), "doc_id")
       .select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))
       .select(col("doc_id"), col("lang"),
@@ -1354,7 +1358,8 @@ object Curation {
     * Pure per-row column arithmetic: no shuffle, no UDF. */
   def txtReadability(spark: SparkSession, dir: String): DataFrame = {
     val norm = TextFunctions.normalize(col("text"))
-    Tables.documents(spark, dir)
+    graft.operators.Spread.ifNarrow(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
         size(TextFunctions.tokens(norm)).cast(LongType).as("n_words"),
         greatest(expr("regexp_count(text, '[.!?]+')"), lit(1L)).as("n_sentences"),

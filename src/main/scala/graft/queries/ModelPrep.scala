@@ -75,7 +75,8 @@ object ModelPrep {
     * oracle's sequential list_reduce left fold; a plain SUM would be
     * partition-order-dependent in Spark and segment-tree-shaped in DuckDB. */
   def txtLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = graft.operators.Spread.ifNarrow(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
     val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))

@@ -32,7 +32,11 @@ object Tpch {
     * scan → filter → two-phase hash agg (8 groups, tiny shuffle) → sort.
     */
   def q1(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+    // ifNarrow (round 14, guide §2.5): the decimal partial aggregation ran
+    // one-task inside the single-split scan stage; keyed on l_shipdate (a
+    // column the query already reads, so pruning is unchanged); no-op when
+    // the scan is wide. The partial agg still runs above the exchange.
+    val l = graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_shipdate")
     val disc = oneMinus(col("l_discount"))
     val tax = onePlus(col("l_tax"))
     l.filter(col("l_shipdate") <= ts("1998-09-02"))
@@ -202,7 +206,7 @@ object Tpch {
     val n2 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
     Tables.supplier(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_orderkey"), col("s_suppkey") === col("l_suppkey"))
       .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
@@ -279,7 +283,7 @@ object Tpch {
   def q9(spark: SparkSession, dir: String): DataFrame = {
     val amount = (rev() - dec(col("p_retailprice")) * dec(col("l_quantity"))).as("amount")
     Tables.part(spark, dir).filter(col("p_name").like("%red%"))
-      .join(Tables.lineitem(spark, dir), col("p_partkey") === col("l_partkey"))
+      .join(graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_orderkey"), col("p_partkey") === col("l_partkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
