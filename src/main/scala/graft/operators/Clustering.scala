@@ -193,7 +193,13 @@ object Clustering {
   def assignClustersSimhash(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int): DataFrame = {
     val (repPairs, memb, _) = Dedup.simhashRepPairs(docs, idCol, textCol, maxHamming)
-    val labels = connectedComponents(repPairs, "rep_a", "rep_b")
+    // Round 15: alternating star-contraction instead of min-label
+    // propagation — the sf0.1 rep graph needed ~10 propagation rounds
+    // (chained near-dups), and each round costs a fixed planning/scheduling
+    // floor locally and a full |edges| join at scale; the alternating form
+    // is O(log n) rounds with identical labels (component minimum,
+    // spec-asserted equal on random graphs).
+    val labels = connectedComponentsAlternating(repPairs, "rep_a", "rep_b")
     sizeAndFlag(memb
       .join(labels.withColumnRenamed("node", "rep_id"), Seq("rep_id"), "left")
       .select(col("member_id").as("doc_id"),

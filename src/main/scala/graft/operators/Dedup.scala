@@ -30,7 +30,7 @@ object Dedup {
     // Spread the narrow raw rows BEFORE the tokenize/shingle transform: the
     // transform otherwise runs inside the scan stage — one task on a
     // single-split input (guide §2.5; round 14, profiled single-task stages)
-    Spread.byKey(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
+    Spread.byKeyHeavy(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"), TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
       .select(col("doc_id"), explode(col("ss")).as("shingle"))
@@ -484,7 +484,7 @@ object Dedup {
     // in the r14 before-plan). tok is provably non-null (md5 of non-null
     // shingles), so the filter is a no-op that makes every copy identical —
     // one execution + ReusedExchange for the rest.
-    val srows = Spread.salted(reps.select(col("doc_id"), col("text")), "doc_id")
+    val srows = Spread.saltedHeavy(reps.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
@@ -589,7 +589,7 @@ object Dedup {
     // Spread + explicit isnotnull: same two round-14 fixes as
     // [[prefixJaccardPairs]] (single-task transform stage; filter-pushdown
     // divergence defeating the shared exchange's reuse).
-    val srows = Spread.salted(reps.select(col("doc_id"), col("text")), "doc_id")
+    val srows = Spread.saltedHeavy(reps.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextFunctions.shinglesFromTokens(col("t"), shingleK).as("ss"))
@@ -659,30 +659,68 @@ object Dedup {
     * image near-dup primitive (crops/brightness shifts flip few blocks);
     * with the container's decoders stubbed, payload = utf-8 bytes, exactly
     * like [[Multimodal]]. */
-  def phash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // spread before the per-character explode — the heaviest row transform
-    // in the family (one row per payload byte; guide §2.5, round 14)
-    val chars = Spread.byKey(
-        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("len"),
-        posexplode(split(col("text"), ""))).toDF("doc_id", "len", "p", "ch")
-      // empty/null payloads have no blocks (and `div len` must never see 0)
-      .filter(col("len") > 0)
-      .select(col("doc_id"), expr("p * 64 div len").as("blk"),
-        ascii(col("ch")).cast(LongType).as("s"))
-    val blocks = chars.groupBy(col("doc_id"), col("blk"))
-      .agg(sum(col("s")).as("sb"), count(lit(1)).as("cb"))
-    val w = Window.partitionBy(col("doc_id"))
-    blocks
-      .withColumn("st", sum(col("sb")).over(w))
-      .withColumn("nt", sum(col("cb")).over(w))
-      .select(col("doc_id"),
-        when(col("sb") * col("nt") > col("st") * col("cb"),
-          expr("shiftleft(1L, cast(blk as int))")).otherwise(0L).as("bit"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bit")).as("phash"))
+  /** One-pass block-mean signature, the exact integer arithmetic of the
+    * previous column pipeline (posexplode(split(text,'')) → ascii per char
+    * → groupBy(doc,blk) sums → per-doc window totals → bit fold) evaluated
+    * in a single compiled loop per document:
+    *  - position p (code point index), block blk = p·64 div len,
+    *  - s = Spark `ascii` of the character = its Unicode CODE POINT
+    *    (spec-pinned against the old formula on multi-byte payloads —
+    *    Spark 4's Ascii matches DuckDB's, full code point, not the first
+    *    UTF-8 byte),
+    *  - bit b set iff s_b·N > S·c_b over exact Longs.
+    * [[OperatorsSpec]] pins bit-equality against the old column formula on
+    * ASCII, Latin-1, multi-byte and supplementary-plane payloads. */
+  private val phashSignature = udf { text: String =>
+    val utf16 = text.length
+    var n = 0L // code points == old length(text) == old explode row count
+    var i = 0
+    while (i < utf16) { n += 1; i += Character.charCount(text.codePointAt(i)) }
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var st = 0L
+    var p = 0L
+    i = 0
+    while (i < utf16) {
+      val cp = text.codePointAt(i)
+      val s = cp.toLong
+      val blk = ((p * 64L) / n).toInt
+      sums(blk) += s
+      counts(blk) += 1L
+      st += s
+      p += 1L
+      i += Character.charCount(cp)
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (sums(b) * n > st * counts(b)) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
+
+  def phash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Map-only form (round 15, guide §1.2 "the distributed algorithm"):
+    // the per-character posexplode produced one row per payload byte and
+    // fed a groupBy(doc,blk) exchange + per-doc window + final groupBy — a
+    // len-fold row blowup that materialized the whole split array (len
+    // tiny UTF8Strings, ~50 MB in flight per MB of payload) in every task;
+    // 32 such concurrent tasks thrashed one local heap (driver-measured
+    // 7.76 s at local[32] vs 0.80 s at 8 cores, scaling ratio 0.10). The
+    // signature is a pure per-document function, so it now evaluates as
+    // one compiled O(len) loop inside the scan stage: no explode, no
+    // exchange, no window, no per-task state beyond the row in flight.
+    // (An exchange-free higher-order-function form was tried first and
+    // measured 31.7 s at sf0.1 — interpreted per-character lambdas — vs
+    // ~0.1 s for the compiled loop.) Scan-stage placement keeps the work
+    // split-parallel at scale; no Spread floor is needed because the
+    // per-row cost is proportional to payload bytes, exactly what file
+    // splits already balance.
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      // empty/null payloads have no blocks (and `div len` must never see 0)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), phashSignature(col("text")).as("phash"))
 
   /** Perceptual-hash near-dup pairs: 4×16-bit chunk banding (docs sharing
     * any chunk become candidates — the simhash candidate scheme, which the
@@ -741,8 +779,9 @@ object Dedup {
 
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // spread before the normalize/tokenize/md5 transform (round 14,
-    // guide §2.5 — single-split inputs run it one-task otherwise)
-    val toks = Spread.byKey(
+    // guide §2.5 — single-split inputs run it one-task otherwise; round 15:
+    // memory-bounded width, see Spread.heavyPartitions)
+    val toks = Spread.byKeyHeavy(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text")), "doc_id")
       .select(col("doc_id"),
         explode(TextFunctions.tokens(TextFunctions.normalize(col("text")))).as("tok"))

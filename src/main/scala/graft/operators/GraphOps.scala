@@ -328,9 +328,12 @@ object GraphOps {
     * mid-round (the bound is worst-case, not a predictor — scores only
     * reach it when mass concentrates, so a hard require over-rejects).
     * NOTE: at rounds ≥ 3 this advisory check runs an EAGER degree-join job
-    * during DataFrame construction (before any action on the result). At
-    * rounds ≤ 2 (the gated usage — rankings typically stabilize by then)
-    * no job runs and the plan stays single-job. */
+    * during DataFrame construction (before any action on the result).
+    * Since round 14 the edge-input `Lineage.truncate` below is itself an
+    * eager localCheckpoint job at EVERY rounds value, so construction is
+    * never job-free; at rounds ≤ 2 the checkpoint is the only
+    * construction-time job (ADVICE r14 — the old single-job/no-eager-work
+    * claim predated the truncate). */
   def hits(edges0: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"hits needs at least one round, got $rounds")
     val edges = Lineage.truncate(edges0) // see relaxBounded — 2 copies/round otherwise

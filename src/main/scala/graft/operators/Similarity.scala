@@ -398,7 +398,7 @@ object Similarity {
     // of a single-split corpus (profiled 0.4-0.5 s per iteration), and the
     // vec_id partitioning also satisfies the assignment window's
     // distribution; the exchange is reused across iterations.
-    val spreadCorpus = Spread.byKey(
+    val spreadCorpus = Spread.byKeyHeavy(
       corpus.select(col("vec_id"), col("embedding")), "vec_id")
     for (_ <- 1 to iters) {
       val aw = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("cell_id"))
@@ -474,7 +474,7 @@ object Similarity {
     // spread before the subvector explode (round 14, guide §2.5): subs has
     // several consumers (codebook seed + two assignment passes), each
     // recomputing the parse — wide after the spread instead of one-task
-    val subs = Spread.byKey(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+    val subs = Spread.byKeyHeavy(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"),
       explode(array((0 until nSub).map { m =>
         struct(lit(m).as("m"),

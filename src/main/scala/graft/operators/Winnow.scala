@@ -60,7 +60,7 @@ object Winnow {
     // scan stage, and the doc-keyed exchange this inserts ALSO satisfies
     // byDoc's window distribution, so the gram/md5/window stage runs wide
     // with no additional exchange.
-    Spread.byKey(docs.select(col(idCol).as("doc_id") +: col(textCol).as("__text") +: ex: _*),
+    Spread.byKeyHeavy(docs.select(col(idCol).as("doc_id") +: col(textCol).as("__text") +: ex: _*),
         "doc_id")
       .select(col("doc_id") +:
         TextFunctions.tokens(TextFunctions.normalize(col("__text"))).as("t") +: ex: _*)

@@ -137,7 +137,10 @@ object Curation {
         regexp_replace(aug, EmailRe, "[EMAIL]"),
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
-    Tables.documents(spark, dir)
+    // Round 15 (ADVICE r14): the query now actually builds from `base` —
+    // the r14 spread was declared but the body still read the raw table,
+    // leaving the 6-regex-per-row projection on the single scan split.
+    base
       .select(col("doc_id"),
         regexp_count(aug, lit(EmailRe)).cast(LongType).as("n_emails"),
         regexp_count(aug, lit(PhoneRe)).cast(LongType).as("n_phones"),

@@ -205,8 +205,12 @@ object Tpch {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(spark, dir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    // Round 15: r14's Spread.ifNarrow on lineitem reverted here too — it
+    // measured flat on the driver (0.756 s with, same without), and like q9
+    // the l_orderkey exchange feeds a broadcast-probe join that derives no
+    // benefit from the partitioning.
     Tables.supplier(spark, dir)
-      .join(graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_orderkey"), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
       .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
@@ -282,8 +286,12 @@ object Tpch {
     * p_retailprice as the cost basis). */
   def q9(spark: SparkSession, dir: String): DataFrame = {
     val amount = (rev() - dec(col("p_retailprice")) * dec(col("l_quantity"))).as("amount")
+    // Round 15: the r14 Spread.ifNarrow on lineitem here is REVERTED — the
+    // exchange was keyed on l_orderkey under a p_partkey broadcast-probe
+    // join, so no downstream consumer wanted the partitioning and the
+    // driver measured 0.75x (the same evidence that reverted q5/q8/q21).
     Tables.part(spark, dir).filter(col("p_name").like("%red%"))
-      .join(graft.operators.Spread.ifNarrow(Tables.lineitem(spark, dir), "l_orderkey"), col("p_partkey") === col("l_partkey"))
+      .join(Tables.lineitem(spark, dir), col("p_partkey") === col("l_partkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))

@@ -156,6 +156,14 @@ class ConstrainedMemorySpec extends AnyFunSuite with BeforeAndAfterAll {
   private def runLeg(offHeap: Boolean): LegResult = {
     val b = GraftSession.builder("local[4]", 8)
       .config("spark.memory.fraction", "0.05")
+      // Pin the pool arithmetic to a fixed 8 GiB system size: both Spark's
+      // UnifiedMemoryManager and TopKPerKey.unifiedPoolBytes read
+      // spark.testing.memory before Runtime.maxMemory, so the starved-pool
+      // condition (auto budget < 700k retained rows) no longer depends on
+      // the forked JVM's -Xmx (SPARK_DRIVER_MEM varies across hosts; a
+      // larger heap moved the derived budget past the retention and the
+      // fallback assertion went red on the driver host, round 14).
+      .config("spark.testing.memory", String.valueOf(8L << 30))
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "16384")
     val bb = if (offHeap)
       b.config("spark.memory.offHeap.enabled", "true")

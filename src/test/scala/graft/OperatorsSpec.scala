@@ -500,6 +500,55 @@ class OperatorsSpec extends SparkSpec {
     assert(sigs1 === sigs7)
   }
 
+  test("phash compiled loop is bit-identical to the explode/window column formula") {
+    // Round 15: Dedup.phash became one compiled per-doc loop. Pin bit
+    // equality against the ORIGINAL column pipeline (posexplode + ascii +
+    // groupBy + window) on payloads that exercise every branch of the
+    // UTF-8 first-byte arithmetic Spark's `ascii` uses: pure ASCII,
+    // Latin-1 (2-byte), BMP multi-byte (3-byte), supplementary plane
+    // (4-byte), strings shorter/longer than 64 blocks, a 1-char payload,
+    // and empties/nulls (dropped by both).
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val payloads: Seq[(Long, String)] = Seq(
+      1L -> ("the quick brown fox " * 40).trim,
+      2L -> "café naïve résumé über " * 12,
+      3L -> "你好世界 mixed €✓ text " * 9,
+      4L -> (new String(Character.toChars(0x1F600)) * 70 + " tail"),
+      5L -> "x",
+      6L -> "short",
+      7L -> "",
+      8L -> null,
+      9L -> ("block boundary " * 5).take(63),
+      10L -> ("block boundary " * 5).take(65))
+    val d = spark.createDataFrame(payloads).toDF("doc_id", "text")
+    def reference(docs: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val chars = docs
+        .select(col("doc_id"), length(col("text")).cast(LongType).as("len"),
+          posexplode(split(col("text"), ""))).toDF("doc_id", "len", "p", "ch")
+        .filter(col("len") > 0)
+        .select(col("doc_id"), expr("p * 64 div len").as("blk"),
+          ascii(col("ch")).cast(LongType).as("s"))
+      val blocks = chars.groupBy(col("doc_id"), col("blk"))
+        .agg(sum(col("s")).as("sb"), count(lit(1)).as("cb"))
+      val w = Window.partitionBy(col("doc_id"))
+      blocks
+        .withColumn("st", sum(col("sb")).over(w))
+        .withColumn("nt", sum(col("cb")).over(w))
+        .select(col("doc_id"),
+          when(col("sb") * col("nt") > col("st") * col("cb"),
+            expr("shiftleft(1L, cast(blk as int))")).otherwise(0L).as("bit"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("bit")).as("phash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val want = reference(d)
+    val got = Dedup.phash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(!got.contains(7L) && !got.contains(8L), "empty/null payloads have no signature")
+  }
+
   test("KMV minima are partition-invariant and the estimator is within the sketch bound") {
     // 1000 distinct values through the same md5-derived hash the query uses
     import graft.functions.TextFunctions
