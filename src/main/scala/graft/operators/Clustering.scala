@@ -128,12 +128,19 @@ object Clustering {
       // orient toward the larger endpoint: u = hi, Γ⁻(u) = smaller neighbors
       val dir = e.select(col("hi").as("u"), col("lo").as("v"))
       val m = dir.groupBy(col("u")).agg(min(col("v")).as("m")) // all v < u
+      // Round 15: both output branches — smaller neighbors attach to the
+      // min, and u itself attaches to the min — come from ONE evaluation of
+      // the dir⋈m join via a two-struct explode (the union of two selects
+      // re-executed the join per branch), and the branch-level distinct is
+      // dropped because the final distinct subsumes it. One join + one
+      // exchange fewer per round.
       dir.join(m, Seq("u"))
-        .select(col("v"), col("m"))
-        .filter(col("v") =!= col("m")) // smaller neighbors attach to the min...
-        .select(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"))
-        .unionByName(dir.join(m, Seq("u"))
-          .select(col("m").as("lo"), col("u").as("hi")).distinct()) // ...and u itself
+        .select(explode(array(
+          struct(least(col("v"), col("m")).as("lo"), greatest(col("v"), col("m")).as("hi"),
+            (col("v") =!= col("m")).as("keep")),
+          struct(col("m").as("lo"), col("u").as("hi"), lit(true).as("keep")))).as("r"))
+        .filter(col("r.keep"))
+        .select(col("r.lo").as("lo"), col("r.hi").as("hi"))
         .filter(col("lo") =!= col("hi"))
         .distinct()
     }

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types._
 object Dedup {
 
   /** Exact dedup: group by md5 of normalized text, keep the minimum id as
-    * canonical. One shuffle on the content hash — scales linearly. */
+    * canonical. One shuffle on the content hash — scales linearly.
+    * Round 15 note: an ifNarrow spread before the normalize+md5 projection
+    * was tried (the projection runs single-task inside a one-split scan)
+    * and MEASURED SLOWER everywhere (ded_exact 0.35 -> 0.53 s, cur_funnel
+    * 0.97 -> 1.38 s, cur_funnel2 2.92 -> 3.04 s at sf0.1): shuffling the
+    * text payload + the probe job cost more than the serial projection.
+    * Kept exchange-free — the text never shuffles. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), md5(TextFunctions.normalize(col(textCol)).cast(BinaryType)).as("content_hash"))
       .groupBy(col("content_hash"))
@@ -347,14 +353,28 @@ object Dedup {
     // MEASURED SLOWER (2.3 -> 3.0s at sf0.1): inv0's three consumers prune
     // different columns, so the transform recomputes per consumer either
     // way, and the extra exchange + per-task overhead of three wide stages
-    // outweighed parallelizing a transform that is not the dominant cost
-    // here (the shingle self-join is).
-    val inv0 = reps
-      .select(col("doc_id"), col("csize"), TextFunctions.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("csize"),
-        TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
-      .select(col("doc_id"), col("csize"), explode(
-        array_distinct(transform(col("ss"), e => shingleHash(e)))).as("shingle"))
+    // outweighed parallelizing a transform that is not the dominant cost.
+    // Round 15 (guide §1.2 / §2.1 — don't compute things twice): profiled
+    // at sf0.1, the tokenize/shingle/md5 transform ran FOUR times as
+    // ~0.75 s single-task stages (sizes agg, df agg, and both join
+    // consumers' map sides) — 3.0 s of the query's 4.5 s task time. The
+    // index is now materialized ONCE via Lineage.truncate (same per-run
+    // localCheckpoint mechanism the graph fixpoints use — recomputed every
+    // run, nothing persists across runs), built wide behind a
+    // memory-bounded spread so the single materialization uses the
+    // machine. All four consumers then read the checkpointed rows. At
+    // 100 TB this is the standard materialize-the-inverted-index call:
+    // the index is 24 B/row versus a ~4x recompute of the full token
+    // stream, and reliable-checkpoint mode (Lineage.ReliableKey) keeps it
+    // fault-tolerant on a real cluster.
+    val inv0 = Lineage.truncate(
+      Spread.byKeyHeavy(
+          reps.select(col("doc_id"), col("csize"), col("text")), "doc_id")
+        .select(col("doc_id"), col("csize"), TextFunctions.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("csize"),
+          TextFunctions.shinglesFromTokens(col("t"), k).as("ss"))
+        .select(col("doc_id"), col("csize"), explode(
+          array_distinct(transform(col("ss"), e => shingleHash(e)))).as("shingle")))
     // shingles are distinct per doc, so |shingle set| = exploded row count
     // (true set sizes, counted before stop-shingle removal)
     val sizes = inv0.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -540,6 +560,13 @@ object Dedup {
       .join(arrs.select(col("doc_id").as("rep_a"), col("toks").as("ta")), Seq("rep_a"))
       .join(arrs.select(col("doc_id").as("rep_b"), col("toks").as("tb")), Seq("rep_b"))
       .select(col("rep_a"), col("rep_b"),
+        // Round 15 note: a compiled two-pointer merge-intersect UDF over
+        // these sorted distinct arrays was tried here and in
+        // containmentPairs and MEASURED MUCH SLOWER (ded_prefix 2.9 -> 6.5 s,
+        // ded_contain 2.2 -> 3.7 s at sf0.1, plan byte-identical): the
+        // Seq[Long] bridge boxes every array element per candidate pair,
+        // which dwarfs array_intersect's unboxed hash-set build. Kept as
+        // the codegen'd built-in.
         size(array_intersect(col("ta"), col("tb"))).as("inter"),
         size(col("ta")).as("na"), size(col("tb")).as("nb"))
       .select(col("rep_a"), col("rep_b"),
@@ -634,6 +661,8 @@ object Dedup {
       .join(arrs.select(col("doc_id").as("rep_a"), col("toks").as("ta")), Seq("rep_a"))
       .join(arrs.select(col("doc_id").as("rep_b"), col("toks").as("tb")), Seq("rep_b"))
       .select(col("rep_a"), col("rep_b"),
+        // array_intersect kept — a merge-intersect UDF measured slower
+        // (boxing); see prefixJaccardPairs round-15 note
         size(array_intersect(col("ta"), col("tb"))).as("i"), size(col("ta")).as("na"))
       .filter(col("i") * tDen >= col("na") * tNum)
       .select(col("rep_a"), col("rep_b"),

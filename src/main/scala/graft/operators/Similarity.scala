@@ -202,8 +202,15 @@ object Similarity {
     * the join is NULL-SAFE because groupBy puts NULL embeddings in a group
     * but a plain equi-join would silently drop their rows. */
   private def collapseVectors(corpus: DataFrame): DataFrame = {
-    val grp = corpus.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
-    corpus.select(col("vec_id"), col("embedding")).alias("c")
+    // Round 15: explicit memory-bounded exchange on the join/group key —
+    // AQE otherwise coalesces the embedding-keyed exchanges to 2 partitions
+    // on tiny bytes while the array-equality sort-merge is CPU-bound
+    // (profiled 0.54 s 2-task stages inside cur_funnel2); the one explicit
+    // exchange is shared by the groupBy and both join sides.
+    val keyed = Spread.byKeyHeavy(
+      corpus.select(col("vec_id"), col("embedding")), "embedding")
+    val grp = keyed.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep_id"))
+    keyed.alias("c")
       .join(grp.alias("g"), col("c.embedding") <=> col("g.embedding"))
       .select(col("c.vec_id"), col("c.embedding"), col("g.rep_id"))
   }
@@ -231,9 +238,19 @@ object Similarity {
     val reps = memb.filter(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("embedding"))
     // centroids still come from the FULL corpus (vec_id < nCells), so the
-    // assignment is byte-identical to the uncollapsed form
-    val asg = nearestCells(withNorm(reps, "corpus_id", "c_vec"), "corpus_id", "c_vec", 1,
-      seedCentroids(corpus, nCells))
+    // assignment is byte-identical to the uncollapsed form.
+    // Round 15 (guide §2.1): asg has THREE consumers (both sides of the
+    // cell pair join and repFlag), and each re-ran the k-way cosine
+    // assignment — profiled as ~0.6 s 2-task stages ×3 at sf0.1 (the
+    // collapse groupBy's exchange coalesces to 2 partitions on tiny bytes
+    // while the cosine work is CPU-bound). One per-run localCheckpoint
+    // computes the assignment once; the checkpointed rows feed all three.
+    // byKeyHeavy widens the (CPU-bound) cosine stage itself for the single
+    // materialization — without it the assignment runs at the coalesced
+    // 2-partition width of the collapse exchange.
+    val asg = Lineage.truncate(
+      nearestCells(withNorm(Spread.byKeyHeavy(reps, "vec_id"), "corpus_id", "c_vec"),
+        "corpus_id", "c_vec", 1, seedCentroids(corpus, nCells)))
     val a = asg.select(col("cell_id"), col("corpus_id").as("id_a"),
       col("c_vec").as("emb_a"), col("corpus_id_norm").as("norm_a"))
     val b = asg.select(col("cell_id"), col("corpus_id").as("id_b"),

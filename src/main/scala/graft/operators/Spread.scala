@@ -105,6 +105,20 @@ object Spread {
     if (df.rdd.getNumPartitions < math.max(2, cores / 2)) byKey(df, key) else df
   }
 
+  /** [[ifNarrow]] at [[heavyPartitions]] width (round 15): for conditional
+    * spreads whose downstream stages fan out into several shuffled
+    * consumers — full core width multiplies every consumer stage's
+    * task-launch/sort overhead by the width, which dominates when the
+    * per-task work is small (txt_lmscore measured 1.18 s at width 32 vs
+    * 0.49 s at width 8 on the same 32-core host). Same exchange-free-input
+    * precondition as ifNarrow. */
+  def ifNarrowHeavy(df: DataFrame, key: String): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, cores / 2))
+      df.repartition(heavyPartitions(df), col(key))
+    else df
+  }
+
   /** [[byKey]] variant on a SALTED key (pmod(xxhash64(key), 64·n) — well
     * over the 20-100x distinct-values-per-partition guideline of guide
     * §2.5, and deterministic, never rand-derived). Use when the pipeline

@@ -288,7 +288,17 @@ object Coverage {
     val dec38 = DecimalType(38, 0)
     val xc = (dec(col("l_quantity")) * 100).cast(LongType)
     val yc = (dec(col("l_extendedprice"), 14, 2) * 100).cast(LongType)
-    Tables.lineitem(spark, dir)
+    // Round 15 (guide §2.5 conditional floor): the decimal-moment partial
+    // aggregation otherwise runs inside the 3-split scan stage (profiled
+    // 0.84 s with 29 idle cores; PERF_r14 anti-scaling 0.69). The spread is
+    // keyed on high-cardinality l_orderkey so the partial agg above it runs
+    // core-wide; at cluster scale the scan has thousands of splits and
+    // ifNarrow is a structural no-op, so this never becomes the §2.3
+    // shuffle-below-partial-agg anti-pattern where it matters.
+    graft.operators.Spread.ifNarrow(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+            col("l_orderkey")), "l_orderkey")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         sum(xc.cast(dec38)).as("sx"), sum(yc.cast(dec38)).as("sy"),
@@ -420,7 +430,13 @@ object Coverage {
       |ORDER BY l_returnflag""".stripMargin
 
   def aggRollup(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir)
+    // Round 15: same conditional floor as aggRegr — the 3x Expand + decimal
+    // partial agg ran inside the 3-split scan stage (PERF_r14 anti-scaling
+    // 0.73); spread by l_orderkey parallelizes it, no-op at cluster scale.
+    graft.operators.Spread.ifNarrow(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+            col("l_orderkey")), "l_orderkey")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), d(sum(dec(col("l_quantity")))).as("sum_qty"),
         grouping(col("l_returnflag")).cast(LongType).as("g_rf"),

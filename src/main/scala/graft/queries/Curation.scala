@@ -1243,6 +1243,10 @@ object Curation {
     * docstring bound (N_s·n_t ≤ N_s²); beyond that, rescale to per-million
     * counts before the ratio. */
   def curDsir(spark: SparkSession, dir: String): DataFrame = {
+    // Round 15 note: ifNarrowHeavy was tried here (toks fans out into two
+    // shuffled consumers) and measured flat-to-worse (1.16 -> 1.24-1.53 s
+    // at sf0.1) — unlike txt_lmscore, the normalize+tokenize transform is
+    // heavy per row, so the full-width form stands (driver-verified r14).
     val toks = graft.operators.Spread.ifNarrow(
         Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")), "doc_id")
       .select(col("doc_id"), col("lang"),

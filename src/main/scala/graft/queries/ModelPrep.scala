@@ -75,17 +75,34 @@ object ModelPrep {
     * oracle's sequential list_reduce left fold; a plain SUM would be
     * partition-order-dependent in Spark and segment-tree-shaped in DuckDB. */
   def txtLmScore(spark: SparkSession, dir: String): DataFrame = {
-    val tok = graft.operators.Spread.ifNarrow(
+    // ifNarrowHeavy (round 15): tok2 fans out into four shuffled consumers,
+    // so full core width multiplies each consumer stage's per-task overhead
+    // — width 32 measured 1.18 s vs 0.49 s at width 8 on the same host.
+    val tok = graft.operators.Spread.ifNarrowHeavy(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))).as(Seq("p0", "w")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("w"))
     val lagW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Round 15 note: a Lineage.truncate of tok2 was tried (it has four
+    // consumers — c1, cbi, vocab, the bi join side — each re-running the
+    // explode+lag stage above the reused spread exchange) and MEASURED
+    // SLOWER (jobs-sum 1.77 s → 3.05 s at sf0.1): the per-consumer
+    // aggregations dominate, and reading the materialized 1M-row token
+    // stream from checkpoint storage costs more than recomputing the cheap
+    // explode+lag from the 0.85 MB compressed exchange — the opposite
+    // trade from ngramJaccardPairs, whose shingle+md5 transform is the
+    // expensive part. Kept as the recompute-per-consumer form.
     val tok2 = tok.withColumn("wprev", lag(col("w"), 1).over(lagW))
     val bi = tok2.filter(col("wprev").isNotNull)
     val c1 = tok2.groupBy(col("w")).agg(count(lit(1)).as("c1cnt"))
       .withColumnRenamed("w", "wprev")
     val cbi = bi.groupBy(col("wprev"), col("w")).agg(count(lit(1)).as("bicnt"))
-    val vocab = tok2.agg(countDistinct(col("w")).as("vocab"))
+    // Round 15 (guide §2.1): vocab = COUNT(DISTINCT w) = the number of c1
+    // groups (token values are non-null, so count(wprev) over c1 is exactly
+    // countDistinct(w) over tok2) — derived from c1's already-shuffled
+    // partials via ReusedExchange instead of a fourth full scan of the
+    // token stream.
+    val vocab = c1.agg(count(col("wprev")).as("vocab"))
     val lp = bi
       .join(cbi, Seq("wprev", "w"))
       .join(c1, Seq("wprev"))
