@@ -157,10 +157,12 @@ object Dedup {
     // RAW corpus block membership exactly as uncollapsed (identical text
     // lands its whole cluster in one block).
     val (reps, memb) = collapseExact(docs, idCol, textCol)
-    // Round 14 note: a Spread.byKey before the normalize was tried and
-    // measured slower (1.6 -> 1.9s at sf0.1) — the downstream window keys
-    // on (pfx, lb) so the doc-keyed exchange buys nothing structural, and
-    // normalize alone is too cheap to amortize the extra exchange.
+    // Round 14 note: a full-width Spread.byKey before the normalize was
+    // tried and measured slower (1.6 -> 1.9s at sf0.1). Round 15: retried
+    // at the memory-bounded width (byKeyHeavy, 12) after profiling showed
+    // the normalize+prefix projection as a 0.67 s single-task stage — STILL
+    // slower (1.5 -> 1.83 s): the text exchange + extra stage outweigh the
+    // projection at this payload size. Kept exchange-free both rounds.
     val blocked = reps
       .select(col("doc_id").as("rep_id"), col("csize"),
         TextFunctions.normalize(col("text")).as("s"))
